@@ -1,0 +1,74 @@
+"""Hyperparameter configuration.
+
+TPU-native analog of the reference's ``Params`` bag
+(/root/reference/datastruct.h:12-69) plus the knobs a batched/jitted
+implementation needs (batch size, eval block sizes, dtype, mesh shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class Params:
+    """All run hyperparameters.
+
+    Mirrors /root/reference/datastruct.h:12-69 field-for-field where the
+    field is algorithmic; file paths and TPU-execution knobs are extras.
+    """
+
+    # --- core dimensions (filled by Data if -1) ---
+    n_users: int = -1
+    n_items: int = -1
+    fac_dim: int = 10          # latent rank k
+    max_iter: int = 1000       # max epochs
+    svd_fac_dim: int = 10      # rank for SVD-based init / analysis
+    seed: int = 1
+
+    # --- regularization / step size ---
+    u_reg: float = 0.01
+    i_reg: float = 0.01
+    learn_rate: float = 0.005
+
+    # --- long-tail model knobs (WWW'19) ---
+    rho_rms: float = 1.0       # sigmoid steepness (TMF) / weight scale (IFWMF)
+    alpha: float = 0.0         # sigmoid center (TMF)
+
+    # --- file paths (GKlib text CSR format unless noted) ---
+    train_mat_file: Optional[str] = None
+    test_mat_file: Optional[str] = None
+    val_mat_file: Optional[str] = None
+    graph_mat_file: Optional[str] = None
+    orig_u_fac_file: Optional[str] = None
+    orig_i_fac_file: Optional[str] = None
+    init_u_fac_file: Optional[str] = None
+    init_i_fac_file: Optional[str] = None
+    prefix: str = "mf"
+
+    # --- TPU execution knobs (new; no reference analog) ---
+    batch_size: int = 16384        # SGD minibatch (COO examples per step)
+    eval_user_block: int = 1024    # users per block in full-catalog scoring
+    eval_item_block: int = 8192    # items per block in full-catalog scoring
+    dtype: str = "float32"         # factor dtype ("float32" or "bfloat16")
+    mesh_shape: Tuple[int, ...] = ()   # () = single device
+    mesh_axes: Tuple[str, ...] = ()
+    n_negatives: int = 8           # BPR: candidate negatives per positive
+
+    # --- training-loop constants (reference const.h:4-8) ---
+    obj_iter: int = 1      # OBJ_ITER: check objective every N epochs
+    disp_iter: int = 50    # DISP_ITER: log every N epochs
+    save_iter: int = 50    # SAVE_ITER: checkpoint every N epochs
+    chance_iter: int = 500  # CHANCE_ITER: give up after N stagnant epochs
+    eps: float = 1e-5      # EPS: objective-convergence threshold
+
+    def display(self) -> str:
+        """Reference parity: Params::display (datastruct.h:52-69)."""
+        lines = ["*** PARAMETERS ***"]
+        for f in dataclasses.fields(self):
+            lines.append(f"{f.name}: {getattr(self, f.name)}")
+        return "\n".join(lines)
+
+    def replace(self, **kw) -> "Params":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,110 @@
+"""Synthetic dataset generators.
+
+Covers the reference's ground-truth workflow (python/genLatFacs.py:16-35 —
+SVD-orthogonalized scaled random factors used as a known low-rank model)
+plus a power-law rating-matrix sampler for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from matfac_tpu.data.csr import RatingMatrix
+from matfac_tpu.data.dataset import Data
+
+
+def gen_latent_factors(n: int, k: int, scale: float, seed: int) -> np.ndarray:
+    """genLatFacs.py analog: orthonormal columns (via SVD of a Gaussian
+    matrix) scaled by ``scale``."""
+    rng = np.random.default_rng(seed)
+    g = rng.standard_normal((n, k))
+    u, _, _ = np.linalg.svd(g, full_matrices=False)
+    return (u * scale).astype(np.float32)
+
+
+def low_rank_ratings(n_users: int, n_items: int, k: int, density: float,
+                     seed: int, noise: float = 0.0,
+                     scale: float = 3.0,
+                     power_law: float = 0.0
+                     ) -> Tuple[RatingMatrix, np.ndarray, np.ndarray]:
+    """Sample observed entries of a known low-rank matrix.
+
+    ``power_law > 0`` skews item popularity ~ Zipf(power_law) to reproduce
+    the long-tail regime the WWW'19 models target.
+    Returns (mat, uFac, iFac) with mat values = uFac @ iFac.T + noise.
+    """
+    rng = np.random.default_rng(seed)
+    u_fac = gen_latent_factors(n_users, k, np.sqrt(scale), seed)
+    i_fac = gen_latent_factors(n_items, k, np.sqrt(scale) * n_items /
+                               max(n_users, 1) ** 0.5, seed + 1)
+    # rescale so typical |rating| ~ scale
+    norm = np.abs(u_fac @ i_fac[: min(128, n_items)].T).mean() + 1e-9
+    i_fac *= scale / norm
+
+    nnz = int(density * n_users * n_items)
+    if power_law > 0:
+        w = 1.0 / np.arange(1, n_items + 1) ** power_law
+        w /= w.sum()
+        cols = rng.choice(n_items, size=nnz, p=w)
+    else:
+        cols = rng.integers(0, n_items, size=nnz)
+    rows = rng.integers(0, n_users, size=nnz)
+    # dedupe (u, i) pairs
+    key = rows.astype(np.int64) * n_items + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    vals = np.einsum("ek,ek->e", u_fac[rows], i_fac[cols])
+    if noise > 0:
+        vals = vals + noise * rng.standard_normal(len(vals))
+    mat = RatingMatrix.from_coo(rows, cols, vals.astype(np.float32),
+                                n_users, n_items)
+    return mat, u_fac, i_fac
+
+
+def synthetic_data(n_users: int = 200, n_items: int = 150, k: int = 5,
+                   density: float = 0.2, seed: int = 7, noise: float = 0.05,
+                   test_pc: float = 0.1, val_pc: float = 0.1,
+                   power_law: float = 0.0, fac_dim: Optional[int] = None
+                   ) -> Tuple[Data, np.ndarray, np.ndarray]:
+    """Complete Data bundle from a synthetic low-rank model."""
+    from matfac_tpu.data.io import split_train_test_val
+
+    mat, u_fac, i_fac = low_rank_ratings(
+        n_users, n_items, k, density, seed, noise, power_law=power_law)
+    train, test, val = split_train_test_val(mat, test_pc, val_pc, seed)
+    data = Data(train_mat=train, test_mat=test, val_mat=val,
+                orig_u_fac=u_fac, orig_i_fac=i_fac)
+    data.fac_dim = fac_dim if fac_dim is not None else k
+    return data, u_fac, i_fac
+
+
+def leave_one_out_data(n_users: int = 100, n_items: int = 80, k: int = 5,
+                       per_user: int = 12, seed: int = 3
+                       ) -> Data:
+    """Implicit-feedback bundle for BPR/HR tests: each user gets
+    ``per_user`` positive items; one held out to test, one to val
+    (the leave-one-out protocol hitRate expects, model.cpp:1158-1211)."""
+    rng = np.random.default_rng(seed)
+    rows_tr, cols_tr = [], []
+    rows_te, cols_te = [], []
+    rows_va, cols_va = [], []
+    for u in range(n_users):
+        items = rng.choice(n_items, size=min(per_user, n_items),
+                           replace=False)
+        rows_te.append(u)
+        cols_te.append(items[0])
+        rows_va.append(u)
+        cols_va.append(items[1])
+        for i in items[2:]:
+            rows_tr.append(u)
+            cols_tr.append(i)
+    ones = lambda n: np.ones(n, dtype=np.float32)
+    train = RatingMatrix.from_coo(np.array(rows_tr), np.array(cols_tr),
+                                  ones(len(rows_tr)), n_users, n_items)
+    test = RatingMatrix.from_coo(np.array(rows_te), np.array(cols_te),
+                                 ones(len(rows_te)), n_users, n_items)
+    val = RatingMatrix.from_coo(np.array(rows_va), np.array(cols_va),
+                                ones(len(rows_va)), n_users, n_items)
+    return Data(train_mat=train, test_mat=test, val_mat=val)
