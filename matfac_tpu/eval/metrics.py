@@ -1,0 +1,203 @@
+"""Pointwise evaluation: RMSE family, regularized objective, NDCG@10.
+
+TPU-native analog of the reference metric suite (model.cpp:214-251 RMSE
+with invalid filtering, model.cpp:1770-1815 objective, model.cpp:760-830
+NDCG). Everything is jitted over static-shape device arrays; the
+Evaluator wrapper owns the host→device staging of a Data bundle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.data.csr import RatingMatrix
+from matfac_tpu.models.base import EvalView
+
+
+class CooDevice(NamedTuple):
+    """Static-shape COO triplets with a validity weight on device."""
+    rows: jax.Array   # [n] int32
+    cols: jax.Array   # [n] int32
+    vals: jax.Array   # [n] float32
+    valid: jax.Array  # [n] float32
+
+
+def stage_coo(mat: RatingMatrix, invalid_users: np.ndarray,
+              invalid_items: np.ndarray, n_users: int, n_items: int,
+              pad_multiple: int = 1024) -> CooDevice:
+    """Filter entries by invalid masks + bounds (RMSE semantics,
+    model.cpp:222-240) and pad to a static size."""
+    r, c, v = mat.to_coo()
+    keep = (r < n_users) & (c < n_items)
+    keep &= ~invalid_users[np.clip(r, 0, n_users - 1)]
+    keep &= ~invalid_items[np.clip(c, 0, n_items - 1)]
+    r, c, v = r[keep], c[keep], v[keep]
+    n = len(r)
+    n_pad = (-n) % pad_multiple if n else pad_multiple
+    pad = lambda a, z: np.concatenate([a, np.full(n_pad, z, a.dtype)])
+    return CooDevice(
+        jnp.asarray(pad(r.astype(np.int32), 0)),
+        jnp.asarray(pad(c.astype(np.int32), 0)),
+        jnp.asarray(pad(v.astype(np.float32), 0.0)),
+        jnp.asarray(np.concatenate([np.ones(n, np.float32),
+                                    np.zeros(n_pad, np.float32)])))
+
+
+@jax.jit
+def predict_pairs(view: EvalView, rows: jax.Array, cols: jax.Array
+                  ) -> jax.Array:
+    dots = jnp.einsum("ek,ek->e", view.u_fac[rows], view.i_fac[cols],
+                      preferred_element_type=jnp.float32)
+    return (view.mu + view.u_bias[rows] + view.i_bias[cols] + dots)
+
+
+@jax.jit
+def sse(view: EvalView, coo: CooDevice) -> Tuple[jax.Array, jax.Array]:
+    """(sum of squared errors, count) over valid entries."""
+    pred = predict_pairs(view, coo.rows, coo.cols)
+    d = (coo.vals - pred) * coo.valid
+    return jnp.sum(d * d), jnp.sum(coo.valid)
+
+
+@jax.jit
+def weighted_sse(view: EvalView, coo: CooDevice, weights: jax.Array
+                 ) -> jax.Array:
+    """IFWMF objective data term (modelInvPopMF.cpp:22-32)."""
+    pred = predict_pairs(view, coo.rows, coo.cols)
+    d = coo.vals - pred
+    return jnp.sum(weights * coo.valid * d * d)
+
+
+def rmse_value(view: EvalView, coo: CooDevice) -> float:
+    s, n = sse(view, coo)
+    return float(jnp.sqrt(s / jnp.maximum(n, 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("u_reg", "i_reg"))
+def reg_penalty(u_fac: jax.Array, i_fac: jax.Array,
+                valid_u: jax.Array, valid_i: jax.Array,
+                u_reg: float, i_reg: float) -> jax.Array:
+    """u_reg*||uFac[valid]||^2 + i_reg*||iFac[valid]||^2
+    (model.cpp:1782-1807). Uses the RAW (unmasked) factors — the
+    reference regularizes all fac_dim dims even for truncated models."""
+    u = jnp.sum(jnp.sum(u_fac * u_fac, axis=1) * valid_u)
+    i = jnp.sum(jnp.sum(i_fac * i_fac, axis=1) * valid_i)
+    return u_reg * u + i_reg * i
+
+
+def ndcg_at_n(view: EvalView, test_cols: jax.Array, test_vals: jax.Array,
+              test_mask: jax.Array, user_ids: jax.Array,
+              user_valid: jax.Array, n: int = 10,
+              eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
+    """NDCG@n with the reference's exact protocol (model.cpp:760-830):
+    per user, keep the n test items with the HIGHEST PREDICTED rating;
+    DCG uses their actual ratings in prediction order, the 'ideal' DCG
+    re-sorts those same n by actual rating. Users with <2 valid test
+    entries or ideal DCG <= eps are skipped.
+
+    Inputs are padded per-user test rows [B, C]; returns (sum ndcg,
+    n contributing users)."""
+    B, C = test_cols.shape
+    preds = (view.mu + view.u_bias[user_ids][:, None]
+             + view.i_bias[test_cols]
+             + jnp.einsum("bk,bck->bc", view.u_fac[user_ids],
+                          view.i_fac[test_cols],
+                          preferred_element_type=jnp.float32))
+    neg_inf = jnp.float32(-3e38)
+    masked_preds = jnp.where(test_mask > 0, preds, neg_inf)
+    n_eff = min(n, C)
+    top_pred, top_idx = jax.lax.top_k(masked_preds, n_eff)
+    rels = jnp.take_along_axis(test_vals, top_idx, axis=1)
+    sel_valid = jnp.take_along_axis(test_mask, top_idx, axis=1) > 0
+    discounts = 1.0 / jnp.log2(jnp.arange(2, n_eff + 2, dtype=jnp.float32))
+    gains = jnp.where(sel_valid, jnp.exp2(rels) - 1.0, 0.0)
+    dcg = jnp.sum(gains * discounts[None, :], axis=1)
+    # ideal order: valid gains (which may be negative for negative
+    # ratings) sorted descending and COMPACTED to the front — masked
+    # padding must sort strictly last, not interleave at gain 0
+    sort_key = jnp.where(sel_valid, gains, neg_inf)
+    ideal_sorted = -jnp.sort(-sort_key, axis=1)
+    ideal_gains = jnp.where(ideal_sorted > neg_inf / 2, ideal_sorted, 0.0)
+    idcg = jnp.sum(ideal_gains * discounts[None, :], axis=1)
+    counts = jnp.sum(test_mask, axis=1)
+    ok = (user_valid > 0) & (counts >= 2) & (idcg > eps)
+    return jnp.sum(jnp.where(ok, dcg / jnp.maximum(idcg, eps), 0.0)), \
+        jnp.sum(ok)
+
+
+class Evaluator:
+    """Owns device-staged eval inputs for one Data bundle + invalid masks.
+
+    Provides the metric surface of the reference Model:
+    RMSE(train/test/val), objective, NDCG@10 (hit-rate family lives in
+    eval.ranking since it needs full-catalog scoring).
+    """
+
+    def __init__(self, data, invalid_users: np.ndarray,
+                 invalid_items: np.ndarray, params):
+        self.params = params
+        self.n_users = data.n_users
+        self.n_items = data.n_items
+        self.invalid_users = invalid_users
+        self.invalid_items = invalid_items
+        self.valid_u = jnp.asarray(~invalid_users, jnp.float32)
+        self.valid_i = jnp.asarray(~invalid_items, jnp.float32)
+        self.train_coo = stage_coo(data.train_mat, invalid_users,
+                                   invalid_items, self.n_users, self.n_items)
+        self.test_coo = (stage_coo(data.test_mat, invalid_users,
+                                   invalid_items, self.n_users, self.n_items)
+                         if data.test_mat is not None else None)
+        self.val_coo = (stage_coo(data.val_mat, invalid_users,
+                                  invalid_items, self.n_users, self.n_items)
+                        if data.val_mat is not None else None)
+        self._ndcg_cache = {}
+        self._data = data
+
+    # -- RMSE ----------------------------------------------------------
+    def rmse(self, view: EvalView, which: str = "test") -> float:
+        coo = {"train": self.train_coo, "test": self.test_coo,
+               "val": self.val_coo}[which]
+        if coo is None:
+            raise ValueError(f"no {which} matrix")
+        return rmse_value(view, coo)
+
+    # -- objective -----------------------------------------------------
+    def objective(self, view: EvalView, state,
+                  weights: Optional[jax.Array] = None) -> float:
+        """SSE(train) + reg penalty (model.cpp:1770-1815). ``weights``
+        aligned with train_coo switches to the IFWMF weighted objective."""
+        if weights is None:
+            s, _ = sse(view, self.train_coo)
+        else:
+            s = weighted_sse(view, self.train_coo, weights)
+        reg = reg_penalty(state.u_fac, state.i_fac, self.valid_u,
+                          self.valid_i, float(self.params.u_reg),
+                          float(self.params.i_reg))
+        return float(s + reg)
+
+    # -- NDCG ----------------------------------------------------------
+    def _padded_test(self, which: str):
+        if which not in self._ndcg_cache:
+            mat = (self._data.test_mat if which == "test"
+                   else self._data.val_mat)
+            cols, vals, mask = mat.pad_rows()
+            # invalid items are excluded from the scan (model.cpp:785)
+            mask = mask & ~self.invalid_items[cols]
+            user_ids = np.arange(mat.nrows, dtype=np.int32)
+            user_valid = (~self.invalid_users[:mat.nrows]).astype(np.float32)
+            self._ndcg_cache[which] = tuple(map(jnp.asarray, (
+                cols, vals.astype(np.float32), mask.astype(np.float32),
+                user_ids, user_valid)))
+        return self._ndcg_cache[which]
+
+    def ndcg(self, view: EvalView, which: str = "test", n: int = 10) -> float:
+        cols, vals, mask, user_ids, user_valid = self._padded_test(which)
+        total, cnt = ndcg_at_n(view, cols, vals, mask, user_ids,
+                               user_valid, n=n, eps=self.params.eps)
+        cnt = float(cnt)
+        return float(total) / cnt if cnt else 0.0

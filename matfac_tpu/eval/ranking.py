@@ -1,0 +1,168 @@
+"""Ranking evaluation: full-catalog top-N scoring, leave-one-out HR@N,
+ARHR.
+
+TPU-native analog of Model::hitRate (model.cpp:1158-1211) and
+Model::arHR (model.cpp:981-1034). The reference walks all items per user
+through a heap; here scoring is blocked dense matmul (users x items on
+the MXU) with rated-item / invalid-item exclusion applied as -inf masks
+and a running top-k merge across item blocks — the "sharded scoring
+kernel" of SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.data.csr import RatingMatrix
+from matfac_tpu.models.base import EvalView
+
+NEG_INF = jnp.float32(-3e38)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "item_block"))
+def topk_catalog_block(view: EvalView, user_ids: jax.Array,
+                       rated_cols: jax.Array, rated_mask: jax.Array,
+                       invalid_items: jax.Array, n: int,
+                       item_block: int) -> Tuple[jax.Array, jax.Array]:
+    """Top-n unrated items for a block of users.
+
+    view.i_fac must be padded to a multiple of item_block with padded
+    rows marked invalid. rated_cols/rated_mask: [B, C] padded rated
+    lists per user (exclusion set, = train row). Returns (scores[B, n],
+    item_ids[B, n]) sorted descending.
+    """
+    B = user_ids.shape[0]
+    n_items = view.i_fac.shape[0]
+    n_blocks = n_items // item_block
+    u = view.u_fac[user_ids]                    # [B, k]
+    u_bias = view.u_bias[user_ids]
+    row_ids = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def body(carry, blk):
+        best_s, best_i = carry
+        s0 = blk * item_block
+        i_fac_blk = jax.lax.dynamic_slice_in_dim(view.i_fac, s0, item_block)
+        i_bias_blk = jax.lax.dynamic_slice_in_dim(view.i_bias, s0, item_block)
+        inval_blk = jax.lax.dynamic_slice_in_dim(invalid_items, s0,
+                                                 item_block)
+        scores = (jnp.dot(u, i_fac_blk.T,
+                          preferred_element_type=jnp.float32)
+                  + view.mu + u_bias[:, None] + i_bias_blk[None, :])
+        scores = jnp.where(inval_blk[None, :], NEG_INF, scores)
+        # exclude each user's rated items that fall in this block
+        off = rated_cols - s0
+        in_blk = (off >= 0) & (off < item_block) & (rated_mask > 0)
+        off = jnp.where(in_blk, off, 0)
+        scores = scores.at[row_ids, off].min(
+            jnp.where(in_blk, NEG_INF, jnp.float32(3e38)), mode="drop")
+        cat_s = jnp.concatenate([best_s, scores], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, (s0 + jnp.arange(item_block, dtype=jnp.int32)
+                      )[None, :].repeat(B, 0)], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, n)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    init = (jnp.full((B, n), NEG_INF), jnp.zeros((B, n), jnp.int32))
+    (best_s, best_i), _ = jax.lax.scan(body, init,
+                                       jnp.arange(n_blocks, dtype=jnp.int32))
+    return best_s, best_i
+
+
+class CatalogScorer:
+    """Host wrapper: pads the item table, stages exclusion lists, and
+    streams user blocks through topk_catalog_block."""
+
+    def __init__(self, train_mat: RatingMatrix, invalid_users: np.ndarray,
+                 invalid_items: np.ndarray, n_users: int, n_items: int,
+                 user_block: int = 1024, item_block: int = 4096):
+        self.n_users = n_users
+        self.n_items = n_items
+        self.user_block = user_block
+        self.item_block = min(item_block, _round_up(n_items, 128))
+        self.n_items_pad = _round_up(n_items, self.item_block)
+        inval = np.ones(self.n_items_pad, bool)
+        inval[:n_items] = invalid_items[:n_items]
+        self.invalid_items_dev = jnp.asarray(inval)
+        self.invalid_users = invalid_users
+        cols, _, mask = train_mat.pad_rows()
+        # pad user dimension up to n_users
+        if train_mat.nrows < n_users:
+            pad = n_users - train_mat.nrows
+            cols = np.pad(cols, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+        self.rated_cols = jnp.asarray(cols)
+        self.rated_mask = jnp.asarray(mask.astype(np.float32))
+
+    def _pad_view(self, view: EvalView) -> EvalView:
+        n_pad = self.n_items_pad - view.i_fac.shape[0]
+        if n_pad == 0:
+            return view
+        return view._replace(
+            i_fac=jnp.pad(view.i_fac, ((0, n_pad), (0, 0))),
+            i_bias=jnp.pad(view.i_bias, (0, n_pad)))
+
+    def topk(self, view: EvalView, n: int
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """[n_users, n] (scores, item ids) of top unrated items."""
+        view = self._pad_view(view)
+        out_s, out_i = [], []
+        B = self.user_block
+        n_users_pad = _round_up(self.n_users, B)
+        user_ids_all = np.arange(n_users_pad, dtype=np.int32)
+        user_ids_all[self.n_users:] = 0
+        for s in range(0, n_users_pad, B):
+            ids = jnp.asarray(user_ids_all[s:s + B])
+            bs, bi = topk_catalog_block(
+                view, ids, self.rated_cols[ids], self.rated_mask[ids],
+                self.invalid_items_dev, n, self.item_block)
+            out_s.append(np.asarray(bs))
+            out_i.append(np.asarray(bi))
+        return (np.concatenate(out_s)[: self.n_users],
+                np.concatenate(out_i)[: self.n_users])
+
+    # ------------------------------------------------------------------
+    def hit_rate(self, view: EvalView, test_mat: RatingMatrix,
+                 n: int = 10) -> float:
+        """Leave-one-out HR@n (model.cpp:1158-1211): the held-out item is
+        the FIRST entry of each user's test row; denominator = all valid
+        users (with a nonempty test row)."""
+        top_s, top_i = self.topk(view, n)
+        return _loo_score(top_i, test_mat, self.invalid_users,
+                          self.n_users, reciprocal=False)
+
+    def arhr(self, view: EvalView, test_mat: RatingMatrix,
+             n: int = 1000) -> float:
+        """ARHR over top-n (model.cpp:981-1034): 1/(rank+1) credit."""
+        top_s, top_i = self.topk(view, n)
+        return _loo_score(top_i, test_mat, self.invalid_users,
+                          self.n_users, reciprocal=True)
+
+
+def _loo_score(top_i: np.ndarray, test_mat: RatingMatrix,
+               invalid_users: np.ndarray, n_users: int,
+               reciprocal: bool) -> float:
+    deg = test_mat.row_degrees()
+    hits = 0.0
+    n_val = 0
+    nr = min(test_mat.nrows, n_users)
+    first = np.zeros(nr, dtype=np.int64)
+    nz = deg[:nr] > 0
+    first[nz] = test_mat.indices[test_mat.indptr[:nr][nz]]
+    for u in range(nr):
+        if invalid_users[u] or not nz[u]:
+            continue
+        n_val += 1
+        pos = np.nonzero(top_i[u] == first[u])[0]
+        if len(pos):
+            hits += 1.0 / (pos[0] + 1) if reciprocal else 1.0
+    return hits / n_val if n_val else 0.0
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m

@@ -1,0 +1,163 @@
+"""Long-tail adaptive models (WWW'19): IFWMF, TMF, TMF+Dropout.
+
+TPU-native re-design of /root/reference/modelInvPopMF.cpp,
+modelDropoutSigmoid.cpp and modelPoissonDropout.cpp: per-entity
+popularity weights and sigmoid/Poisson effective ranks are precomputed
+dense device tables; truncation becomes factor masking (see
+models/base.py for why pair-rank truncation factorizes per entity).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.config import Params
+from matfac_tpu.models.base import ModelMF, rank_mask
+
+
+class ModelInvPopMF(ModelMF):
+    """IFWMF — inverse-popularity-frequency weighted MF.
+
+    Weight semantics (modelInvPopMF.cpp:98-178): per-entity popularity
+    score = freq / n_valid_other_side, normalized to sum 1 over valid
+    entities; per-rating weight uses the **less frequent** of (u, i)'s
+    score p and multiplies only the data-fit term with
+    w = 1 / (1 + rhoRMS * p).
+    """
+
+    name = "ifwmf"
+
+    def __init__(self, params: Params, n_users: int, n_items: int,
+                 user_freq: np.ndarray, item_freq: np.ndarray,
+                 invalid_users: Optional[np.ndarray] = None,
+                 invalid_items: Optional[np.ndarray] = None):
+        super().__init__(params, n_users, n_items, user_freq, item_freq)
+        valid_u = (~invalid_users if invalid_users is not None
+                   else np.ones(n_users, bool))
+        valid_i = (~invalid_items if invalid_items is not None
+                   else np.ones(n_items, bool))
+        n_tr_users = max(int(valid_u.sum()), 1)
+        n_tr_items = max(int(valid_i.sum()), 1)
+        inv_pop_u = np.where(valid_u, user_freq / n_tr_items, 0.0)
+        s = inv_pop_u.sum()
+        inv_pop_u = inv_pop_u / (s if s > 0 else 1.0)
+        inv_pop_i = np.where(valid_i, item_freq / n_tr_users, 0.0)
+        s = inv_pop_i.sum()
+        inv_pop_i = inv_pop_i / (s if s > 0 else 1.0)
+        self.inv_pop_u = jnp.asarray(inv_pop_u, jnp.float32)
+        self.inv_pop_i = jnp.asarray(inv_pop_i, jnp.float32)
+        self._user_freq_dev = jnp.asarray(user_freq, jnp.float32)
+        self._item_freq_dev = jnp.asarray(item_freq, jnp.float32)
+
+    def example_weight(self, u_idx, i_idx):
+        fu = self._user_freq_dev[u_idx]
+        fi = self._item_freq_dev[i_idx]
+        # default item score; switch to user score when the item is MORE
+        # frequent than the user (modelInvPopMF.cpp:163-168)
+        pop = jnp.where(fi > fu, self.inv_pop_u[u_idx],
+                        self.inv_pop_i[i_idx])
+        return 1.0 / (1.0 + self.params.rho_rms * pop)
+
+
+def _sigmoid_rank_table(freq: np.ndarray, mean: float, std: float,
+                        rho: float, alpha: float, k: int) -> np.ndarray:
+    """R(f) = clamp(ceil(sigmoid(rho*((f-mean)/std - alpha)) * k), 1, k) —
+    the TMF effective-rank map (modelDropoutSigmoid.cpp:158-172).
+    Monotone nondecreasing in f for rho >= 0, which is what makes pair
+    ranks factorize as min(R(fu), R(fi))."""
+    scale = (freq - mean) / (std if std > 0 else 1.0)
+    sigm = 1.0 / (1.0 + np.exp(-rho * (scale - alpha)))
+    ranks = np.ceil(sigm * k).astype(np.int64)
+    return np.clip(ranks, 1, k).astype(np.int32)
+
+
+class ModelDropoutSigmoid(ModelMF):
+    """TMF — truncate prediction/update to the first
+    R(min_freq(u,i)) dims (modelDropoutSigmoid.cpp:140-246).
+
+    The z-scoring constants are mean/std of concat(userFreq, itemFreq)
+    over ALL entities (modelDropoutSigmoid.h ctor)."""
+
+    name = "tmf"
+
+    def __init__(self, params: Params, n_users: int, n_items: int,
+                 user_freq: np.ndarray, item_freq: np.ndarray,
+                 **_):
+        super().__init__(params, n_users, n_items, user_freq, item_freq)
+        concat = np.concatenate([user_freq, item_freq]).astype(np.float64)
+        self.mean_freq = float(concat.mean())
+        self.std_freq = float(concat.std())
+        if params.rho_rms < 0:
+            raise ValueError("TMF requires rho_rms >= 0 (monotone rank map)")
+        self.rank_u = jnp.asarray(_sigmoid_rank_table(
+            user_freq, self.mean_freq, self.std_freq, params.rho_rms,
+            params.alpha, self.k))
+        self.rank_i = jnp.asarray(_sigmoid_rank_table(
+            item_freq, self.mean_freq, self.std_freq, params.rho_rms,
+            params.alpha, self.k))
+
+    def entity_ranks(self):
+        return self.rank_u, self.rank_i
+
+    def pair_rank(self, u_idx, i_idx):
+        return jnp.minimum(self.rank_u[u_idx], self.rank_i[i_idx])
+
+    def update_rank_mask(self, key, u_idx, i_idx):
+        return rank_mask(self.pair_rank(u_idx, i_idx), self.k)
+
+
+def poisson_cdf_ranks(fac_dim: int, cdf_cut: float = 0.99) -> np.ndarray:
+    """initCDFRanks (modelPoissonDropout.cpp:25-47): for each lambda in
+    1..k, the smallest index m with P(X <= m+1) >= cdf_cut under
+    Poisson(lambda) — prediction then uses dims 0..m inclusive. Replicates
+    the reference loop exactly, including the k==facDim fallback."""
+    out = np.zeros(fac_dim, dtype=np.int32)
+    for lam in range(1, fac_dim + 1):
+        cdf = math.exp(-lam)  # P(X = 0)
+        k = 0
+        for k in range(fac_dim):
+            wt = math.exp(-lam + (k + 1) * math.log(lam)
+                          - math.lgamma(k + 2))  # P(X = k+1)
+            cdf += wt
+            if cdf >= cdf_cut:
+                break
+        else:
+            k = fac_dim - 1
+        out[lam - 1] = k
+    return out
+
+
+class ModelPoissonDropout(ModelDropoutSigmoid):
+    """TMF+Dropout — training rank sampled per example from
+    Poisson(lambda(u,i)), lambda = ceil(sigmPc * k); inference uses the
+    deterministic Poisson-0.99-CDF truncation (modelPoissonDropout.cpp)."""
+
+    name = "tmf_dropout"
+
+    def __init__(self, params: Params, n_users: int, n_items: int,
+                 user_freq: np.ndarray, item_freq: np.ndarray, **_):
+        super().__init__(params, n_users, n_items, user_freq, item_freq)
+        # entity lambda tables == the sigmoid rank tables of TMF
+        self.lambda_u = self.rank_u
+        self.lambda_i = self.rank_i
+        cdf_ranks = poisson_cdf_ranks(self.k)
+        # inference dims for lambda: cdfRanks[lambda-1]+1, capped at k
+        eff = np.minimum(cdf_ranks + 1, self.k).astype(np.int32)
+        eff_dev = jnp.asarray(eff)
+        self.rank_u = eff_dev[self.lambda_u - 1]
+        self.rank_i = eff_dev[self.lambda_i - 1]
+        self.cdf_ranks = cdf_ranks
+
+    def pair_lambda(self, u_idx, i_idx):
+        return jnp.minimum(self.lambda_u[u_idx], self.lambda_i[i_idx])
+
+    def update_rank_mask(self, key, u_idx, i_idx):
+        lam = self.pair_lambda(u_idx, i_idx).astype(jnp.float32)
+        r = jax.random.poisson(key, lam).astype(jnp.int32)
+        r = jnp.clip(r, 1, self.k)   # modelPoissonDropout.cpp:200-206
+        return rank_mask(r, self.k)

@@ -1,0 +1,209 @@
+"""Eval-metric tests against naive numpy oracles that replicate the
+reference semantics (model.cpp RMSE/objective/NDCG/hitRate/ARHR)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.synthetic import leave_one_out_data, synthetic_data
+from matfac_tpu.eval.metrics import Evaluator, stage_coo, predict_pairs
+from matfac_tpu.eval.ranking import CatalogScorer
+from matfac_tpu.models.base import EvalView, MFState, ModelMF, init_state
+from matfac_tpu.utils import freq
+
+
+def make_setup(seed=0):
+    data, uf, vf = synthetic_data(n_users=60, n_items=45, k=4, seed=seed,
+                                  density=0.25, noise=0.1)
+    params = Params(fac_dim=4, u_reg=0.02, i_reg=0.03, seed=seed)
+    inval_u, inval_i = freq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    ev = Evaluator(data, inval_u, inval_i, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    state = init_state(params, data.n_users, data.n_items)
+    return data, params, ev, model, state, inval_u, inval_i
+
+
+def naive_rmse(mat, U, V, inval_u, inval_i):
+    sse, cnt = 0.0, 0
+    for u in range(mat.nrows):
+        if inval_u[u]:
+            continue
+        cols, vals = mat.row(u)
+        for c, v in zip(cols, vals):
+            if inval_i[c]:
+                continue
+            d = v - U[u] @ V[c]
+            sse += d * d
+            cnt += 1
+    return np.sqrt(sse / cnt)
+
+
+def test_rmse_matches_naive():
+    data, params, ev, model, state, inval_u, inval_i = make_setup()
+    view = model.eval_view(state)
+    U = np.asarray(state.u_fac)
+    V = np.asarray(state.i_fac)
+    for which, mat in [("train", data.train_mat), ("test", data.test_mat),
+                       ("val", data.val_mat)]:
+        expect = naive_rmse(mat, U, V, inval_u, inval_i)
+        got = ev.rmse(view, which)
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_objective_matches_naive():
+    data, params, ev, model, state, inval_u, inval_i = make_setup()
+    view = model.eval_view(state)
+    U = np.asarray(state.u_fac)
+    V = np.asarray(state.i_fac)
+    sse = 0.0
+    for u in range(data.train_mat.nrows):
+        if inval_u[u]:
+            continue
+        cols, vals = data.train_mat.row(u)
+        for c, v in zip(cols, vals):
+            if inval_i[c]:
+                continue
+            d = v - U[u] @ V[c]
+            sse += d * d
+    u_reg = params.u_reg * sum(U[u] @ U[u] for u in range(data.n_users)
+                               if not inval_u[u])
+    i_reg = params.i_reg * sum(V[i] @ V[i] for i in range(data.n_items)
+                               if not inval_i[i])
+    expect = sse + u_reg + i_reg
+    got = ev.objective(view, state)
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def naive_ndcg(test_mat, predict, inval_u, inval_i, N=10, eps=1e-5):
+    """Replicates model.cpp:760-830 exactly: top-N test items by
+    prediction; DCG in prediction order, ideal from the same N sorted by
+    actual. ``predict(u, c) -> float`` so the ordering uses the same
+    arithmetic as the device path."""
+    total, cnt = 0.0, 0
+    for u in range(test_mat.nrows):
+        if inval_u[u]:
+            continue
+        cols, vals = test_mat.row(u)
+        entries = [(c, v, predict(u, c)) for c, v in zip(cols, vals)
+                   if not inval_i[c]]
+        if len(entries) < 2:
+            continue
+        entries.sort(key=lambda t: -t[2])
+        top = entries[:N]
+        dcg = sum((2.0 ** rel - 1) / np.log2(p + 2)
+                  for p, (_, rel, _) in enumerate(top))
+        rels = sorted((rel for _, rel, _ in top), reverse=True)
+        idcg = sum((2.0 ** rel - 1) / np.log2(p + 2)
+                   for p, rel in enumerate(rels))
+        if idcg > eps:
+            total += dcg / idcg
+            cnt += 1
+    return total / cnt if cnt else 0.0
+
+
+def test_ndcg_matches_naive():
+    data, params, ev, model, state, inval_u, inval_i = make_setup()
+    view = model.eval_view(state)
+    # use the exact device predictions so ordering ties match
+    cols, vals, mask = data.test_mat.pad_rows()
+    uids = jnp.arange(data.test_mat.nrows)[:, None].repeat(cols.shape[1], 1)
+    preds = np.asarray(predict_pairs(view, uids.reshape(-1),
+                                     jnp.asarray(cols.reshape(-1)))
+                       ).reshape(cols.shape)
+    lookup = {}
+    for u in range(data.test_mat.nrows):
+        for j, c in enumerate(cols[u]):
+            if mask[u, j]:
+                lookup[(u, c)] = float(preds[u, j])
+    expect = naive_ndcg(data.test_mat, lambda u, c: lookup[(u, c)],
+                        inval_u, inval_i)
+    got = ev.ndcg(view, "test")
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_predict_pairs_bias_view():
+    params = Params(fac_dim=3)
+    state = init_state(params, 5, 4)
+    view = EvalView(state.u_fac, state.i_fac, state.u_bias, state.i_bias,
+                    jnp.float32(0.5))
+    r = np.array([0, 2], np.int32)
+    c = np.array([1, 3], np.int32)
+    got = np.asarray(predict_pairs(view, jnp.asarray(r), jnp.asarray(c)))
+    U, V = np.asarray(state.u_fac), np.asarray(state.i_fac)
+    ub, ib = np.asarray(state.u_bias), np.asarray(state.i_bias)
+    expect = 0.5 + ub[r] + ib[c] + np.einsum("ek,ek->e", U[r], V[c])
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# ranking
+# ----------------------------------------------------------------------
+
+def naive_loo(train_mat, test_mat, U, V, inval_u, inval_i, N,
+              reciprocal):
+    hits, n_val = 0.0, 0
+    scores_all = U @ V.T
+    for u in range(train_mat.nrows):
+        if inval_u[u]:
+            continue
+        cols, _ = test_mat.row(u)
+        if len(cols) == 0:
+            continue
+        test_item = cols[0]
+        n_val += 1
+        rated = set(train_mat.row(u)[0])
+        s = scores_all[u].copy()
+        for c in rated:
+            s[c] = -np.inf
+        s[inval_i] = -np.inf
+        order = np.argsort(-s, kind="stable")[:N]
+        pos = np.nonzero(order == test_item)[0]
+        if len(pos):
+            hits += 1.0 / (pos[0] + 1) if reciprocal else 1.0
+    return hits / n_val
+
+
+@pytest.mark.parametrize("item_block", [16, 64])
+def test_hit_rate_matches_naive(item_block):
+    data = leave_one_out_data(n_users=50, n_items=40, per_user=10, seed=2)
+    params = Params(fac_dim=6, seed=3)
+    inval_u, inval_i = freq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    model = ModelMF(params, data.n_users, data.n_items)
+    state = init_state(params, data.n_users, data.n_items)
+    view = model.eval_view(state)
+    scorer = CatalogScorer(data.train_mat, inval_u, inval_i,
+                           data.n_users, data.n_items,
+                           user_block=16, item_block=item_block)
+    U, V = np.asarray(view.u_fac), np.asarray(view.i_fac)
+    expect_hr = naive_loo(data.train_mat, data.test_mat, U, V,
+                          inval_u, inval_i, 10, False)
+    got_hr = scorer.hit_rate(view, data.test_mat, 10)
+    np.testing.assert_allclose(got_hr, expect_hr, rtol=1e-6)
+
+    expect_ar = naive_loo(data.train_mat, data.test_mat, U, V,
+                          inval_u, inval_i, 30, True)
+    got_ar = scorer.arhr(view, data.test_mat, 30)
+    np.testing.assert_allclose(got_ar, expect_ar, rtol=1e-6)
+
+
+def test_topk_excludes_rated_and_invalid():
+    data = leave_one_out_data(n_users=30, n_items=25, per_user=8, seed=5)
+    params = Params(fac_dim=4, seed=1)
+    inval_u, inval_i = freq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    model = ModelMF(params, data.n_users, data.n_items)
+    state = init_state(params, data.n_users, data.n_items)
+    view = model.eval_view(state)
+    scorer = CatalogScorer(data.train_mat, inval_u, inval_i,
+                           data.n_users, data.n_items,
+                           user_block=8, item_block=16)
+    _, top_i = scorer.topk(view, 5)
+    for u in range(data.n_users):
+        rated = set(data.train_mat.row(u)[0])
+        for it in top_i[u]:
+            assert it not in rated
+            assert not inval_i[it]
