@@ -27,18 +27,24 @@ def gen_latent_factors(n: int, k: int, scale: float, seed: int) -> np.ndarray:
 def low_rank_ratings(n_users: int, n_items: int, k: int, density: float,
                      seed: int, noise: float = 0.0,
                      scale: float = 3.0,
-                     power_law: float = 0.0
+                     power_law: float = 0.0,
+                     nonneg: bool = False
                      ) -> Tuple[RatingMatrix, np.ndarray, np.ndarray]:
     """Sample observed entries of a known low-rank matrix.
 
     ``power_law > 0`` skews item popularity ~ Zipf(power_law) to reproduce
-    the long-tail regime the WWW'19 models target.
+    the long-tail regime the WWW'19 models target. ``nonneg`` makes the
+    factors (hence ratings) positive — the MovieLens-like regime the
+    reference ALS path assumes (its rating>0 gate, modelMF.cpp:820).
     Returns (mat, uFac, iFac) with mat values = uFac @ iFac.T + noise.
     """
     rng = np.random.default_rng(seed)
     u_fac = gen_latent_factors(n_users, k, np.sqrt(scale), seed)
     i_fac = gen_latent_factors(n_items, k, np.sqrt(scale) * n_items /
                                max(n_users, 1) ** 0.5, seed + 1)
+    if nonneg:
+        u_fac = np.abs(u_fac)
+        i_fac = np.abs(i_fac)
     # rescale so typical |rating| ~ scale
     norm = np.abs(u_fac @ i_fac[: min(128, n_items)].T).mean() + 1e-9
     i_fac *= scale / norm
@@ -66,13 +72,15 @@ def low_rank_ratings(n_users: int, n_items: int, k: int, density: float,
 def synthetic_data(n_users: int = 200, n_items: int = 150, k: int = 5,
                    density: float = 0.2, seed: int = 7, noise: float = 0.05,
                    test_pc: float = 0.1, val_pc: float = 0.1,
-                   power_law: float = 0.0, fac_dim: Optional[int] = None
+                   power_law: float = 0.0, fac_dim: Optional[int] = None,
+                   nonneg: bool = False
                    ) -> Tuple[Data, np.ndarray, np.ndarray]:
     """Complete Data bundle from a synthetic low-rank model."""
     from matfac_tpu.data.io import split_train_test_val
 
     mat, u_fac, i_fac = low_rank_ratings(
-        n_users, n_items, k, density, seed, noise, power_law=power_law)
+        n_users, n_items, k, density, seed, noise, power_law=power_law,
+        nonneg=nonneg)
     train, test, val = split_train_test_val(mat, test_pc, val_pc, seed)
     data = Data(train_mat=train, test_mat=test, val_mat=val,
                 orig_u_fac=u_fac, orig_i_fac=i_fac)

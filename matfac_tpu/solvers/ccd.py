@@ -1,0 +1,200 @@
+"""CCD++ and per-entity CCD — coordinate descent via segment-sums.
+
+TPU-native analog of ModelMF::trainCCDPP (modelMF.cpp:931-1169),
+trainCCDPPFreqAdap (modelMF.cpp:1172-1423) and trainCCD
+(modelMF.cpp:1426-1653). The reference maintains a duplicated CSR
+residual in row AND column views (with benign cross-view races); here
+the residual is a single COO value vector and both the user- and
+item-side closed-form 1-D updates are `segment_sum` reductions over it:
+
+    u_k(u) = sum_i res_ui v_k(i) / (uReg + sum_i v_k(i)^2)
+
+CCD++ (Yu et al. rank-1 sweeps): per latent dim, add back the dim's
+contribution to the residual, run 5 inner user/item alternations, then
+subtract the new contribution — the epoch is a lax.scan over shuffled
+dims. The freq-adaptive variant zeroes v_k (k>0) for items with
+frequency below a threshold (hard rank truncation, modelMF.cpp:1336-1343).
+
+Per-entity CCD: one user sweep over all dims (add-back folded into the
+numerator), then one item sweep — same math, Gauss-Seidel ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.config import Params
+from matfac_tpu.models.base import MFState
+
+
+def _stage_coo(train_mat, invalid_users, invalid_items):
+    r, c, v = train_mat.to_coo()
+    keep = ~invalid_users[r] & ~invalid_items[c]
+    return (jnp.asarray(r[keep].astype(np.int32)),
+            jnp.asarray(c[keep].astype(np.int32)),
+            jnp.asarray(v[keep].astype(np.float32)))
+
+
+class CCDPPSolver:
+    """Rank-1 coordinate-descent sweeps. State extra: the residual vector,
+    carried across epochs (reference carries `res` across epochs too)."""
+
+    def __init__(self, model, params: Params, train_mat,
+                 invalid_users: np.ndarray, invalid_items: np.ndarray,
+                 n_inner: int = 5, freq_adaptive: bool = False,
+                 freq_thresh: float = 75.0, item_freq=None, **_):
+        self.model = model
+        self.params = params
+        self.rows, self.cols, self.vals = _stage_coo(
+            train_mat, invalid_users, invalid_items)
+        self.n_users = int(model.n_users)
+        self.n_items = int(model.n_items)
+        self.n_inner = n_inner
+        self.res: Optional[jax.Array] = None
+        if freq_adaptive:
+            if item_freq is None:
+                item_freq = train_mat.col_degrees().astype(np.float64)
+            fa = np.zeros(self.n_items, np.float32)
+            fa[: len(item_freq)] = (item_freq >= freq_thresh)
+            # dim 0 always allowed; dims >0 only for frequent items
+            self.item_dim_ok = jnp.asarray(fa)
+        else:
+            self.item_dim_ok = None
+        self._epoch = self._build_epoch()
+        self._initialized = False
+
+    def _build_epoch(self):
+        rows, cols, vals = self.rows, self.cols, self.vals
+        n_users, n_items = self.n_users, self.n_items
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        n_inner = self.n_inner
+        item_dim_ok = self.item_dim_ok
+
+        def seg_u(x):
+            return jax.ops.segment_sum(x, rows, n_users)
+
+        def seg_i(x):
+            return jax.ops.segment_sum(x, cols, n_items)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch(state: MFState, res, key):
+            dims = jax.random.permutation(key, state.u_fac.shape[1])
+
+            def dim_sweep(carry, kk):
+                u_fac, i_fac, res = carry
+                u_k = jax.lax.dynamic_index_in_dim(
+                    u_fac, kk, axis=1, keepdims=False)
+                v_k = jax.lax.dynamic_index_in_dim(
+                    i_fac, kk, axis=1, keepdims=False)
+                # add back this dim's contribution (no-op on first epoch
+                # where u_fac == 0, matching the iter>0 gate at :1036)
+                res = res + u_k[rows] * v_k[cols]
+
+                def inner(_, uv):
+                    u_k, v_k = uv
+                    vg = v_k[cols]
+                    u_k = seg_u(res * vg) / (u_reg + seg_u(vg * vg))
+                    ug = u_k[rows]
+                    v_k = seg_i(res * ug) / (i_reg + seg_i(ug * ug))
+                    return (u_k, v_k)
+
+                u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
+                if item_dim_ok is not None:
+                    # dims > 0 are truncated for infrequent items
+                    v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
+                res = res - u_k[rows] * v_k[cols]
+                u_fac = _set_col(u_fac, kk, u_k)
+                i_fac = _set_col(i_fac, kk, v_k)
+                return (u_fac, i_fac, res), None
+
+            (u_fac, i_fac, res), _ = jax.lax.scan(
+                dim_sweep, (state.u_fac, state.i_fac, res), dims)
+            return state._replace(u_fac=u_fac, i_fac=i_fac), res
+
+        return epoch
+
+    def epoch(self, state: MFState, lr: float, key) -> MFState:
+        del lr
+        if not self._initialized:
+            # uFac zero-init (modelMF.cpp:1020) => residual = ratings.
+            # Copy: the epoch fn donates its res argument and self.vals
+            # must stay alive for reset().
+            state = state._replace(u_fac=jnp.zeros_like(state.u_fac))
+            self.res = jnp.array(self.vals, copy=True)
+            self._initialized = True
+        state, self.res = self._epoch(state, self.res, key)
+        return state
+
+    def reset(self):
+        self._initialized = False
+        self.res = None
+
+
+class CCDSolver(CCDPPSolver):
+    """Per-entity CCD (trainCCD): full user sweep over all dims, then
+    full item sweep; add-back folded into the numerator; residual is NOT
+    reinitialized (uFac starts at 0 per modelMF.cpp:1520-1526)."""
+
+    def __init__(self, *args, **kw):
+        kw.pop("n_inner", None)
+        super().__init__(*args, n_inner=1, **kw)
+
+    def _build_epoch(self):
+        rows, cols = self.rows, self.cols
+        n_users, n_items = self.n_users, self.n_items
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+
+        def seg_u(x):
+            return jax.ops.segment_sum(x, rows, n_users)
+
+        def seg_i(x):
+            return jax.ops.segment_sum(x, cols, n_items)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch(state: MFState, res, key):
+            k_u, k_i = jax.random.split(key)
+
+            def user_dim(carry, kk):
+                u_fac, i_fac, res = carry
+                u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+                v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+                vg = v_k[cols]
+                num = seg_u((res + u_k[rows] * vg) * vg)
+                den = u_reg + seg_u(vg * vg)
+                new_u = num / den
+                res = res - (new_u[rows] - u_k[rows]) * vg
+                return (_set_col(u_fac, kk, new_u), i_fac, res), None
+
+            def item_dim(carry, kk):
+                u_fac, i_fac, res = carry
+                u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+                v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+                ug = u_k[rows]
+                num = seg_i((res + ug * v_k[cols]) * ug)
+                den = i_reg + seg_i(ug * ug)
+                new_v = num / den
+                res = res - ug * (new_v[cols] - v_k[cols])
+                return (u_fac, _set_col(i_fac, kk, new_v), res), None
+
+            k = state.u_fac.shape[1]
+            carry = (state.u_fac, state.i_fac, res)
+            carry, _ = jax.lax.scan(user_dim, carry,
+                                    jax.random.permutation(k_u, k))
+            carry, _ = jax.lax.scan(item_dim, carry,
+                                    jax.random.permutation(k_i, k))
+            u_fac, i_fac, res = carry
+            return state._replace(u_fac=u_fac, i_fac=i_fac), res
+
+        return epoch
+
+
+def _set_col(mat: jax.Array, kk, col: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(mat, col[:, None].astype(mat.dtype),
+                                        (0, kk))

@@ -1,0 +1,126 @@
+"""Minibatched scatter-add SGD — the TPU-native SGD family.
+
+Replaces the reference's sequential SGD (ModelMF::train,
+modelMF.cpp:4-151), DSGD block-parallel SGD (trainSGDPar,
+modelMF.cpp:154-350), user-shuffled SGD (trainUShuffle) and hogwild SGD
+(hogTrain, modelMF.cpp:1656-1808) with ONE engine: per epoch the rating
+stream is re-permuted on device, scanned in fixed-size minibatches, and
+each batch applies
+
+    e      = r_ui - <p_u * m, q_i * m>          (m = per-example rank mask)
+    p_u   -= lr * m * (-2 w e q_i + 2 reg_u p_u)
+    q_i   -= lr * m * (-2 w e p_u + 2 reg_i q_i)
+
+via segment-sum scatter-add (`.at[].add`), which is the deterministic
+analog of hogwild: within a batch colliding rows accumulate gradients
+computed at the same stale value. Update rules match modelMF.cpp:83-105
+exactly (per-occurrence regularization included); w is the IFWMF weight
+hook (modelInvPopMF.cpp:163-178) and m the TMF/Poisson rank-mask hook
+(modelDropoutSigmoid.cpp:158-191, modelPoissonDropout.cpp:189-226).
+
+Parity with the sequential reference is statistical (final RMSE), not
+bitwise — SURVEY.md §7 "SGD semantic gap".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.batching import coo_batches
+from matfac_tpu.models.base import MFState
+
+
+class SGDSolver:
+    """Owns the staged rating stream and the jitted epoch function."""
+
+    def __init__(self, model, params: Params, train_mat,
+                 invalid_users: np.ndarray, invalid_items: np.ndarray,
+                 batch_size: Optional[int] = None):
+        self.model = model
+        self.params = params
+        bs = batch_size or params.batch_size
+        b = coo_batches(train_mat, bs, invalid_users, invalid_items)
+        self.rows = jnp.asarray(b.rows)
+        self.cols = jnp.asarray(b.cols)
+        self.vals = jnp.asarray(b.vals)
+        self.valid = jnp.asarray(b.valid)
+        self.batch_size = b.batch_size
+        self.n_batches = b.n_batches
+        self.nnz = b.nnz
+        self._epoch = self._build_epoch()
+
+    # ------------------------------------------------------------------
+    def _build_epoch(self):
+        model = self.model
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        use_bias = model.use_bias
+        use_factors = model.use_factors
+        n_batches = self.n_batches
+        B = self.batch_size
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def epoch(state: MFState, lr, key) -> MFState:
+            perm_key, mask_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, self.rows.shape[0])
+            perm = perm.reshape(n_batches, B)
+
+            def step(carry, xs):
+                st = carry
+                idx, k_b = xs
+                u = self.rows[idx]
+                i = self.cols[idx]
+                r = self.vals[idx]
+                v = self.valid[idx]
+                w = model.example_weight(u, i) * v
+                m = model.update_rank_mask(k_b, u, i)
+                pu = st.u_fac[u]
+                qi = st.i_fac[i]
+                pred = jnp.zeros_like(r)
+                if use_factors:
+                    if m is None:
+                        pred = jnp.einsum(
+                            "ek,ek->e", pu, qi,
+                            preferred_element_type=jnp.float32)
+                    else:
+                        pred = jnp.einsum(
+                            "ek,ek->e", pu * m, qi,
+                            preferred_element_type=jnp.float32)
+                if use_bias:
+                    pred = pred + st.u_bias[u] + st.i_bias[i]
+                diff = (r - pred)
+                new = st
+                if use_factors:
+                    gu = -2.0 * (w * diff)[:, None] * qi \
+                        + 2.0 * u_reg * (v[:, None] * pu)
+                    gi = -2.0 * (w * diff)[:, None] * pu \
+                        + 2.0 * i_reg * (v[:, None] * qi)
+                    if m is not None:
+                        gu = gu * m
+                        gi = gi * m
+                    new = new._replace(
+                        u_fac=new.u_fac.at[u].add(-lr * gu),
+                        i_fac=new.i_fac.at[i].add(-lr * gi))
+                if use_bias:
+                    gbu = -2.0 * w * diff + 2.0 * u_reg * v * st.u_bias[u]
+                    gbi = -2.0 * w * diff + 2.0 * i_reg * v * st.i_bias[i]
+                    new = new._replace(
+                        u_bias=new.u_bias.at[u].add(-lr * gbu),
+                        i_bias=new.i_bias.at[i].add(-lr * gbi))
+                return new, None
+
+            keys = jax.random.split(mask_key, n_batches)
+            state, _ = jax.lax.scan(step, state, (perm, keys))
+            return state
+
+        return epoch
+
+    # ------------------------------------------------------------------
+    def epoch(self, state: MFState, lr: float, key) -> MFState:
+        return self._epoch(state, jnp.float32(lr), key)

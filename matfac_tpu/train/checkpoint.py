@@ -1,0 +1,93 @@
+"""Checkpoint / resume.
+
+Text-format parity with the reference (Model::saveFacs/loadFacs,
+model.cpp:11-188): factors written as whitespace text matrices named
+``{prefix}_uFac_{signature}.mat`` / ``_iFac_``, signature =
+``{nUsers}X{nItems}_{facDim}_{uReg}_{iReg}_{learnRate}``
+(modelSignature, model.cpp:11-19); invalid sets as ``_invalUsers.txt`` /
+``_invalItems.txt`` (main.cpp:113-117). A fast binary .npz path stores
+the full state + training-loop progress for exact resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.io import read_factor_mat, write_factor_mat
+from matfac_tpu.models.base import MFState
+
+
+def model_signature(params: Params, n_users: int, n_items: int) -> str:
+    """modelSignature analog (model.cpp:11-19)."""
+    return (f"{n_users}X{n_items}_{params.fac_dim}_{params.u_reg}"
+            f"_{params.i_reg}_{params.learn_rate}")
+
+
+def fac_paths(prefix: str, sig: str) -> Tuple[str, str]:
+    return (f"{prefix}_uFac_{sig}.mat", f"{prefix}_iFac_{sig}.mat")
+
+
+def save_facs(state: MFState, prefix: str, sig: str) -> Tuple[str, str]:
+    """saveFacs analog (model.cpp:89-101): text factor matrices."""
+    up, ip = fac_paths(prefix, sig)
+    write_factor_mat(np.asarray(state.u_fac), up)
+    write_factor_mat(np.asarray(state.i_fac), ip)
+    return up, ip
+
+
+def load_facs(state: MFState, prefix: str, sig: str) -> Optional[MFState]:
+    """loadFacs analog (model.cpp:104-128): existence-checked."""
+    up, ip = fac_paths(prefix, sig)
+    if not (os.path.exists(up) and os.path.exists(ip)):
+        return None
+    u = read_factor_mat(up, *state.u_fac.shape)
+    i = read_factor_mat(ip, *state.i_fac.shape)
+    return state._replace(u_fac=jnp.asarray(u), i_fac=jnp.asarray(i))
+
+
+def save_invalid(prefix: str, invalid_users: np.ndarray,
+                 invalid_items: np.ndarray) -> None:
+    """main.cpp:1387-1393 analog: one id per line."""
+    np.savetxt(prefix + "_invalUsers.txt",
+               np.nonzero(invalid_users)[0], fmt="%d")
+    np.savetxt(prefix + "_invalItems.txt",
+               np.nonzero(invalid_items)[0], fmt="%d")
+
+
+def load_invalid(prefix: str, n_users: int, n_items: int
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    up, ip = prefix + "_invalUsers.txt", prefix + "_invalItems.txt"
+    if not (os.path.exists(up) and os.path.exists(ip)):
+        return None
+    u = np.zeros(n_users, bool)
+    i = np.zeros(n_items, bool)
+    u[np.loadtxt(up, dtype=np.int64, ndmin=1)] = True
+    i[np.loadtxt(ip, dtype=np.int64, ndmin=1)] = True
+    return u, i
+
+
+# ----------------------------------------------------------------------
+# binary full-state checkpoints (resume)
+# ----------------------------------------------------------------------
+
+def save_state(path: str, state: MFState, **extra) -> None:
+    np.savez(path,
+             u_fac=np.asarray(state.u_fac), i_fac=np.asarray(state.i_fac),
+             u_bias=np.asarray(state.u_bias),
+             i_bias=np.asarray(state.i_bias), mu=np.asarray(state.mu),
+             **extra)
+
+
+def load_state(path: str) -> Tuple[MFState, dict]:
+    z = np.load(path)
+    state = MFState(jnp.asarray(z["u_fac"]), jnp.asarray(z["i_fac"]),
+                    jnp.asarray(z["u_bias"]), jnp.asarray(z["i_bias"]),
+                    jnp.asarray(z["mu"]))
+    extra = {k: z[k] for k in z.files
+             if k not in ("u_fac", "i_fac", "u_bias", "i_bias", "mu")}
+    return state, extra

@@ -1,0 +1,240 @@
+"""The training loop: epoch sweep + the exact reference termination
+state machine.
+
+Semantics of Model::isTerminateModel (model.cpp:1471-1540), encoded as a
+pure host-side state machine (SURVEY.md §7 "exact termination
+semantics"):
+
+  * every OBJ_ITER epochs compute objective(train) and RMSE(val);
+  * NaN in either -> if lr > 1e-5: restore current state from the best
+    snapshot, halve lr, continue; else stop;
+  * val RMSE improved -> snapshot best model;
+  * >= 100 epochs without improvement -> halve lr (every check, while
+    lr > 1e-5);
+  * >= CHANCE_ITER (500) epochs without improvement -> stop
+    ("NOT CONVERGED");
+  * |prevObj - currObj| < EPS -> stop ("converged").
+
+Best-on-validation is what gets checkpointed (modelMF.cpp:135-146).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.config import Params
+from matfac_tpu.eval.metrics import Evaluator
+from matfac_tpu.models.base import MFState
+from matfac_tpu.train import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class EpochLog:
+    epoch: int
+    objective: float
+    val_rmse: float
+    train_rmse: float
+    lr: float
+    seconds: float
+
+
+@dataclasses.dataclass
+class TrainReport:
+    state: MFState               # final running state
+    best_state: MFState          # best-on-validation snapshot
+    best_val_rmse: float
+    best_iter: int
+    stop_reason: str
+    history: List[EpochLog]
+
+
+class TrainLoop:
+    def __init__(self, model, solver, evaluator: Evaluator, params: Params,
+                 prefix: Optional[str] = None,
+                 invalid_users: Optional[np.ndarray] = None,
+                 invalid_items: Optional[np.ndarray] = None,
+                 log_fn: Callable[[str], None] = print,
+                 track_train_rmse: bool = False):
+        self.model = model
+        self.solver = solver
+        self.ev = evaluator
+        self.params = params
+        self.prefix = prefix
+        self.invalid_users = invalid_users
+        self.invalid_items = invalid_items
+        self.log_fn = log_fn
+        self.track_train_rmse = track_train_rmse
+        # IFWMF weights its objective (modelInvPopMF.cpp:22-32)
+        w = model.example_weight(evaluator.train_coo.rows,
+                                 evaluator.train_coo.cols)
+        self.obj_weights = None if bool(jnp.all(w == 1.0)) else w
+
+    def _objective(self, state: MFState) -> float:
+        view = self.model.eval_view(state)
+        return self.ev.objective(view, state, self.obj_weights)
+
+    def run(self, state: MFState, seed: Optional[int] = None) -> TrainReport:
+        p = self.params
+        lr = p.learn_rate
+        key = jax.random.PRNGKey(p.seed if seed is None else seed)
+
+        # solvers donate their input state buffers; snapshots must be
+        # real copies or they alias deleted arrays after the next epoch
+        snapshot = lambda st: jax.tree_util.tree_map(jnp.copy, st)
+        best_state = snapshot(state)
+        prev_obj = self._objective(state)
+        best_val = self.ev.rmse(self.model.eval_view(state), "val")
+        best_iter = -1
+        history: List[EpochLog] = []
+        stop = "max_iter"
+        sig = (ckpt.model_signature(p, self.model.n_users,
+                                    self.model.n_items)
+               if self.prefix else None)
+
+        for it in range(p.max_iter):
+            key, ek = jax.random.split(key)
+            t0 = time.time()
+            state = self.solver.epoch(state, lr, ek)
+            jax.block_until_ready(state)  # honest epoch timing
+            dt = time.time() - t0
+
+            if it % p.obj_iter == 0 or it == p.max_iter - 1:
+                view = self.model.eval_view(state)
+                obj = self._objective(state)
+                val = self.ev.rmse(view, "val")
+
+                # NaN rollback (model.cpp:1487-1498)
+                if not (np.isfinite(obj) and np.isfinite(val)):
+                    if lr > 1e-5:
+                        self.log_fn(f"epoch {it}: non-finite obj/val — "
+                                    f"rollback to best, lr {lr} -> {lr/2}")
+                        state = snapshot(best_state)
+                        if hasattr(self.solver, "reset"):
+                            self.solver.reset()
+                        lr /= 2
+                        continue
+                    stop = "nan_at_min_lr"
+                    break
+
+                if val < best_val:
+                    best_state = snapshot(state)
+                    best_val = val
+                    best_iter = it
+
+                if it - best_iter >= 100 and lr > 1e-5:
+                    lr /= 2
+
+                if it - best_iter >= p.chance_iter:
+                    stop = "not_converged_chance_iter"
+                    break
+
+                converged = abs(prev_obj - obj) < p.eps
+                prev_obj = obj
+
+                tr_rmse = (self.ev.rmse(view, "train")
+                           if self.track_train_rmse else float("nan"))
+                history.append(EpochLog(it, obj, val, tr_rmse, lr, dt))
+                if it % p.disp_iter == 0:
+                    self.log_fn(
+                        f"epoch {it}: obj {obj:.6e} val_rmse {val:.6f} "
+                        f"lr {lr:g} {dt*1000:.1f}ms")
+
+                if self.prefix and (it % p.save_iter == 0
+                                    or it == p.max_iter - 1):
+                    ckpt.save_facs(best_state, self.prefix, sig)
+
+                if converged:
+                    stop = "converged"
+                    break
+
+        if self.prefix:
+            ckpt.save_facs(best_state, self.prefix, sig)
+            if self.invalid_users is not None:
+                ckpt.save_invalid(self.prefix, self.invalid_users,
+                                  self.invalid_items)
+        return TrainReport(state, best_state, best_val, best_iter, stop,
+                           history)
+
+
+# ----------------------------------------------------------------------
+# one-call front door
+# ----------------------------------------------------------------------
+
+_SOLVERS = ("sgd", "sgdpar", "sgdu", "hogsgd", "als", "ccd", "ccd++",
+            "ccd++freqadap")
+
+
+def train_model(data, params: Params, algo: str = "mf",
+                mf_method: str = "sgd", log_fn=print,
+                init_state_override: Optional[MFState] = None,
+                prefix: Optional[str] = None):
+    """Build model+solver from reference-parity names and train.
+
+    algo: mf | mf_bias | IFWMF | TMF | TMFDropout  (main.cpp --algo)
+    mf_method: sgd | sgdpar | sgdu | hogsgd | als | ccd | ccd++
+      (main.cpp --mf_method; all four SGD spellings map to the one
+      minibatched engine)
+    Returns (report, model, evaluator, invalid masks).
+    """
+    from matfac_tpu.models.base import ModelMF, ModelMFBias, init_state
+    from matfac_tpu.models.longtail import (ModelDropoutSigmoid,
+                                            ModelInvPopMF,
+                                            ModelPoissonDropout)
+    from matfac_tpu.solvers.als import ALSSolver
+    from matfac_tpu.solvers.ccd import CCDPPSolver, CCDSolver
+    from matfac_tpu.solvers.sgd import SGDSolver
+    from matfac_tpu.utils import freq as ufreq
+
+    inval_u, inval_i = ufreq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    user_freq, item_freq = ufreq.row_col_freq(data.train_mat)
+    user_freq = np.resize(user_freq, data.n_users)
+    item_freq = np.resize(item_freq, data.n_items)
+
+    models = {"mf": ModelMF, "mf_bias": ModelMFBias,
+              "ifwmf": ModelInvPopMF, "tmf": ModelDropoutSigmoid,
+              "tmfdropout": ModelPoissonDropout}
+    cls = models[algo.lower()]
+    model = cls(params, data.n_users, data.n_items,
+                user_freq=user_freq, item_freq=item_freq,
+                invalid_users=inval_u, invalid_items=inval_i) \
+        if cls is ModelInvPopMF else \
+        cls(params, data.n_users, data.n_items,
+            user_freq=user_freq, item_freq=item_freq) \
+        if cls in (ModelDropoutSigmoid, ModelPoissonDropout) else \
+        cls(params, data.n_users, data.n_items)
+
+    m = mf_method.lower()
+    if m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
+        solver = SGDSolver(model, params, data.train_mat, inval_u, inval_i)
+    elif m == "als":
+        solver = ALSSolver(model, params, data.train_mat, inval_u, inval_i)
+    elif m == "ccd":
+        if not data.train_mat.is_sorted():
+            raise ValueError("CCD requires sorted CSR (main.cpp:1245)")
+        solver = CCDSolver(model, params, data.train_mat, inval_u, inval_i)
+    elif m in ("ccd++", "ccdpp"):
+        solver = CCDPPSolver(model, params, data.train_mat, inval_u,
+                             inval_i)
+    elif m == "ccd++freqadap":
+        solver = CCDPPSolver(model, params, data.train_mat, inval_u,
+                             inval_i, freq_adaptive=True,
+                             item_freq=item_freq)
+    else:
+        raise ValueError(f"unknown mf_method {mf_method!r}; "
+                         f"one of {_SOLVERS}")
+
+    ev = Evaluator(data, inval_u, inval_i, params)
+    state = init_state_override or init_state(params, data.n_users,
+                                              data.n_items)
+    loop = TrainLoop(model, solver, ev, params, prefix=prefix,
+                     invalid_users=inval_u, invalid_items=inval_i,
+                     log_fn=log_fn)
+    report = loop.run(state)
+    return report, model, ev, (inval_u, inval_i)

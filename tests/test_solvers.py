@@ -1,0 +1,181 @@
+"""Solver convergence tests on synthetic low-rank data.
+
+Mirrors the reference's own validation methodology (SURVEY.md §4):
+synthetic ground-truth recovery via genLatFacs-style factors — train
+RMSE/val RMSE must approach the injected noise floor.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.synthetic import synthetic_data
+from matfac_tpu.eval.metrics import Evaluator
+from matfac_tpu.models.base import ModelMF, init_state
+from matfac_tpu.solvers.als import ALSSolver
+from matfac_tpu.solvers.ccd import CCDPPSolver, CCDSolver
+from matfac_tpu.solvers.sgd import SGDSolver
+from matfac_tpu.utils import freq
+
+NOISE = 0.05
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data, uf, vf = synthetic_data(n_users=150, n_items=100, k=4,
+                                  density=0.3, seed=9, noise=NOISE)
+    params = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, learn_rate=0.02,
+                    seed=5, batch_size=1024)
+    inval_u, inval_i = freq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    ev = Evaluator(data, inval_u, inval_i, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    return data, params, ev, model, inval_u, inval_i
+
+
+def run_epochs(solver, model, params, ev, n, lr=None, state=None, seed=0):
+    if state is None:
+        state = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(seed)
+    lr = lr if lr is not None else params.learn_rate
+    for i in range(n):
+        key, k = jax.random.split(key)
+        state = solver.epoch(state, lr, k)
+    return state
+
+
+def test_sgd_recovers_low_rank(setup):
+    data, params, ev, model, iu, ii = setup
+    solver = SGDSolver(model, params, data.train_mat, iu, ii,
+                       batch_size=512)
+    state = run_epochs(solver, model, params, ev, 60)
+    val = ev.rmse(model.eval_view(state), "val")
+    test = ev.rmse(model.eval_view(state), "test")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+    assert test < 3 * NOISE + 0.05, f"test RMSE {test}"
+
+
+def test_sgd_objective_decreases(setup):
+    data, params, ev, model, iu, ii = setup
+    solver = SGDSolver(model, params, data.train_mat, iu, ii,
+                       batch_size=512)
+    state = init_state(params, model.n_users, model.n_items)
+    obj0 = ev.objective(model.eval_view(state), state)
+    state = run_epochs(solver, model, params, ev, 5, state=state)
+    obj1 = ev.objective(model.eval_view(state), state)
+    assert obj1 < obj0
+
+
+@pytest.fixture(scope="module")
+def setup_pos():
+    """Positive-rating bundle — the regime ALS's rating>0 gate assumes."""
+    data, uf, vf = synthetic_data(n_users=150, n_items=100, k=4,
+                                  density=0.3, seed=11, noise=NOISE,
+                                  nonneg=True)
+    params = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, seed=5)
+    inval_u, inval_i = freq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    ev = Evaluator(data, inval_u, inval_i, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    return data, params, ev, model, inval_u, inval_i
+
+
+def test_als_recovers_low_rank(setup_pos):
+    data, params, ev, model, iu, ii = setup_pos
+    solver = ALSSolver(model, params, data.train_mat, iu, ii)
+    state = run_epochs(solver, model, params, ev, 10)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+
+
+def test_als_matches_naive_single_sweep(setup):
+    """One ALS user-pass must equal the closed-form per-user solve
+    (modelMF.cpp:806-841 semantics, incl. the rating>0 gate)."""
+    data, params, ev, model, iu, ii = setup
+    solver = ALSSolver(model, params, data.train_mat, iu, ii)
+    state = init_state(params, model.n_users, model.n_items)
+    U0 = np.asarray(state.u_fac, np.float64)
+    V0 = np.asarray(state.i_fac, np.float64)
+    new_state = solver.epoch(state, 0.0, None)
+    U1 = np.asarray(new_state.u_fac)
+
+    k = params.fac_dim
+    for u in range(0, data.n_users, 17):
+        if iu[u]:
+            continue
+        cols, vals = data.train_mat.row(u)
+        yty = np.zeros((k, k))
+        b = np.zeros(k)
+        for c, r in zip(cols, vals):
+            if r > 0:
+                yty += np.outer(V0[c], V0[c])
+                b += r * V0[c]
+        yty += params.u_reg * np.eye(k)
+        expect = np.linalg.solve(yty, b)
+        got = U1[u]
+        if not np.allclose(got, expect, rtol=2e-3, atol=2e-4):
+            raise AssertionError(f"user {u}: {got} vs {expect}")
+
+
+@pytest.fixture(scope="module")
+def setup_reg(setup):
+    """CCD solves exactly each sweep; tiny reg overfits this small sparse
+    problem immediately, so CCD tests use a properly regularized config."""
+    data, _, _, _, iu, ii = setup
+    params = Params(fac_dim=4, u_reg=0.05, i_reg=0.05, seed=5)
+    ev = Evaluator(data, iu, ii, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    return data, params, ev, model, iu, ii
+
+
+def test_ccdpp_recovers_low_rank(setup_reg):
+    data, params, ev, model, iu, ii = setup_reg
+    solver = CCDPPSolver(model, params, data.train_mat, iu, ii)
+    state = run_epochs(solver, model, params, ev, 15)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+
+
+def test_ccdpp_residual_consistency(setup):
+    """After an epoch, carried residual must equal r - <u,v> on every
+    observed entry (the invariant the reference maintains in two CSR
+    views, modelMF.cpp:1094-1116)."""
+    data, params, ev, model, iu, ii = setup
+    solver = CCDPPSolver(model, params, data.train_mat, iu, ii)
+    state = init_state(params, model.n_users, model.n_items)
+    state = run_epochs(solver, model, params, ev, 2, state=state)
+    res = np.asarray(solver.res)
+    rows = np.asarray(solver.rows)
+    cols = np.asarray(solver.cols)
+    vals = np.asarray(solver.vals)
+    U = np.asarray(state.u_fac)
+    V = np.asarray(state.i_fac)
+    expect = vals - np.einsum("ek,ek->e", U[rows], V[cols])
+    np.testing.assert_allclose(res, expect, atol=5e-4)
+
+
+def test_ccd_recovers_low_rank(setup_reg):
+    data, params, ev, model, iu, ii = setup_reg
+    solver = CCDSolver(model, params, data.train_mat, iu, ii)
+    state = run_epochs(solver, model, params, ev, 60)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 4 * NOISE, f"val RMSE {val}"
+
+
+def test_ccdpp_freq_adaptive_truncates(setup):
+    data, params, ev, model, iu, ii = setup
+    item_freq = np.resize(data.train_mat.col_degrees().astype(np.float64),
+                          data.n_items)
+    thresh = float(np.median(item_freq))
+    solver = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                         freq_adaptive=True, freq_thresh=thresh,
+                         item_freq=item_freq)
+    state = run_epochs(solver, model, params, ev, 3)
+    V = np.asarray(state.i_fac)
+    rare = (item_freq < thresh) & ~ii
+    assert rare.any()
+    # rare items: dims 1.. must be zero
+    np.testing.assert_allclose(V[rare, 1:], 0.0, atol=1e-7)
+    assert np.abs(V[rare, 0]).max() > 0

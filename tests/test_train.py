@@ -1,0 +1,215 @@
+"""Training-loop state machine + checkpoint tests.
+
+The termination logic (model.cpp:1471-1540) is exercised with scripted
+stub solvers/evaluators so every branch is hit deterministically:
+best-snapshot, LR halving at 100 stagnant epochs, 500-epoch give-up,
+NaN rollback, |dObj| < EPS convergence.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.synthetic import synthetic_data
+from matfac_tpu.models.base import MFState, ModelMF, init_state
+from matfac_tpu.train import checkpoint as ckpt
+from matfac_tpu.train.loop import TrainLoop, train_model
+
+
+class StubModel:
+    use_bias = False
+    use_factors = True
+    n_users = 4
+    n_items = 3
+
+    def eval_view(self, state):
+        return state
+
+    def example_weight(self, rows, cols):
+        return jnp.ones(rows.shape)
+
+
+class StubSolver:
+    """Each epoch increments a counter in u_fac[0,0]."""
+
+    def __init__(self, nan_at=None):
+        self.nan_at = nan_at
+        self.calls = 0
+
+    def epoch(self, state, lr, key):
+        self.calls += 1
+        return state._replace(u_fac=state.u_fac + 1.0)
+
+
+class StubEvaluator:
+    """Scripted objective / val-RMSE sequences, keyed by epoch count."""
+
+    def __init__(self, objs, vals):
+        self.objs = objs
+        self.vals = vals
+        self.i = -1
+
+        class _C:
+            rows = jnp.zeros(1, jnp.int32)
+            cols = jnp.zeros(1, jnp.int32)
+        self.train_coo = _C()
+
+    def objective(self, view, state, weights=None):
+        self.i += 1
+        return self.objs[min(self.i, len(self.objs) - 1)]
+
+    def rmse(self, view, which):
+        if which == "val":
+            return self.vals[min(max(self.i, 0), len(self.vals) - 1)]
+        return 0.0
+
+
+def dummy_state():
+    z = jnp.zeros((4, 3))
+    return MFState(z, z, jnp.zeros(4), jnp.zeros(3), jnp.zeros(()))
+
+
+def make_loop(objs, vals, **params_kw):
+    p = Params(max_iter=params_kw.pop("max_iter", 20), learn_rate=0.1,
+               **params_kw)
+    ev = StubEvaluator(objs, vals)
+    solver = StubSolver()
+    loop = TrainLoop(StubModel(), solver, ev, p, log_fn=lambda s: None)
+    return loop, solver, ev
+
+
+def test_converges_on_small_obj_delta():
+    # objs: initial, then e0, e1 (delta < eps at e1)
+    objs = [100.0, 50.0, 50.0 + 1e-7]
+    vals = [1.0, 0.9, 0.8]
+    loop, solver, _ = make_loop(objs, vals)
+    rep = loop.run(dummy_state())
+    assert rep.stop_reason == "converged"
+    assert solver.calls == 2
+
+
+def test_best_snapshot_tracks_val():
+    # val improves at e0, worsens after; best snapshot is e0's state
+    objs = [100.0] + [90.0 - i for i in range(10)]
+    vals = [1.0, 0.5, 0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3, 1.4, 1.5]
+    loop, solver, _ = make_loop(objs, vals, max_iter=5)
+    rep = loop.run(dummy_state())
+    assert rep.best_iter == 0
+    assert rep.best_val_rmse == 0.5
+    # epoch 0 ran once before the first objective check
+    assert float(rep.best_state.u_fac[0, 0]) == 1.0
+    assert float(rep.state.u_fac[0, 0]) == 5.0
+
+
+def test_lr_halves_after_100_stagnant():
+    objs = [100.0] + [90.0 - 0.1 * i for i in range(200)]
+    vals = [0.5] + [0.9] * 200   # never improves on the initial 0.5...
+    loop, solver, _ = make_loop(objs, vals, max_iter=150)
+    rep = loop.run(dummy_state())
+    # bestIter stays -1; halving kicks in at iter >= 99 (99 - -1 = 100)
+    lrs = [h.lr for h in rep.history]
+    assert lrs[98] == pytest.approx(0.1)
+    assert lrs[99] == pytest.approx(0.05)
+    assert lrs[100] == pytest.approx(0.025)
+
+
+def test_chance_iter_gives_up():
+    objs = [100.0] + [90.0 - 0.1 * i for i in range(600)]
+    vals = [0.5] + [0.9] * 600
+    loop, solver, _ = make_loop(objs, vals, max_iter=600)
+    rep = loop.run(dummy_state())
+    assert rep.stop_reason == "not_converged_chance_iter"
+    assert solver.calls == 500  # iter 499: 499 - (-1) = 500 = CHANCE_ITER
+
+
+def test_nan_rollback_restores_best_and_halves_lr():
+    objs = [100.0, 90.0, float("nan"), 80.0, 70.0]
+    vals = [1.0, 0.5, 0.6, 0.6, 0.6]
+    loop, solver, _ = make_loop(objs, vals, max_iter=4)
+    rep = loop.run(dummy_state())
+    lrs = [h.lr for h in rep.history]
+    # after NaN at check 2 (epoch 1): state restored to best (epoch 0)
+    assert lrs[-1] == pytest.approx(0.05)
+    assert rep.stop_reason == "max_iter"
+    # rollback happened: epoch counter in state restarts from best state
+    # best was epoch0 (u=1), then epochs 2,3 ran on restored state
+    assert float(rep.state.u_fac[0, 0]) == 3.0
+
+
+def test_checkpoint_text_roundtrip(tmp_path):
+    p = Params(fac_dim=3, u_reg=0.01, i_reg=0.02, learn_rate=0.005)
+    state = init_state(p, 6, 5)
+    sig = ckpt.model_signature(p, 6, 5)
+    assert sig == "6X5_3_0.01_0.02_0.005"
+    prefix = str(tmp_path / "m")
+    ckpt.save_facs(state, prefix, sig)
+    blank = init_state(p, 6, 5, seed=99)
+    back = ckpt.load_facs(blank, prefix, sig)
+    np.testing.assert_allclose(back.u_fac, state.u_fac, rtol=1e-5)
+    np.testing.assert_allclose(back.i_fac, state.i_fac, rtol=1e-5)
+    assert ckpt.load_facs(blank, prefix + "nope", sig) is None
+
+
+def test_checkpoint_invalid_roundtrip(tmp_path):
+    prefix = str(tmp_path / "m")
+    iu = np.array([True, False, True, False])
+    ii = np.array([False, False, True])
+    ckpt.save_invalid(prefix, iu, ii)
+    iu2, ii2 = ckpt.load_invalid(prefix, 4, 3)
+    np.testing.assert_array_equal(iu, iu2)
+    np.testing.assert_array_equal(ii, ii2)
+
+
+def test_checkpoint_state_roundtrip(tmp_path):
+    p = Params(fac_dim=2)
+    state = init_state(p, 3, 4)
+    path = str(tmp_path / "st.npz")
+    ckpt.save_state(path, state, epoch=np.int64(7), lr=np.float64(0.01))
+    back, extra = ckpt.load_state(path)
+    np.testing.assert_allclose(back.u_fac, state.u_fac)
+    assert extra["epoch"] == 7
+    assert extra["lr"] == 0.01
+
+
+# ----------------------------------------------------------------------
+# end-to-end: train_model front door
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("mf_method", ["sgd", "als", "ccd++"])
+def test_train_model_end_to_end(mf_method, tmp_path):
+    data, _, _ = synthetic_data(n_users=100, n_items=80, k=3,
+                                density=0.3, seed=3, noise=0.05,
+                                nonneg=True)
+    p = Params(fac_dim=3, u_reg=0.05, i_reg=0.05, learn_rate=0.05,
+               max_iter=40, seed=1, batch_size=256, disp_iter=1000)
+    rep, model, ev, (iu, ii) = train_model(
+        data, p, algo="mf", mf_method=mf_method,
+        log_fn=lambda s: None, prefix=str(tmp_path / "m"))
+    best_val = rep.best_val_rmse
+    assert best_val < 0.5, f"{mf_method}: val {best_val}"
+    # checkpoint files exist
+    sig = ckpt.model_signature(p, data.n_users, data.n_items)
+    up, ip = ckpt.fac_paths(str(tmp_path / "m"), sig)
+    assert os.path.exists(up) and os.path.exists(ip)
+
+
+def test_train_model_longtail_models():
+    data, _, _ = synthetic_data(n_users=80, n_items=60, k=3,
+                                density=0.3, seed=4, noise=0.05,
+                                power_law=0.8, nonneg=True)
+    for algo in ["IFWMF", "TMF", "TMFDropout", "mf_bias"]:
+        p = Params(fac_dim=3, u_reg=0.01, i_reg=0.01, learn_rate=0.02,
+                   max_iter=8, seed=1, rho_rms=1.0, alpha=0.0,
+                   disp_iter=1000)
+        rep, model, ev, _ = train_model(data, p, algo=algo,
+                                        mf_method="sgd",
+                                        log_fn=lambda s: None)
+        assert np.isfinite(rep.best_val_rmse), algo
+        # training improved on the init model
+        init_val = ev.rmse(model.eval_view(
+            init_state(p, data.n_users, data.n_items)), "val")
+        assert rep.best_val_rmse < init_val, algo
