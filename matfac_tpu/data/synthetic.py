@@ -89,18 +89,34 @@ def synthetic_data(n_users: int = 200, n_items: int = 150, k: int = 5,
 
 
 def leave_one_out_data(n_users: int = 100, n_items: int = 80, k: int = 5,
-                       per_user: int = 12, seed: int = 3
+                       per_user: int = 12, seed: int = 3,
+                       structured: bool = False, temp: float = 0.3
                        ) -> Data:
     """Implicit-feedback bundle for BPR/HR tests: each user gets
     ``per_user`` positive items; one held out to test, one to val
-    (the leave-one-out protocol hitRate expects, model.cpp:1158-1211)."""
+    (the leave-one-out protocol hitRate expects, model.cpp:1158-1211).
+
+    ``structured=True`` draws each user's positives from a softmax over a
+    latent low-rank preference model instead of uniformly — the regime
+    where pairwise ranking actually has signal to recover."""
     rng = np.random.default_rng(seed)
+    prefs = None
+    if structured:
+        uf = rng.standard_normal((n_users, k))
+        vf = rng.standard_normal((n_items, k))
+        prefs = uf @ vf.T
     rows_tr, cols_tr = [], []
     rows_te, cols_te = [], []
     rows_va, cols_va = [], []
     for u in range(n_users):
-        items = rng.choice(n_items, size=min(per_user, n_items),
-                           replace=False)
+        if prefs is None:
+            items = rng.choice(n_items, size=min(per_user, n_items),
+                               replace=False)
+        else:
+            p = np.exp(prefs[u] / temp - prefs[u].max() / temp)
+            p /= p.sum()
+            items = rng.choice(n_items, size=min(per_user, n_items),
+                               replace=False, p=p)
         rows_te.append(u)
         cols_te.append(items[0])
         rows_va.append(u)

@@ -1,0 +1,188 @@
+"""BPR pairwise-ranking SGD with device-side gap negative sampling.
+
+TPU-native analog of ModelMFBPR::train / trainHog
+(modelMFBPR.cpp:245-722). Positives are train entries with rating > 0
+(getBPRUIRatings, modelMFBPR.cpp:46-58). Negative sampling replicates
+the reference's CSR gap trick (sampleNegItem, modelMFBPR.cpp:191-242)
+with flat-array gathers:
+
+  try: jj ~ U[0, deg_u); if rowval[jj]==0 accept that explicit zero;
+  else j ~ U[gap between rated item jj and the next rated item), accept
+  if j is a train item (>=1 rating). Up to `n_tries` tries; failures
+  drop the example (weight 0).
+
+The pairwise update (modelMFBPR.cpp:501-521):
+
+  r_uij = <p_u, q_p> - <p_u, q_n>;  c = -1 / (1 + exp(r_uij))
+  p_u  -= lr (c (q_p - q_n) + 2 uReg p_u)
+  q_p  -= lr (c p_u + 2 iReg q_p)
+  q_n  -= lr (-c p_u + 2 iReg q_n)
+
+applied batched with scatter-add; the BPRxPoisson hybrid masks dims via
+model.triple_rank_mask. LR decays x0.9 per epoch in the caller
+(modelMFBPR.cpp:533).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.config import Params
+from matfac_tpu.models.base import MFState
+
+
+class BPRSolver:
+    def __init__(self, model, params: Params, train_mat,
+                 invalid_users: np.ndarray, invalid_items: np.ndarray,
+                 batch_size: Optional[int] = None, n_tries: int = 16):
+        self.model = model
+        self.params = params
+        self.n_tries = n_tries
+        bs = batch_size or params.batch_size
+
+        # positives: rating > 0, valid entities
+        r, c, v = train_mat.to_coo()
+        keep = (v > 0) & ~invalid_users[r] & ~invalid_items[c]
+        pr, pc = r[keep], c[keep]
+        n = len(pr)
+        n_pad = (-n) % bs if n else bs
+        self.pos_u = jnp.asarray(np.concatenate(
+            [pr, np.zeros(n_pad, np.int32)]).astype(np.int32))
+        self.pos_i = jnp.asarray(np.concatenate(
+            [pc, np.zeros(n_pad, np.int32)]).astype(np.int32))
+        self.pos_valid = jnp.asarray(np.concatenate(
+            [np.ones(n, np.float32), np.zeros(n_pad, np.float32)]))
+        self.n_pos = n
+        self.batch_size = bs
+        self.n_batches = len(self.pos_u) // bs
+
+        # flat CSR of the full train row (incl. explicit zeros) for gap
+        # sampling; rows sorted by construction (RatingMatrix.from_coo)
+        self.csr_indptr = jnp.asarray(train_mat.indptr.astype(np.int32))
+        self.csr_cols = jnp.asarray(train_mat.indices.astype(np.int32))
+        self.csr_vals = jnp.asarray(train_mat.values.astype(np.float32))
+        # items with >= 1 train rating (trainItems set, :442-448)
+        ti = np.zeros(model.n_items, bool)
+        deg_i = train_mat.col_degrees()
+        ti[: len(deg_i)] = deg_i > 0
+        self.train_items = jnp.asarray(ti)
+        self.n_items = int(model.n_items)
+        self._epoch = self._build_epoch()
+        self.last_loss = jnp.zeros(())
+        self.last_inversions = jnp.zeros((), jnp.int32)
+
+    # ------------------------------------------------------------------
+    def _sample_negatives(self, key, u):
+        """Vectorized gap sampling for a batch of users. Returns
+        (neg_idx[B], ok[B])."""
+        B = u.shape[0]
+        start = self.csr_indptr[u]
+        deg = self.csr_indptr[u + 1] - start
+        deg = jnp.maximum(deg, 1)
+
+        def one_try(carry, k_t):
+            neg, ok = carry
+            k1, k2 = jax.random.split(k_t)
+            jj = jax.random.randint(k1, (B,), 0, deg)
+            pos = start + jj
+            item_jj = self.csr_cols[pos]
+            val_jj = self.csr_vals[pos]
+            # explicit zero at sampled position -> direct accept
+            explicit = val_jj == 0.0
+            # gap bounds (modelMFBPR.cpp:211-222)
+            lo = jnp.where(jj == 0, 0, item_jj + 1)
+            next_item = self.csr_cols[jnp.minimum(pos + 1,
+                                                  self.csr_indptr[u + 1] - 1)]
+            # branch precedence matches :211-222 — jj==0 before jj==deg-1,
+            # so a single-rating user samples from [0, first rated item)
+            hi = jnp.where(jj == 0, item_jj,
+                           jnp.where(jj == deg - 1, self.n_items,
+                                     next_item))
+            span = jnp.maximum(hi - lo, 1)
+            j = lo + jax.random.randint(k2, (B,), 0, 2 ** 30) % span
+            valid_gap = (hi - lo > 0) & self.train_items[
+                jnp.clip(j, 0, self.n_items - 1)]
+            cand = jnp.where(explicit, item_jj, j)
+            cand_ok = explicit | valid_gap
+            take = cand_ok & ~ok
+            neg = jnp.where(take, cand, neg)
+            ok = ok | cand_ok
+            return (neg, ok), None
+
+        keys = jax.random.split(key, self.n_tries)
+        (neg, ok), _ = jax.lax.scan(
+            one_try, (jnp.zeros(B, jnp.int32), jnp.zeros(B, bool)), keys)
+        return neg, ok
+
+    # ------------------------------------------------------------------
+    def _build_epoch(self):
+        model = self.model
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        n_batches = self.n_batches
+        B = self.batch_size
+        eps = float(self.params.eps)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def epoch(state: MFState, lr, key):
+            perm_key, key = jax.random.split(key)
+            perm = jax.random.permutation(
+                perm_key, self.pos_u.shape[0]).reshape(n_batches, B)
+
+            def step(carry, xs):
+                st, loss, inv = carry
+                idx, k_b = xs
+                k_neg, k_mask = jax.random.split(k_b)
+                u = self.pos_u[idx]
+                p = self.pos_i[idx]
+                v = self.pos_valid[idx]
+                neg, ok = self._sample_negatives(k_neg, u)
+                w = v * ok.astype(jnp.float32)
+                m = model.triple_rank_mask(k_mask, u, p, neg)
+                pu = st.u_fac[u]
+                qp = st.i_fac[p]
+                qn = st.i_fac[neg]
+                if m is None:
+                    r_ui = jnp.einsum("ek,ek->e", pu, qp,
+                                      preferred_element_type=jnp.float32)
+                    r_uj = jnp.einsum("ek,ek->e", pu, qn,
+                                      preferred_element_type=jnp.float32)
+                else:
+                    r_ui = jnp.einsum("ek,ek->e", pu * m, qp,
+                                      preferred_element_type=jnp.float32)
+                    r_uj = jnp.einsum("ek,ek->e", pu * m, qn,
+                                      preferred_element_type=jnp.float32)
+                r_uij = r_ui - r_uj
+                inv = inv + jnp.sum((r_uj - r_ui > eps) & (w > 0)
+                                    ).astype(jnp.int32)
+                loss = loss + jnp.sum(w * jnp.log1p(jnp.exp(-r_uij)))
+                coeff = w * (-1.0 / (1.0 + jnp.exp(r_uij)))
+                gu = coeff[:, None] * (qp - qn) \
+                    + 2.0 * u_reg * w[:, None] * pu
+                gp = coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qp
+                gn = -coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qn
+                if m is not None:
+                    gu, gp, gn = gu * m, gp * m, gn * m
+                st = st._replace(
+                    u_fac=st.u_fac.at[u].add(-lr * gu),
+                    i_fac=st.i_fac.at[p].add(-lr * gp
+                                             ).at[neg].add(-lr * gn))
+                return (st, loss, inv), None
+
+            keys = jax.random.split(key, n_batches)
+            (state, loss, inv), _ = jax.lax.scan(
+                step, (state, jnp.zeros(()), jnp.zeros((), jnp.int32)),
+                (perm, keys))
+            return state, loss, inv
+
+        return epoch
+
+    def epoch(self, state: MFState, lr: float, key) -> MFState:
+        state, self.last_loss, self.last_inversions = self._epoch(
+            state, jnp.float32(lr), key)
+        return state

@@ -48,7 +48,7 @@ class EpochLog:
 class TrainReport:
     state: MFState               # final running state
     best_state: MFState          # best-on-validation snapshot
-    best_val_rmse: float
+    best_metric: float   # val RMSE (pointwise loops) or val HR@10 (ranking loops)
     best_iter: int
     stop_reason: str
     history: List[EpochLog]
@@ -162,6 +162,76 @@ class TrainLoop:
                            history)
 
 
+class TrainLoopHR:
+    """Ranking-model training loop — model selection on validation HR@10.
+
+    Semantics of Model::isTerminateModelHR (model.cpp:1335-1377) wrapped
+    around ModelMFBPR::train's epoch structure (modelMFBPR.cpp:469-554):
+    lr decays x0.9 every epoch, best snapshot on HR improvement, halving
+    at 100 stagnant epochs, CHANCE_ITER give-up, non-finite-loss abort.
+    """
+
+    def __init__(self, model, solver, scorer, val_mat, params: Params,
+                 log_fn: Callable[[str], None] = print):
+        self.model = model
+        self.solver = solver
+        self.scorer = scorer
+        self.val_mat = val_mat
+        self.params = params
+        self.log_fn = log_fn
+
+    def run(self, state: MFState, seed: Optional[int] = None) -> TrainReport:
+        p = self.params
+        lr = p.learn_rate
+        key = jax.random.PRNGKey(p.seed if seed is None else seed)
+        snapshot = lambda st: jax.tree_util.tree_map(jnp.copy, st)
+
+        best_state = snapshot(state)
+        best_hr = self.scorer.hit_rate(
+            self.model.eval_view(state), self.val_mat, 10)
+        best_iter = -1
+        history: List[EpochLog] = []
+        stop = "max_iter"
+
+        for it in range(p.max_iter):
+            key, ek = jax.random.split(key)
+            t0 = time.time()
+            state = self.solver.epoch(state, lr, ek)
+            jax.block_until_ready(state)
+            dt = time.time() - t0
+            loss = float(self.solver.last_loss)
+            if not np.isfinite(loss):
+                # reference exits hard (modelMFBPR.cpp:527-530)
+                self.log_fn(f"epoch {it}: non-finite BPR loss {loss} — "
+                            "stopping (decrease learn rate)")
+                stop = "nonfinite_loss"
+                break
+            lr *= 0.9  # modelMFBPR.cpp:533
+
+            if it % p.obj_iter == 0 or it == p.max_iter - 1:
+                hr = self.scorer.hit_rate(
+                    self.model.eval_view(state), self.val_mat, 10)
+                if hr > best_hr:
+                    best_state = snapshot(state)
+                    best_hr = hr
+                    best_iter = it
+                if it - best_iter >= 100 and lr > 1e-5:
+                    lr /= 2
+                if it - best_iter >= p.chance_iter:
+                    stop = "not_converged_chance_iter"
+                    break
+                history.append(EpochLog(it, loss, hr, float("nan"), lr, dt))
+                if it % p.disp_iter == 0:
+                    self.log_fn(
+                        f"epoch {it}: HR {hr:.4f} best {best_hr:.4f} "
+                        f"loss {loss:.4e} inversions "
+                        f"{int(self.solver.last_inversions)} "
+                        f"lr {lr:g} {dt*1000:.1f}ms")
+
+        return TrainReport(state, best_state, best_hr, best_iter, stop,
+                           history)
+
+
 # ----------------------------------------------------------------------
 # one-call front door
 # ----------------------------------------------------------------------
@@ -183,10 +253,12 @@ def train_model(data, params: Params, algo: str = "mf",
     Returns (report, model, evaluator, invalid masks).
     """
     from matfac_tpu.models.base import ModelMF, ModelMFBias, init_state
+    from matfac_tpu.models.bpr import ModelBPRPoissonDropout, ModelMFBPR
     from matfac_tpu.models.longtail import (ModelDropoutSigmoid,
                                             ModelInvPopMF,
                                             ModelPoissonDropout)
     from matfac_tpu.solvers.als import ALSSolver
+    from matfac_tpu.solvers.bpr import BPRSolver
     from matfac_tpu.solvers.ccd import CCDPPSolver, CCDSolver
     from matfac_tpu.solvers.sgd import SGDSolver
     from matfac_tpu.utils import freq as ufreq
@@ -197,10 +269,16 @@ def train_model(data, params: Params, algo: str = "mf",
     user_freq = np.resize(user_freq, data.n_users)
     item_freq = np.resize(item_freq, data.n_items)
 
+    a = algo.lower()
+    if a in ("bpr", "bprpoissondropout", "bpr_poisson"):
+        return _train_ranking(data, params, a, mf_method, log_fn,
+                              init_state_override, inval_u, inval_i,
+                              user_freq, item_freq)
+
     models = {"mf": ModelMF, "mf_bias": ModelMFBias,
               "ifwmf": ModelInvPopMF, "tmf": ModelDropoutSigmoid,
               "tmfdropout": ModelPoissonDropout}
-    cls = models[algo.lower()]
+    cls = models[a]
     model = cls(params, data.n_users, data.n_items,
                 user_freq=user_freq, item_freq=item_freq,
                 invalid_users=inval_u, invalid_items=inval_i) \
@@ -238,3 +316,43 @@ def train_model(data, params: Params, algo: str = "mf",
                      log_fn=log_fn)
     report = loop.run(state)
     return report, model, ev, (inval_u, inval_i)
+
+
+def _train_ranking(data, params, algo, mf_method, log_fn,
+                   init_state_override, inval_u, inval_i,
+                   user_freq, item_freq):
+    """BPR family (main dispatch has no BPR hook in the reference — it's
+    reached by editing dispatch, SURVEY.md §3.4 — here it's first-class).
+    mf_method: 'train' (sequential analog) and 'hog' both map to the
+    minibatched pairwise engine; sigmoid variant = deterministic rank."""
+    from matfac_tpu.eval.ranking import CatalogScorer
+    from matfac_tpu.models.base import init_state
+    from matfac_tpu.models.bpr import ModelBPRPoissonDropout, ModelMFBPR
+    from matfac_tpu.solvers.bpr import BPRSolver
+
+    if algo == "bpr":
+        model = ModelMFBPR(params, data.n_users, data.n_items)
+    else:
+        model = ModelBPRPoissonDropout(
+            params, data.n_users, data.n_items, user_freq, item_freq,
+            sample_poisson=(mf_method != "sigmoid"))
+    solver = BPRSolver(model, params, data.train_mat, inval_u, inval_i,
+                       n_tries=params.n_negatives)
+    scorer = CatalogScorer(data.train_mat, inval_u, inval_i,
+                           data.n_users, data.n_items,
+                           user_block=min(params.eval_user_block,
+                                          _round_up_pow2(data.n_users)),
+                           item_block=params.eval_item_block)
+    state = init_state_override or init_state(params, data.n_users,
+                                              data.n_items)
+    loop = TrainLoopHR(model, solver, scorer, data.val_mat, params,
+                       log_fn=log_fn)
+    report = loop.run(state)
+    return report, model, scorer, (inval_u, inval_i)
+
+
+def _round_up_pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p

@@ -1,0 +1,90 @@
+"""BPR solver + model tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.synthetic import leave_one_out_data
+from matfac_tpu.models.bpr import ModelBPRPoissonDropout, ModelMFBPR
+from matfac_tpu.solvers.bpr import BPRSolver
+from matfac_tpu.train.loop import train_model
+from matfac_tpu.utils import freq
+
+
+@pytest.fixture(scope="module")
+def lo_data():
+    return leave_one_out_data(n_users=80, n_items=50, per_user=14, seed=6,
+                              structured=True)
+
+
+def test_negative_sampling_validity(lo_data):
+    data = lo_data
+    params = Params(fac_dim=4, seed=0, batch_size=128)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    model = ModelMFBPR(params, data.n_users, data.n_items)
+    solver = BPRSolver(model, params, data.train_mat, iu, ii,
+                       batch_size=128, n_tries=16)
+    u = solver.pos_u[:128]
+    neg, ok = jax.jit(solver._sample_negatives)(jax.random.PRNGKey(0), u)
+    neg = np.asarray(neg)
+    ok = np.asarray(ok)
+    u = np.asarray(u)
+    assert ok.mean() > 0.9  # dense-ish rows still leave many gaps
+    deg_i = data.train_mat.col_degrees()
+    for b in range(128):
+        if not ok[b]:
+            continue
+        rated = set(data.train_mat.row(u[b])[0])
+        assert neg[b] not in rated, f"sampled a rated item for user {u[b]}"
+        assert deg_i[neg[b]] > 0  # trainItems membership
+
+
+def test_bpr_training_improves_hr(lo_data):
+    data = lo_data
+    params = Params(fac_dim=8, u_reg=0.001, i_reg=0.001, learn_rate=0.3,
+                    max_iter=30, seed=2, batch_size=256, disp_iter=1000,
+                    eval_user_block=128, eval_item_block=128)
+    rep, model, scorer, _ = train_model(data, params, algo="bpr",
+                                        log_fn=lambda s: None)
+    # random HR@10 would be ~10/(50-12) ≈ 0.26; trained must beat it big
+    assert rep.best_metric > 0.55, f"best HR {rep.best_metric}"
+
+
+def test_bpr_poisson_masks_updates(lo_data):
+    data = lo_data
+    params = Params(fac_dim=8, rho_rms=1.0, alpha=0.5, seed=2)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    uf, itf = freq.row_col_freq(data.train_mat)
+    uf = np.resize(uf, data.n_users)
+    itf = np.resize(itf, data.n_items)
+    model = ModelBPRPoissonDropout(params, data.n_users, data.n_items,
+                                   uf, itf)
+    m = model.triple_rank_mask(jax.random.PRNGKey(0),
+                               jnp.arange(16), jnp.arange(16),
+                               jnp.arange(16, 32))
+    m = np.asarray(m)
+    assert m.shape == (16, 8)
+    # prefix masks: each row is 1s then 0s with at least one 1
+    for row in m:
+        ones = int(row.sum())
+        assert ones >= 1
+        np.testing.assert_array_equal(row[:ones], 1.0)
+        np.testing.assert_array_equal(row[ones:], 0.0)
+
+
+def test_bpr_poisson_end_to_end(lo_data):
+    data = lo_data
+    params = Params(fac_dim=8, u_reg=0.001, i_reg=0.001, learn_rate=0.3,
+                    max_iter=12, seed=2, batch_size=256, disp_iter=1000,
+                    rho_rms=1.0, alpha=0.0,
+                    eval_user_block=128, eval_item_block=128)
+    rep, model, scorer, _ = train_model(data, params,
+                                        algo="bprPoissonDropout",
+                                        log_fn=lambda s: None)
+    assert np.isfinite(rep.best_metric)
+    assert rep.best_metric > 0.3

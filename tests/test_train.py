@@ -99,7 +99,7 @@ def test_best_snapshot_tracks_val():
     loop, solver, _ = make_loop(objs, vals, max_iter=5)
     rep = loop.run(dummy_state())
     assert rep.best_iter == 0
-    assert rep.best_val_rmse == 0.5
+    assert rep.best_metric == 0.5
     # epoch 0 ran once before the first objective check
     assert float(rep.best_state.u_fac[0, 0]) == 1.0
     assert float(rep.state.u_fac[0, 0]) == 5.0
@@ -189,7 +189,7 @@ def test_train_model_end_to_end(mf_method, tmp_path):
     rep, model, ev, (iu, ii) = train_model(
         data, p, algo="mf", mf_method=mf_method,
         log_fn=lambda s: None, prefix=str(tmp_path / "m"))
-    best_val = rep.best_val_rmse
+    best_val = rep.best_metric
     assert best_val < 0.5, f"{mf_method}: val {best_val}"
     # checkpoint files exist
     sig = ckpt.model_signature(p, data.n_users, data.n_items)
@@ -208,8 +208,8 @@ def test_train_model_longtail_models():
         rep, model, ev, _ = train_model(data, p, algo=algo,
                                         mf_method="sgd",
                                         log_fn=lambda s: None)
-        assert np.isfinite(rep.best_val_rmse), algo
+        assert np.isfinite(rep.best_metric), algo
         # training improved on the init model
         init_val = ev.rmse(model.eval_view(
             init_state(p, data.n_users, data.n_items)), "val")
-        assert rep.best_val_rmse < init_val, algo
+        assert rep.best_metric < init_val, algo
