@@ -1,0 +1,99 @@
+"""Benchmark — prints ONE JSON line.
+
+Primary metric (BASELINE.md): SGD ratings/sec/chip on an ML-scale
+synthetic problem, with ALS ratings/sec/chip as a secondary in "extra".
+The reference publishes no numbers (SURVEY.md §6), so vs_baseline is
+measured against the recorded first-round value in BENCH_BASELINE
+(defaults to this round's own target, i.e. 1.0 on the first run).
+
+Env knobs:
+  BENCH_SCALE=small|full   (small = CPU smoke run)
+  BENCH_EPOCHS=N           timed epochs (default 3)
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+SMALL = os.environ.get("BENCH_SCALE", "full") == "small"
+TIMED_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
+
+# First-round measured SGD throughput on one TPU v5e chip — the number
+# later rounds are compared against (vs_baseline = value / this).
+BENCH_BASELINE = float(os.environ.get("BENCH_BASELINE", "0") or 0)
+
+
+def main():
+    import jax
+
+    from matfac_tpu.config import Params
+    from matfac_tpu.data.synthetic import low_rank_ratings
+    from matfac_tpu.models.base import ModelMF, init_state
+    from matfac_tpu.solvers.als import ALSSolver
+    from matfac_tpu.solvers.sgd import SGDSolver
+    from matfac_tpu.utils import freq
+
+    if SMALL:
+        n_users, n_items, k, density, bs = 2000, 1000, 16, 0.02, 8192
+    else:
+        n_users, n_items, k, density, bs = 100_000, 20_000, 64, 0.005, 65_536
+
+    mat, _, _ = low_rank_ratings(n_users, n_items, k=8, density=density,
+                                 seed=0, noise=0.1, power_law=0.6,
+                                 nonneg=True)
+    params = Params(fac_dim=k, u_reg=0.01, i_reg=0.01, learn_rate=0.005,
+                    seed=0, batch_size=bs)
+    inval_u, inval_i = freq.invalid_users_items(mat, n_users, n_items)
+    model = ModelMF(params, n_users, n_items)
+
+    import jax.numpy as jnp
+
+    def force(state):
+        # block_until_ready is NOT a reliable sync on the tunneled axon
+        # backend — force a device->host readback of a value that
+        # depends on the whole update chain
+        return float(jnp.sum(state.u_fac[0]) + jnp.sum(state.i_fac[0]))
+
+    def time_epochs(solver, n):
+        state = init_state(params, n_users, n_items)
+        key = jax.random.PRNGKey(0)
+        # warmup (compile)
+        key, k1 = jax.random.split(key)
+        state = solver.epoch(state, params.learn_rate, k1)
+        force(state)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            key, k1 = jax.random.split(key)
+            state = solver.epoch(state, params.learn_rate, k1)
+        force(state)
+        return (time.perf_counter() - t0) / n
+
+    sgd = SGDSolver(model, params, mat, inval_u, inval_i)
+    sgd_epoch_s = time_epochs(sgd, TIMED_EPOCHS)
+    sgd_rps = sgd.nnz / sgd_epoch_s
+
+    als = ALSSolver(model, params, mat, inval_u, inval_i)
+    als_epoch_s = time_epochs(als, TIMED_EPOCHS)
+    als_rps = mat.nnz / als_epoch_s
+
+    baseline = BENCH_BASELINE or sgd_rps
+    print(json.dumps({
+        "metric": "sgd_ratings_per_sec_per_chip",
+        "value": round(sgd_rps, 1),
+        "unit": "ratings/s/chip",
+        "vs_baseline": round(sgd_rps / baseline, 3),
+        "extra": {
+            "device": str(jax.devices()[0]),
+            "nnz": int(mat.nnz),
+            "fac_dim": k,
+            "sgd_epoch_s": round(sgd_epoch_s, 4),
+            "als_epoch_s": round(als_epoch_s, 4),
+            "als_ratings_per_sec": round(als_rps, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

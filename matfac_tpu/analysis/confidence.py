@@ -1,0 +1,116 @@
+"""Confidence estimation + calibration-curve analysis.
+
+TPU-native analog of /root/reference/confCompute.cpp: ensemble
+confidence = 1/std of predictions across trained models (confScore,
+confCompute.cpp:152-166); bucket curves sort (u, i) pairs by a
+confidence/PPR/GPR/frequency/optimal score, split into equal-count
+buckets, and report per-bucket RMSE against a ground-truth model
+(genRMSECurve :217, confBucketRMSEs family :1480-1860) or the
+(1-alpha)-quantile confidence-interval half-width (genConfidenceCurve
+:168-214). All scoring is batched device math over the pair list.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.eval.metrics import predict_pairs
+from matfac_tpu.models.base import EvalView
+
+
+def _pairs(rows, cols):
+    return (jnp.asarray(np.asarray(rows, np.int32)),
+            jnp.asarray(np.asarray(cols, np.int32)))
+
+
+def ensemble_conf_scores(views: Sequence[EvalView], rows, cols
+                         ) -> np.ndarray:
+    """confScore batched: 1/std of the ensemble's predictions per pair;
+    -1 where the std is exactly 0 (confCompute.cpp:152-166)."""
+    r, c = _pairs(rows, cols)
+    preds = np.stack([np.asarray(predict_pairs(v, r, c)) for v in views])
+    std = preds.std(axis=0)
+    return np.where(std != 0, 1.0 / np.where(std == 0, 1.0, std), -1.0)
+
+
+def rmse_curve(scores: np.ndarray, actual: np.ndarray,
+               predicted: np.ndarray, n_buckets: int) -> np.ndarray:
+    """genRMSECurve (confCompute.cpp:217-268): sort pairs by DESCENDING
+    score, split into n equal buckets, per-bucket RMSE."""
+    order = np.argsort(-scores, kind="stable")
+    d = (actual - predicted)[order]
+    n = len(d)
+    per = n // n_buckets
+    out = np.zeros(n_buckets)
+    for b in range(n_buckets):
+        s = b * per
+        e = n if b == n_buckets - 1 else min((b + 1) * per, n)
+        seg = d[s:e]
+        out[b] = np.sqrt((seg * seg).mean()) if len(seg) else np.nan
+    return out
+
+
+def confidence_curve(scores: np.ndarray, actual: np.ndarray,
+                     predicted: np.ndarray, n_buckets: int,
+                     alpha: float) -> np.ndarray:
+    """genConfidenceCurve (confCompute.cpp:168-214): per-bucket
+    half-width w s.t. (1 - alpha) of |actual - predicted| <= w."""
+    order = np.argsort(-scores, kind="stable")
+    w = np.abs(actual - predicted)[order]
+    n = len(w)
+    per = n // n_buckets
+    out = np.zeros(n_buckets)
+    for b in range(n_buckets):
+        s = b * per
+        e = n if b == n_buckets - 1 else min((b + 1) * per, n)
+        seg = np.sort(w[s:e])
+        ind = int((1.0 - alpha) * len(seg))
+        out[b] = seg[min(ind, len(seg) - 1)] if len(seg) else np.nan
+    return out
+
+
+def score_bucket_rmses(orig_view: EvalView, full_view: EvalView,
+                       rows, cols, scores: np.ndarray,
+                       n_buckets: int = 10) -> np.ndarray:
+    """The conf/ppr/gpr/freq BucketRMSEs family: per-bucket RMSE of the
+    trained model's predictions against the ground-truth model's, with
+    pairs ordered by ``scores`` descending."""
+    r, c = _pairs(rows, cols)
+    actual = np.asarray(predict_pairs(orig_view, r, c))
+    predicted = np.asarray(predict_pairs(full_view, r, c))
+    return rmse_curve(scores, actual, predicted, n_buckets)
+
+
+def per_user_bucket_rmses(orig_view: EvalView, full_view: EvalView,
+                          item_scores: np.ndarray, users: np.ndarray,
+                          item_mask: np.ndarray, n_buckets: int = 10
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """updateBucketsSorted semantics (confCompute.cpp:1358-1447): for
+    each user, rank candidate items by that user's score vector
+    descending, split into n_buckets, accumulate squared pred-vs-orig
+    error per bucket across users. Returns (bucket RMSEs, bucket nnz).
+
+    item_scores: [n_users_eval, n_items]; item_mask: [n_items] bool of
+    allowed items (valid, maybe unrated).
+    """
+    n_items = item_scores.shape[1]
+    cand = np.nonzero(item_mask)[0]
+    scores_sum = np.zeros(n_buckets)
+    nnz = np.zeros(n_buckets, np.int64)
+    for j, u in enumerate(users):
+        order = cand[np.argsort(-item_scores[j, cand], kind="stable")]
+        per = len(order) // n_buckets
+        r = jnp.full(len(order), int(u), jnp.int32)
+        c = jnp.asarray(order.astype(np.int32))
+        a = np.asarray(predict_pairs(orig_view, r, c))
+        p = np.asarray(predict_pairs(full_view, r, c))
+        d2 = (a - p) ** 2
+        for b in range(n_buckets):
+            s = b * per
+            e = len(order) if b == n_buckets - 1 else (b + 1) * per
+            scores_sum[b] += d2[s:e].sum()
+            nnz[b] += e - s
+    return np.sqrt(scores_sum / np.maximum(nnz, 1)), nnz

@@ -1,0 +1,143 @@
+"""Long-tail top-N recommendation evaluation.
+
+TPU-native analog of /root/reference/longTail.cpp topNRec
+(:279-502) and the topNRecTail* variants (:505-1382): sample up to 10k
+test users; for each of a user's test items sample 1000 unrated valid
+negatives; a "hit" = the test item ranks in the top-N of
+{test item} ∪ negatives under a scoring function. Recall is reported
+overall and split into head vs tail items (head = items covering
+``head_pc`` of train rating mass, getHeadItems util.cpp:4-34).
+
+Three scorers, as in the reference: the model's predicted rating, the
+PPR "local" rank score (item's descending-PPR rank index,
+longTail.cpp:356-365), and the frequency-weighted local score
+(rank/freq). The per-(user, item) candidate scoring runs as one batched
+gather-dot on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from matfac_tpu.data.csr import RatingMatrix
+from matfac_tpu.eval.metrics import predict_pairs
+from matfac_tpu.models.base import EvalView
+from matfac_tpu.utils import freq as ufreq
+
+
+@dataclasses.dataclass
+class TopNRecReport:
+    n_test_items: int
+    n_head_items: int
+    n_tail_items: int
+    recall: Dict[str, float]        # scorer -> overall recall
+    head_recall: Dict[str, float]
+    tail_recall: Dict[str, float]
+
+    def __str__(self):
+        lines = [f"nTestItems: {self.n_test_items} nHeadItems: "
+                 f"{self.n_head_items} nTailItems: {self.n_tail_items}"]
+        for k in self.recall:
+            lines.append(f"{k}: recall {self.recall[k]:.4f} head "
+                         f"{self.head_recall[k]:.4f} tail "
+                         f"{self.tail_recall[k]:.4f}")
+        return "\n".join(lines)
+
+
+def top_n_rec(view: EvalView, train_mat: RatingMatrix,
+              test_mat: RatingMatrix, invalid_users: np.ndarray,
+              invalid_items: np.ndarray, head_pc: float = 0.5,
+              n: int = 10, n_samp_users: int = 10_000,
+              n_negatives: int = 1000, seed: int = 1,
+              ppr_scores: Optional[np.ndarray] = None,
+              sampled_users: Optional[np.ndarray] = None
+              ) -> TopNRecReport:
+    """``ppr_scores``: optional [n_users_eval, n_items] per-user local
+    scores aligned with ``sampled_users`` (from ops.ppr.PPREngine
+    .user_ppr); enables the local / freq-weighted-local scorers."""
+    rng = np.random.default_rng(seed)
+    n_users, n_items = train_mat.nrows, train_mat.ncols
+    _, item_freq = ufreq.row_col_freq(train_mat)
+    head_mask = ufreq.head_items(train_mat, head_pc)
+
+    # eligible users: valid with >= 1 test rating (longTail.cpp:316-334)
+    deg_t = test_mat.row_degrees()
+    elig = np.nonzero(~invalid_users[:test_mat.nrows] & (deg_t > 0))[0]
+    if sampled_users is None:
+        if len(elig) > n_samp_users:
+            sampled_users = rng.choice(elig, n_samp_users, replace=False)
+        else:
+            sampled_users = elig
+    scorers = ["model"]
+    if ppr_scores is not None:
+        scorers += ["local", "local_wt"]
+        # rank-index scores: item sorted desc by PPR gets score n..1
+        # (longTail.cpp:356-365)
+        order = np.argsort(-ppr_scores, axis=1, kind="stable")
+        rank_scores = np.zeros_like(ppr_scores)
+        nn = ppr_scores.shape[1]
+        np.put_along_axis(rank_scores, order,
+                          (nn - np.arange(nn))[None, :].astype(
+                              ppr_scores.dtype), axis=1)
+        wt_scores = np.where(item_freq[None, :] > 0,
+                             rank_scores / np.maximum(item_freq[None, :], 1),
+                             0.0)
+
+    hits = {s: 0.0 for s in scorers}
+    head_hits = {s: 0.0 for s in scorers}
+    tail_hits = {s: 0.0 for s in scorers}
+    n_test = n_head = n_tail = 0
+    valid_items = ~invalid_items[:n_items]
+
+    for j, u in enumerate(sampled_users):
+        u = int(u)
+        rated = set(train_mat.row(u)[0])
+        test_items = test_mat.row(u)[0]
+        # candidate pool for sampling
+        for ti in test_items:
+            ti = int(ti)
+            is_head = bool(head_mask[ti])
+            n_test += 1
+            if is_head:
+                n_head += 1
+            else:
+                n_tail += 1
+            # sample unrated valid negatives != test item
+            negs = []
+            while len(negs) < n_negatives:
+                cand = rng.integers(0, n_items,
+                                    size=2 * (n_negatives - len(negs)))
+                ok = valid_items[cand] & (cand != ti)
+                cand = [x for x in cand[ok] if x not in rated]
+                negs.extend(cand)
+            negs = np.asarray(negs[:n_negatives])
+            pool = np.concatenate([[ti], negs])
+            # model score
+            r = jnp.full(len(pool), u, jnp.int32)
+            c = jnp.asarray(pool.astype(np.int32))
+            pred = np.asarray(predict_pairs(view, r, c))
+            for s in scorers:
+                if s == "model":
+                    sc = pred
+                elif s == "local":
+                    sc = rank_scores[j, pool]
+                else:
+                    sc = wt_scores[j, pool]
+                # hit if test item (index 0) in top-n of pool
+                rank_of_test = int((sc > sc[0]).sum())
+                if rank_of_test < n:
+                    hits[s] += 1
+                    if is_head:
+                        head_hits[s] += 1
+                    else:
+                        tail_hits[s] += 1
+
+    return TopNRecReport(
+        n_test, n_head, n_tail,
+        {s: hits[s] / max(n_test, 1) for s in scorers},
+        {s: head_hits[s] / max(n_head, 1) for s in scorers},
+        {s: tail_hits[s] / max(n_tail, 1) for s in scorers})

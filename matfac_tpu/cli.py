@@ -1,0 +1,133 @@
+"""Command-line driver — flag parity with the reference gflags CLI
+(/root/reference/main.cpp:26-73).
+
+Usage:
+  python -m matfac_tpu.cli --algo mf --mf_method sgd \
+      --trainmat train.csr --testmat test.csr --valmat val.csr \
+      --facdim 10 --maxiter 500 --ureg 0.01 --ireg 0.01 \
+      --learnrate 0.005 --seed 1 --prefix out/mf
+
+After training it reports final Train/Test/Val RMSE and the quartile
+breakdowns (main.cpp:1377-1413 equivalent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from matfac_tpu.config import Params
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="matfac_tpu",
+        description="TPU-native matrix factorization (reference-parity CLI)")
+    # names mirror main.cpp:26-46 gflags
+    ap.add_argument("--algo", default="mf",
+                    help="mf | mf_bias | IFWMF | TMF | TMFDropout | "
+                         "bpr | bprPoissonDropout")
+    ap.add_argument("--mf_method", default="sgd",
+                    help="sgd|sgdpar|sgdu|hogsgd|als|ccd|ccd++|ccd++freqadap")
+    ap.add_argument("--maxiter", type=int, default=1000)
+    ap.add_argument("--facdim", type=int, default=10)
+    ap.add_argument("--svdfacdim", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--ureg", type=float, default=0.01)
+    ap.add_argument("--ireg", type=float, default=0.01)
+    ap.add_argument("--learnrate", type=float, default=0.005)
+    ap.add_argument("--rhorms", type=float, default=1.0)
+    ap.add_argument("--alpha", type=float, default=0.0)
+    ap.add_argument("--trainmat", required=True)
+    ap.add_argument("--testmat", required=True)
+    ap.add_argument("--valmat", required=True)
+    ap.add_argument("--graphmat", default=None)
+    ap.add_argument("--origufac", default=None)
+    ap.add_argument("--origifac", default=None)
+    ap.add_argument("--initufac", default=None)
+    ap.add_argument("--initifac", default=None)
+    ap.add_argument("--prefix", default="mf")
+    # TPU-specific extras
+    ap.add_argument("--batchsize", type=int, default=16384)
+    ap.add_argument("--svdinit", action="store_true",
+                    help="initialize factors from truncated SVD")
+    ap.add_argument("--quartiles", action="store_true", default=True)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    params = Params(
+        fac_dim=args.facdim, max_iter=args.maxiter,
+        svd_fac_dim=args.svdfacdim, seed=args.seed, u_reg=args.ureg,
+        i_reg=args.ireg, learn_rate=args.learnrate, rho_rms=args.rhorms,
+        alpha=args.alpha, train_mat_file=args.trainmat,
+        test_mat_file=args.testmat, val_mat_file=args.valmat,
+        graph_mat_file=args.graphmat, orig_u_fac_file=args.origufac,
+        orig_i_fac_file=args.origifac, init_u_fac_file=args.initufac,
+        init_i_fac_file=args.initifac, prefix=args.prefix,
+        batch_size=args.batchsize)
+    print(params.display())
+
+    from matfac_tpu.data.dataset import Data
+    from matfac_tpu.data.io import read_factor_mat
+    from matfac_tpu.models.base import init_state
+    from matfac_tpu.train.loop import train_model
+
+    data = Data(params)
+    print(data)
+
+    init_override = None
+    if args.initufac and args.initifac:
+        import jax.numpy as jnp
+        st = init_state(params, data.n_users, data.n_items)
+        init_override = st._replace(
+            u_fac=jnp.asarray(read_factor_mat(
+                args.initufac, data.n_users, params.fac_dim)),
+            i_fac=jnp.asarray(read_factor_mat(
+                args.initifac, data.n_items, params.fac_dim)))
+    elif args.svdinit:
+        import jax.numpy as jnp
+        from matfac_tpu.ops.svd_init import svd_init
+        u, v, s = svd_init(data.train_mat, params.fac_dim)
+        st = init_state(params, data.n_users, data.n_items)
+        u = np.resize(u, (data.n_users, params.fac_dim))
+        v = np.resize(v, (data.n_items, params.fac_dim))
+        init_override = st._replace(u_fac=jnp.asarray(u),
+                                    i_fac=jnp.asarray(v))
+
+    report, model, ev, (inval_u, inval_i) = train_model(
+        data, params, algo=args.algo, mf_method=args.mf_method,
+        init_state_override=init_override, prefix=args.prefix)
+
+    best = report.best_state
+    view = model.eval_view(best)
+    is_ranking = getattr(model, "is_ranking", False)
+    if is_ranking:
+        scorer = ev  # _train_ranking returns the CatalogScorer
+        print(f"\nBest val HR@10: {report.best_metric:.6f}")
+        print(f"Test HR@10: "
+              f"{scorer.hit_rate(view, data.test_mat, 10):.6f}")
+        print(f"Test ARHR: {scorer.arhr(view, data.test_mat):.6f}")
+    else:
+        # final RMSE report (main.cpp:1377-1382)
+        print(f"\nRE Train RMSE: {ev.rmse(view, 'train'):.6f}")
+        print(f"RE Test RMSE: {ev.rmse(view, 'test'):.6f}")
+        print(f"RE Val RMSE: {ev.rmse(view, 'val'):.6f}")
+        if args.quartiles:
+            from matfac_tpu.eval.quartile import quartile_report
+            print(quartile_report(view, data, ev, inval_u, inval_i))
+    print(f"stop: {report.stop_reason} best_iter: {report.best_iter}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Quartile (frequency-bucket) RMSE / ranking reports.
+
+Analog of the reference driver's post-train reporting
+(quartileRMSEs main.cpp:700-768, quartileHR :656, quartileARHR :612,
+quartileNDCG :568, with the partitions built by getUserItemRankMap
+main.cpp:1137-1168): users and items are split into frequency quartiles
+on the TRAIN matrix, and test/val RMSE is reported restricted to each
+user-quartile and item-quartile (count + RMSE per bucket).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from matfac_tpu.utils import freq as ufreq
+
+
+def filtered_rmse(view, ev, which: str, user_filter=None, item_filter=None
+                  ) -> Tuple[int, float]:
+    """(count, RMSE) over entries whose user/item passes the filter —
+    Model::RMSE(mat, filtItems, ...) / RMSEU semantics
+    (model.cpp:348-486)."""
+    import jax.numpy as jnp
+    from matfac_tpu.eval.metrics import predict_pairs
+
+    coo = {"train": ev.train_coo, "test": ev.test_coo,
+           "val": ev.val_coo}[which]
+    mask = np.asarray(coo.valid) > 0
+    r = np.asarray(coo.rows)
+    c = np.asarray(coo.cols)
+    if user_filter is not None:
+        mask &= user_filter[r]
+    if item_filter is not None:
+        mask &= item_filter[c]
+    if not mask.any():
+        return 0, float("nan")
+    pred = np.asarray(predict_pairs(view, coo.rows, coo.cols))
+    d = (np.asarray(coo.vals) - pred)[mask]
+    return int(mask.sum()), float(np.sqrt((d * d).mean()))
+
+
+def quartile_partitions(data, inval_u, inval_i, n_quantiles: int = 4
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    user_freq, item_freq = ufreq.row_col_freq(data.train_mat)
+    user_freq = np.resize(user_freq, data.n_users)
+    item_freq = np.resize(item_freq, data.n_items)
+    uq = ufreq.quartile_assignments(user_freq, ~inval_u, n_quantiles)
+    iq = ufreq.quartile_assignments(item_freq, ~inval_i, n_quantiles)
+    return uq, iq
+
+
+def quartile_report(view, data, ev, inval_u, inval_i,
+                    n_quantiles: int = 4) -> str:
+    uq, iq = quartile_partitions(data, inval_u, inval_i, n_quantiles)
+    lines: List[str] = []
+    for which in ("test", "val"):
+        if (which == "test" and ev.test_coo is None) or \
+           (which == "val" and ev.val_coo is None):
+            continue
+        lines.append(f"{which.capitalize()} RMSE by quartile "
+                     f"(q0 = least frequent):")
+        for label, q in (("Items", iq), ("Users", uq)):
+            parts = []
+            for b in range(n_quantiles):
+                filt = q == b
+                cnt, rmse = filtered_rmse(
+                    view, ev, which,
+                    user_filter=filt if label == "Users" else None,
+                    item_filter=filt if label == "Items" else None)
+                parts.append(f"{cnt} {rmse:.6f}")
+            lines.append(f"  {label} Part: " + "  ".join(parts))
+    return "\n".join(lines)
+
+
+def quartile_ranking_report(view, data, scorer, inval_u, inval_i,
+                            n_quantiles: int = 4, n: int = 10) -> str:
+    """quartileHR/quartileARHR analog: leave-one-out HR restricted to
+    users in each frequency quartile."""
+    from matfac_tpu.eval.ranking import _loo_score
+
+    uq, _ = quartile_partitions(data, inval_u, inval_i, n_quantiles)
+    _, top_i = scorer.topk(view, n)
+    lines = [f"Test HR@{n} by user quartile:"]
+    parts = []
+    for b in range(n_quantiles):
+        inval_mask = inval_u | (uq != b)
+        hr = _loo_score(top_i, data.test_mat, inval_mask,
+                        data.n_users, reciprocal=False)
+        parts.append(f"q{b}={hr:.4f}")
+    lines.append("  " + "  ".join(parts))
+    return "\n".join(lines)

@@ -1,0 +1,233 @@
+"""Sharded DSGD: block-stratified SGD over a device mesh.
+
+The TPU-native re-design of the reference's shared-memory DSGD
+(ModelMF::trainSGDPar, modelMF.cpp:154-350 + the Latin-square block
+schedule sgdUpdateBlockSeq, util.cpp:1077-1107), mapped to hardware the
+way SURVEY.md §2/§7 prescribes:
+
+  * uFac and iFac are row-sharded into N contiguous blocks over a 1-D
+    mesh axis; shard i permanently owns user block i.
+  * Ratings are pre-partitioned host-side into the N x N (user-block,
+    item-block) grid. An epoch is N rounds; in round t shard i processes
+    grid block (i, (i+t) mod N) — every shard touches a DISJOINT item
+    block each round (the diagonal rotation = the reference's random
+    Latin square, with identical coverage).
+  * Between rounds each shard passes its item block to its left
+    neighbor with `jax.lax.ppermute` over ICI — the only communication
+    in the epoch. No gradient all-reduce, no parameter server: updates
+    are always local to the shard that currently owns the rows.
+
+Per-example IFWMF weights and TMF/Poisson ranks are precomputed into the
+staged stream (they are static per (u, i) pair), so all SGD model
+families run through this engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from matfac_tpu.config import Params
+from matfac_tpu.models.base import MFState
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+class DSGDShardedSolver:
+    def __init__(self, model, params: Params, train_mat,
+                 invalid_users: np.ndarray, invalid_items: np.ndarray,
+                 mesh: Mesh, axis: str = "u",
+                 batch_size: Optional[int] = None):
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = mesh.shape[axis]
+        N = self.n_shards
+        n_users, n_items = model.n_users, model.n_items
+        self.bu = _cdiv(n_users, N)
+        self.bi = _cdiv(n_items, N)
+        self.n_users_pad = self.bu * N
+        self.n_items_pad = self.bi * N
+
+        r, c, v = train_mat.to_coo()
+        keep = ~invalid_users[r] & ~invalid_items[c]
+        r, c, v = r[keep], c[keep], v[keep]
+        # static per-example weight / rank from the model hooks
+        w = np.asarray(model.example_weight(jnp.asarray(r.astype(np.int32)),
+                                            jnp.asarray(c.astype(np.int32))))
+        self.sample_poisson = model.name == "tmf_dropout"
+        if self.sample_poisson:
+            # Poisson rate per pair; sampled inside the kernel each epoch
+            lam = np.asarray(model.pair_lambda(
+                jnp.asarray(r.astype(np.int32)),
+                jnp.asarray(c.astype(np.int32)))).astype(np.int32)
+        elif hasattr(model, "pair_rank"):
+            lam = np.asarray(model.pair_rank(
+                jnp.asarray(r.astype(np.int32)),
+                jnp.asarray(c.astype(np.int32)))).astype(np.int32)
+        else:
+            lam = np.full(len(r), model.k, np.int32)
+
+        ub = r // self.bu            # owning shard of the user row
+        ib = c // self.bi            # item block
+        rnd = (ib - ub) % N          # round in which this entry is live
+        # stage [N, N_rounds, S] padded local-index arrays
+        bs = batch_size or params.batch_size
+        counts = np.zeros((N, N), np.int64)
+        np.add.at(counts, (ub, rnd), 1)
+        S = max(int(counts.max()), 1)
+        S = _cdiv(S, bs) * bs if S > bs else bs
+        self.S = S
+        self.bs = min(bs, S)
+        u_loc = np.zeros((N, N, S), np.int32)
+        i_loc = np.zeros((N, N, S), np.int32)
+        vals = np.zeros((N, N, S), np.float32)
+        wts = np.zeros((N, N, S), np.float32)     # 0 weight = padding
+        lams = np.ones((N, N, S), np.int32)
+        order = np.lexsort((rnd, ub))
+        r, c, v, w, lam = r[order], c[order], v[order], w[order], lam[order]
+        ub, ib, rnd = ub[order], ib[order], rnd[order]
+        # position within each (shard, round) group
+        grp = ub * N + rnd
+        pos = np.arange(len(r)) - np.searchsorted(grp, grp, side="left")
+        u_loc[ub, rnd, pos] = (r - ub * self.bu).astype(np.int32)
+        i_loc[ub, rnd, pos] = (c - ib * self.bi).astype(np.int32)
+        vals[ub, rnd, pos] = v
+        wts[ub, rnd, pos] = w
+        lams[ub, rnd, pos] = lam
+        # static shuffle within every cell: the stream is user-sorted and
+        # an unshuffled minibatch holds whole user rows -> scatter-add
+        # collisions blow up the effective step. Per-epoch randomness is
+        # then a cheap random rotation (full device sorts compile
+        # pathologically slowly on TPU).
+        rng = np.random.default_rng(self.params.seed + 17)
+        for i_s in range(N):
+            for t_s in range(N):
+                cnt = int(counts[i_s, t_s])
+                if cnt > 1:
+                    p = rng.permutation(cnt)
+                    for arr in (u_loc, i_loc, vals, wts, lams):
+                        arr[i_s, t_s, :cnt] = arr[i_s, t_s, :cnt][p]
+
+        sh = NamedSharding(mesh, P(axis, None, None))
+        self.u_loc = jax.device_put(jnp.asarray(u_loc), sh)
+        self.i_loc = jax.device_put(jnp.asarray(i_loc), sh)
+        self.vals = jax.device_put(jnp.asarray(vals), sh)
+        self.wts = jax.device_put(jnp.asarray(wts), sh)
+        self.lams = jax.device_put(jnp.asarray(lams), sh)
+        self.nnz = len(r)
+        self._epoch = self._build_epoch()
+
+    # ------------------------------------------------------------------
+    def _build_epoch(self):
+        N = self.n_shards
+        S, bs = self.S, self.bs
+        k = self.model.k
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        axis = self.axis
+        mesh = self.mesh
+        sample_poisson = self.sample_poisson
+        n_steps = S // bs
+
+        def shard_epoch(u_fac, i_fac, u_loc, i_loc, vals, wts, lams,
+                        lr, key):
+            # leading shard dim of staged arrays is 1 inside shard_map
+            u_loc, i_loc = u_loc[0], i_loc[0]
+            vals, wts, lams = vals[0], wts[0], lams[0]
+            me = jax.lax.axis_index(axis)
+
+            def round_body(t, carry):
+                u_fac, i_fac_blk, key = carry
+                # per-epoch randomness: random cyclic rotation of the
+                # statically-shuffled cell stream (see staging note)
+                key, pk = jax.random.split(key)
+                offset = jax.random.randint(pk, (), 0, S)
+
+                def batch_body(s, inner):
+                    u_fac, i_fac_blk, key = inner
+                    idx = (offset + s * bs
+                           + jnp.arange(bs, dtype=jnp.int32)) % S
+                    u = u_loc[t][idx]
+                    i = i_loc[t][idx]
+                    r = vals[t][idx]
+                    w = wts[t][idx]
+                    lam = lams[t][idx]
+                    if sample_poisson:
+                        key, sk = jax.random.split(key)
+                        rank = jnp.clip(jax.random.poisson(
+                            sk, lam.astype(jnp.float32)).astype(jnp.int32),
+                            1, k)
+                    else:
+                        rank = lam
+                    iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+                    m = (iota < rank[:, None]).astype(u_fac.dtype)
+                    pu = u_fac[u]
+                    qi = i_fac_blk[i]
+                    pred = jnp.einsum("ek,ek->e", pu * m, qi,
+                                      preferred_element_type=jnp.float32)
+                    diff = r - pred
+                    vmask = (w > 0).astype(u_fac.dtype)
+                    gu = (-2.0 * (w * diff)[:, None] * qi
+                          + 2.0 * u_reg * vmask[:, None] * pu) * m
+                    gi = (-2.0 * (w * diff)[:, None] * pu
+                          + 2.0 * i_reg * vmask[:, None] * qi) * m
+                    u_fac = u_fac.at[u].add(-lr * gu)
+                    i_fac_blk = i_fac_blk.at[i].add(-lr * gi)
+                    return (u_fac, i_fac_blk, key)
+
+                u_fac, i_fac_blk, key = jax.lax.fori_loop(
+                    0, n_steps, batch_body, (u_fac, i_fac_blk, key))
+                # pass the item block to the left neighbor over ICI:
+                # shard i held block (i+t); next round it needs (i+t+1),
+                # currently held by shard i+1
+                i_fac_blk = jax.lax.ppermute(
+                    i_fac_blk, axis,
+                    [(j, (j - 1) % N) for j in range(N)])
+                return (u_fac, i_fac_blk, key)
+
+            u_fac, i_fac, key = jax.lax.fori_loop(
+                0, N, round_body, (u_fac, i_fac, key))
+            return u_fac, i_fac
+
+        fac_spec = P(axis, None)
+        dat_spec = P(axis, None, None)
+        mapped = jax.shard_map(
+            shard_epoch, mesh=mesh,
+            in_specs=(fac_spec, fac_spec, dat_spec, dat_spec, dat_spec,
+                      dat_spec, dat_spec, P(), P()),
+            out_specs=(fac_spec, fac_spec),
+            check_vma=False)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch(u_fac, i_fac, lr, key):
+            return mapped(u_fac, i_fac, self.u_loc, self.i_loc, self.vals,
+                          self.wts, self.lams, lr, key)
+
+        return epoch
+
+    # ------------------------------------------------------------------
+    def epoch(self, state: MFState, lr: float, key) -> MFState:
+        n_users, k = state.u_fac.shape
+        n_items = state.i_fac.shape[0]
+        pu = self.n_users_pad - n_users
+        pi = self.n_items_pad - n_items
+        u_fac = jnp.pad(state.u_fac, ((0, pu), (0, 0))) if pu else state.u_fac
+        i_fac = jnp.pad(state.i_fac, ((0, pi), (0, 0))) if pi else state.i_fac
+        u_sh = NamedSharding(self.mesh, P(self.axis, None))
+        u_fac = jax.device_put(u_fac, u_sh)
+        i_fac = jax.device_put(i_fac, u_sh)
+        u_fac, i_fac = self._epoch(u_fac, i_fac, jnp.float32(lr), key)
+        if pu:
+            u_fac = u_fac[:n_users]
+        if pi:
+            i_fac = i_fac[:n_items]
+        return state._replace(u_fac=u_fac, i_fac=i_fac)

@@ -49,6 +49,10 @@ class BPRSolver:
         r, c, v = train_mat.to_coo()
         keep = (v > 0) & ~invalid_users[r] & ~invalid_items[c]
         pr, pc = r[keep], c[keep]
+        # static host shuffle; per-epoch randomness = offset + batch
+        # order (see solvers/sgd.py note on TPU sort-compile cost)
+        sperm = np.random.default_rng(params.seed).permutation(len(pr))
+        pr, pc = pr[sperm], pc[sperm]
         n = len(pr)
         n_pad = (-n) % bs if n else bs
         self.pos_u = jnp.asarray(np.concatenate(
@@ -77,12 +81,18 @@ class BPRSolver:
         self.last_inversions = jnp.zeros((), jnp.int32)
 
     # ------------------------------------------------------------------
-    def _sample_negatives(self, key, u):
+    def _sample_negatives(self, key, u, csr=None):
         """Vectorized gap sampling for a batch of users. Returns
-        (neg_idx[B], ok[B])."""
+        (neg_idx[B], ok[B]). ``csr``: (indptr, cols, vals, train_items)
+        passed as traced args from the epoch (closure constants blow up
+        compile time); defaults to the staged arrays for direct calls."""
+        if csr is None:
+            csr = (self.csr_indptr, self.csr_cols, self.csr_vals,
+                   self.train_items)
+        indptr, csr_cols, csr_vals, train_items = csr
         B = u.shape[0]
-        start = self.csr_indptr[u]
-        deg = self.csr_indptr[u + 1] - start
+        start = indptr[u]
+        deg = indptr[u + 1] - start
         deg = jnp.maximum(deg, 1)
 
         def one_try(carry, k_t):
@@ -90,14 +100,13 @@ class BPRSolver:
             k1, k2 = jax.random.split(k_t)
             jj = jax.random.randint(k1, (B,), 0, deg)
             pos = start + jj
-            item_jj = self.csr_cols[pos]
-            val_jj = self.csr_vals[pos]
+            item_jj = csr_cols[pos]
+            val_jj = csr_vals[pos]
             # explicit zero at sampled position -> direct accept
             explicit = val_jj == 0.0
             # gap bounds (modelMFBPR.cpp:211-222)
             lo = jnp.where(jj == 0, 0, item_jj + 1)
-            next_item = self.csr_cols[jnp.minimum(pos + 1,
-                                                  self.csr_indptr[u + 1] - 1)]
+            next_item = csr_cols[jnp.minimum(pos + 1, indptr[u + 1] - 1)]
             # branch precedence matches :211-222 — jj==0 before jj==deg-1,
             # so a single-rating user samples from [0, first rated item)
             hi = jnp.where(jj == 0, item_jj,
@@ -105,7 +114,7 @@ class BPRSolver:
                                      next_item))
             span = jnp.maximum(hi - lo, 1)
             j = lo + jax.random.randint(k2, (B,), 0, 2 ** 30) % span
-            valid_gap = (hi - lo > 0) & self.train_items[
+            valid_gap = (hi - lo > 0) & train_items[
                 jnp.clip(j, 0, self.n_items - 1)]
             cand = jnp.where(explicit, item_jj, j)
             cand_ok = explicit | valid_gap
@@ -128,20 +137,26 @@ class BPRSolver:
         B = self.batch_size
         eps = float(self.params.eps)
 
+        n_total = self.pos_u.shape[0]
+
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def epoch(state: MFState, lr, key):
-            perm_key, key = jax.random.split(key)
-            perm = jax.random.permutation(
-                perm_key, self.pos_u.shape[0]).reshape(n_batches, B)
+        def epoch(state: MFState, pos_u, pos_i, pos_valid, indptr,
+                  csr_cols, csr_vals, train_items, lr, key):
+            csr = (indptr, csr_cols, csr_vals, train_items)
+            k_off, k_ord, key = jax.random.split(key, 3)
+            offset = jax.random.randint(k_off, (), 0, n_total)
+            border = jax.random.permutation(k_ord, n_batches)
 
             def step(carry, xs):
                 st, loss, inv = carry
-                idx, k_b = xs
+                b_idx, k_b = xs
+                idx = (offset + b_idx * B
+                       + jnp.arange(B, dtype=jnp.int32)) % n_total
                 k_neg, k_mask = jax.random.split(k_b)
-                u = self.pos_u[idx]
-                p = self.pos_i[idx]
-                v = self.pos_valid[idx]
-                neg, ok = self._sample_negatives(k_neg, u)
+                u = pos_u[idx]
+                p = pos_i[idx]
+                v = pos_valid[idx]
+                neg, ok = self._sample_negatives(k_neg, u, csr)
                 w = v * ok.astype(jnp.float32)
                 m = model.triple_rank_mask(k_mask, u, p, neg)
                 pu = st.u_fac[u]
@@ -177,12 +192,14 @@ class BPRSolver:
             keys = jax.random.split(key, n_batches)
             (state, loss, inv), _ = jax.lax.scan(
                 step, (state, jnp.zeros(()), jnp.zeros((), jnp.int32)),
-                (perm, keys))
+                (border, keys))
             return state, loss, inv
 
         return epoch
 
     def epoch(self, state: MFState, lr: float, key) -> MFState:
         state, self.last_loss, self.last_inversions = self._epoch(
-            state, jnp.float32(lr), key)
+            state, self.pos_u, self.pos_i, self.pos_valid,
+            self.csr_indptr, self.csr_cols, self.csr_vals,
+            self.train_items, jnp.float32(lr), key)
         return state

@@ -69,21 +69,22 @@ class CCDPPSolver:
         self._initialized = False
 
     def _build_epoch(self):
-        rows, cols, vals = self.rows, self.cols, self.vals
         n_users, n_items = self.n_users, self.n_items
         u_reg = float(self.params.u_reg)
         i_reg = float(self.params.i_reg)
         n_inner = self.n_inner
         item_dim_ok = self.item_dim_ok
 
-        def seg_u(x):
-            return jax.ops.segment_sum(x, rows, n_users)
-
-        def seg_i(x):
-            return jax.ops.segment_sum(x, cols, n_items)
-
+        # staged arrays are jit ARGUMENTS (closure constants make XLA
+        # compile time explode at nnz scale — see solvers/sgd.py)
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch(state: MFState, res, key):
+        def epoch(state: MFState, res, rows, cols, key):
+            def seg_u(x):
+                return jax.ops.segment_sum(x, rows, n_users)
+
+            def seg_i(x):
+                return jax.ops.segment_sum(x, cols, n_items)
+
             dims = jax.random.permutation(key, state.u_fac.shape[1])
 
             def dim_sweep(carry, kk):
@@ -128,7 +129,8 @@ class CCDPPSolver:
             state = state._replace(u_fac=jnp.zeros_like(state.u_fac))
             self.res = jnp.array(self.vals, copy=True)
             self._initialized = True
-        state, self.res = self._epoch(state, self.res, key)
+        state, self.res = self._epoch(state, self.res, self.rows,
+                                      self.cols, key)
         return state
 
     def reset(self):
@@ -146,19 +148,18 @@ class CCDSolver(CCDPPSolver):
         super().__init__(*args, n_inner=1, **kw)
 
     def _build_epoch(self):
-        rows, cols = self.rows, self.cols
         n_users, n_items = self.n_users, self.n_items
         u_reg = float(self.params.u_reg)
         i_reg = float(self.params.i_reg)
 
-        def seg_u(x):
-            return jax.ops.segment_sum(x, rows, n_users)
-
-        def seg_i(x):
-            return jax.ops.segment_sum(x, cols, n_items)
-
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch(state: MFState, res, key):
+        def epoch(state: MFState, res, rows, cols, key):
+            def seg_u(x):
+                return jax.ops.segment_sum(x, rows, n_users)
+
+            def seg_i(x):
+                return jax.ops.segment_sum(x, cols, n_items)
+
             k_u, k_i = jax.random.split(key)
 
             def user_dim(carry, kk):

@@ -46,10 +46,17 @@ class SGDSolver:
         self.params = params
         bs = batch_size or params.batch_size
         b = coo_batches(train_mat, bs, invalid_users, invalid_items)
-        self.rows = jnp.asarray(b.rows)
-        self.cols = jnp.asarray(b.cols)
-        self.vals = jnp.asarray(b.vals)
-        self.valid = jnp.asarray(b.valid)
+        # One static host-side shuffle; per-epoch randomness is a random
+        # cyclic offset + random batch order (tiny sort) instead of a
+        # full device permutation — a 10M-element sort is pathologically
+        # slow to compile on TPU and adds nothing statistically for SGD
+        # (the reference itself full-shuffles only every 10th epoch,
+        # modelMF.cpp:76-81).
+        sperm = np.random.default_rng(params.seed).permutation(b.n_total)
+        self.rows = jnp.asarray(b.rows[sperm])
+        self.cols = jnp.asarray(b.cols[sperm])
+        self.vals = jnp.asarray(b.vals[sperm])
+        self.valid = jnp.asarray(b.valid[sperm])
         self.batch_size = b.batch_size
         self.n_batches = b.n_batches
         self.nnz = b.nnz
@@ -65,19 +72,28 @@ class SGDSolver:
         n_batches = self.n_batches
         B = self.batch_size
 
+        n_total = self.rows.shape[0]
+
+        # NOTE: the staged stream is passed as ARGUMENTS, not closed
+        # over — closure-captured arrays are embedded in the HLO as
+        # constants and a 10M-element constant makes (remote) XLA
+        # compilation take minutes instead of seconds.
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def epoch(state: MFState, lr, key) -> MFState:
-            perm_key, mask_key = jax.random.split(key)
-            perm = jax.random.permutation(perm_key, self.rows.shape[0])
-            perm = perm.reshape(n_batches, B)
+        def epoch(state: MFState, rows, cols, vals, valid, lr,
+                  key) -> MFState:
+            k_off, k_ord, mask_key = jax.random.split(key, 3)
+            offset = jax.random.randint(k_off, (), 0, n_total)
+            border = jax.random.permutation(k_ord, n_batches)
 
             def step(carry, xs):
                 st = carry
-                idx, k_b = xs
-                u = self.rows[idx]
-                i = self.cols[idx]
-                r = self.vals[idx]
-                v = self.valid[idx]
+                b_idx, k_b = xs
+                idx = (offset + b_idx * B
+                       + jnp.arange(B, dtype=jnp.int32)) % n_total
+                u = rows[idx]
+                i = cols[idx]
+                r = vals[idx]
+                v = valid[idx]
                 w = model.example_weight(u, i) * v
                 m = model.update_rank_mask(k_b, u, i)
                 pu = st.u_fac[u]
@@ -116,11 +132,12 @@ class SGDSolver:
                 return new, None
 
             keys = jax.random.split(mask_key, n_batches)
-            state, _ = jax.lax.scan(step, state, (perm, keys))
+            state, _ = jax.lax.scan(step, state, (border, keys))
             return state
 
         return epoch
 
     # ------------------------------------------------------------------
     def epoch(self, state: MFState, lr: float, key) -> MFState:
-        return self._epoch(state, jnp.float32(lr), key)
+        return self._epoch(state, self.rows, self.cols, self.vals,
+                           self.valid, jnp.float32(lr), key)

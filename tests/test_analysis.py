@@ -1,0 +1,226 @@
+"""Analysis-layer tests: SVD init, PPR, confidence curves, top-N recall,
+model agreement, quartile reports, incremental-rank model."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from matfac_tpu.analysis.compare import (jaccard_accuracy_correlation,
+                                         model_agreement)
+from matfac_tpu.analysis.confidence import (confidence_curve,
+                                            ensemble_conf_scores,
+                                            rmse_curve)
+from matfac_tpu.analysis.topn import top_n_rec
+from matfac_tpu.analysis.top_bucket import (fuse_scores,
+                                            pred_samp_users_rmse,
+                                            top_bucket_rmse_curve)
+from matfac_tpu.config import Params
+from matfac_tpu.data import io as mfio
+from matfac_tpu.data.csr import RatingMatrix
+from matfac_tpu.data.synthetic import low_rank_ratings, synthetic_data
+from matfac_tpu.eval.metrics import Evaluator
+from matfac_tpu.eval.quartile import quartile_report
+from matfac_tpu.models.base import EvalView, ModelMF, init_state
+from matfac_tpu.ops.ppr import PPREngine
+from matfac_tpu.ops.svd_init import svd_init
+from matfac_tpu.utils import freq
+
+
+def make_view(uf, vf):
+    n_u, n_i = uf.shape[0], vf.shape[0]
+    return EvalView(jnp.asarray(uf), jnp.asarray(vf),
+                    jnp.zeros(n_u), jnp.zeros(n_i), jnp.float32(0))
+
+
+def test_svd_init_matches_dense_svd():
+    """The randomized SVD must match numpy's exact SVD of the same
+    (zero-filled) sparse matrix — which is what SVDLIBC factorizes
+    (svdFrmsvdlib.cpp:69-134)."""
+    mat, uf, vf = low_rank_ratings(80, 60, 3, density=0.9, seed=1,
+                                   noise=0.0)
+    rank = 5
+    u, v, s = svd_init(mat, rank=rank, pure_svd=True, n_iter=8)
+    dense = mat.to_dense()
+    ue, se, vte = np.linalg.svd(dense, full_matrices=False)
+    np.testing.assert_allclose(s, se[:rank], rtol=1e-3)
+    # reconstruction parity at rank
+    recon = u @ v.T
+    recon_exact = ue[:, :rank] * se[:rank] @ vte[:rank]
+    np.testing.assert_allclose(recon, recon_exact, atol=2e-2)
+    # singular values descending
+    assert (np.diff(s) <= 1e-4).all()
+
+
+def test_svd_init_sparsity_mode():
+    mat, _, _ = low_rank_ratings(40, 30, 3, density=0.5, seed=2)
+    u, v, s = svd_init(mat, rank=4, sparsity_only=True)
+    assert u.shape == (40, 4) and v.shape == (30, 4)
+    assert np.isfinite(s).all()
+
+
+def test_ppr_stationary_distribution():
+    # ring graph: uniform stationary distribution for uniform restart
+    n = 16
+    rows = np.arange(n)
+    cols = (rows + 1) % n
+    g = RatingMatrix.from_coo(rows, cols, np.ones(n, np.float32), n, n)
+    eng = PPREngine(g)
+    pr = np.asarray(eng.global_pagerank(lamda=0.85))
+    np.testing.assert_allclose(pr, pr[0], rtol=1e-3)
+    np.testing.assert_allclose(pr.sum(), 1.0, rtol=1e-3)
+
+
+def test_ppr_restart_locality():
+    # two disjoint cliques: restart mass in clique A stays in clique A
+    rows, cols = [], []
+    for a in range(4):
+        for b in range(4):
+            if a != b:
+                rows += [a, a + 4]
+                cols += [b, b + 4]
+    g = RatingMatrix.from_coo(np.array(rows), np.array(cols),
+                              np.ones(len(rows), np.float32), 8, 8)
+    eng = PPREngine(g)
+    restart = np.zeros(8, np.float32)
+    restart[0] = 1.0
+    pr = np.asarray(eng.ppr(jnp.asarray(restart)))
+    assert pr[:4].sum() > 0.99
+    assert pr[4:].sum() < 0.01
+
+
+def test_ensemble_conf_and_curves():
+    rng = np.random.default_rng(0)
+    n_u, n_i, k = 30, 20, 3
+    base_u = rng.standard_normal((n_u, k)).astype(np.float32)
+    base_v = rng.standard_normal((n_i, k)).astype(np.float32)
+    views = [make_view(base_u + 0.01 * i * rng.standard_normal(
+        (n_u, k)).astype(np.float32), base_v) for i in range(4)]
+    rows = rng.integers(0, n_u, 200)
+    cols = rng.integers(0, n_i, 200)
+    scores = ensemble_conf_scores(views, rows, cols)
+    assert scores.shape == (200,)
+    assert (scores > 0).all()  # stds are nonzero here
+
+    actual = rng.standard_normal(200)
+    pred = actual + rng.standard_normal(200) * np.linspace(0.1, 2, 200)
+    # use -noise magnitude as score: high score = low error
+    sc = -np.linspace(0.1, 2, 200)
+    curve = rmse_curve(sc, actual, pred, 4)
+    assert (np.diff(curve) > 0).all()  # RMSE grows as confidence drops
+    cc = confidence_curve(sc, actual, pred, 4, alpha=0.05)
+    assert (np.diff(cc) > 0).all()
+
+
+def test_top_n_rec_model_scorer():
+    """Preference-structured data: each user's positives are their
+    top-scoring items under known factors — the model scorer must then
+    rank the held-out positive above sampled negatives."""
+    from matfac_tpu.data.dataset import Data
+
+    rng = np.random.default_rng(8)
+    n_u, n_i, k, per_user = 50, 60, 3, 10
+    uf = rng.standard_normal((n_u, k)).astype(np.float32)
+    vf = rng.standard_normal((n_i, k)).astype(np.float32)
+    scores = uf @ vf.T
+    rows_tr, cols_tr, rows_te, cols_te = [], [], [], []
+    for u in range(n_u):
+        top = np.argsort(-scores[u])[:per_user]
+        rows_te.append(u)
+        cols_te.append(top[rng.integers(0, per_user)])
+        for it in top:
+            if it != cols_te[-1]:
+                rows_tr.append(u)
+                cols_tr.append(it)
+    tr = RatingMatrix.from_coo(np.array(rows_tr), np.array(cols_tr),
+                               np.ones(len(rows_tr), np.float32), n_u, n_i)
+    te = RatingMatrix.from_coo(np.array(rows_te), np.array(cols_te),
+                               np.ones(n_u, np.float32), n_u, n_i)
+    iu, ii = freq.invalid_users_items(tr, n_u, n_i)
+    gt = make_view(uf, vf)
+    rep = top_n_rec(gt, tr, te, iu, ii, n=10, n_samp_users=40,
+                    n_negatives=30, seed=1)
+    rand = make_view(
+        np.asarray(init_state(Params(fac_dim=3), n_u, n_i).u_fac),
+        np.asarray(init_state(Params(fac_dim=3), n_u, n_i,
+                              seed=9).i_fac))
+    rep_rand = top_n_rec(rand, tr, te, iu, ii, n=10, n_samp_users=40,
+                         n_negatives=30, seed=1)
+    assert rep.recall["model"] > 0.9
+    assert rep.recall["model"] > rep_rand.recall["model"] + 0.3
+    assert rep.n_head_items + rep.n_tail_items == rep.n_test_items
+
+
+def test_model_agreement_and_jaccard():
+    data, uf, vf = synthetic_data(n_users=50, n_items=40, k=3,
+                                  density=0.3, seed=4, noise=0.05)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    rng = np.random.default_rng(0)
+    views = [make_view(uf + 0.05 * rng.standard_normal(uf.shape
+                                                       ).astype(np.float32),
+                       vf) for _ in range(3)]
+    ag = model_agreement(views, data.test_mat, iu, ii)
+    assert ag["rmse_per_model"].shape == (3, data.n_items)
+    assert (ag["pred_var"] >= 0).all()
+    jac = mfio.item_jaccard_sim(data.train_mat, top_k=5)
+    corr = jaccard_accuracy_correlation(ag, jac)
+    assert -1.0 <= corr <= 1.0
+
+
+def test_top_bucket_curves():
+    data, uf, vf = synthetic_data(n_users=40, n_items=30, k=3,
+                                  density=0.4, seed=5, noise=0.02)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    orig = make_view(uf, vf)
+    noisy = make_view(uf + 0.1, vf)
+    items = np.arange(30)
+    curve = top_bucket_rmse_curve(orig, noisy, 0, items,
+                                  np.random.default_rng(0).random(30), 5)
+    assert curve.shape == (5,)
+    fused = fuse_scores([np.ones(30), np.arange(30, dtype=float)], "avg")
+    assert fused.shape == (30,)
+    curves = pred_samp_users_rmse(
+        orig, noisy, data.train_mat, iu, ii,
+        {"freq": lambda u, it: data.train_mat.col_degrees()[it].astype(
+            float)},
+        n_users=10, n_buckets=5)
+    assert "freq" in curves and curves["freq"].shape == (5,)
+
+
+def test_quartile_report_runs():
+    data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
+                                density=0.3, seed=3, power_law=0.8)
+    params = Params(fac_dim=3)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    ev = Evaluator(data, iu, ii, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    state = init_state(params, data.n_users, data.n_items)
+    rep = quartile_report(model.eval_view(state), data, ev, iu, ii)
+    assert "Test RMSE by quartile" in rep
+    assert "Users Part" in rep
+
+
+def test_incremental_rank_training():
+    from matfac_tpu.data.dataset import Data
+    from matfac_tpu.data.io import split_train_test_val
+    from matfac_tpu.models.increment import train_increment
+
+    mat, _, _ = low_rank_ratings(60, 50, 4, density=0.5, seed=6,
+                                 noise=0.05, nonneg=True)
+    tr, te, va = split_train_test_val(mat, 0.15, 0.15, seed=2)
+    # probe = val matrix in graph_mat slot (reference uses graphMat)
+    data = Data(train_mat=tr, test_mat=te, val_mat=va, graph_mat=va)
+    params = Params(fac_dim=12, u_reg=0.01, i_reg=0.01, learn_rate=0.005,
+                    seed=1, batch_size=128)
+    iu, ii = freq.invalid_users_items(tr, data.n_users, data.n_items)
+    rep, model = train_increment(data, params, iu, ii, max_iter=40,
+                                 log_fn=lambda s: None)
+    # ranks grew beyond the initial 1 for at least some entities
+    assert rep.rank_u.max() > 1 or rep.rank_i.max() > 1
+    assert rep.rank_u.max() <= params.fac_dim
+    # model eval view truncates by rank
+    view = model.eval_view(rep.state)
+    assert np.isfinite(np.asarray(view.u_fac)).all()

@@ -1,0 +1,126 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.synthetic import synthetic_data
+from matfac_tpu.eval.metrics import Evaluator
+from matfac_tpu.models.base import ModelMF, init_state
+from matfac_tpu.models.longtail import ModelInvPopMF
+from matfac_tpu.parallel.dsgd import DSGDShardedSolver
+from matfac_tpu.parallel.mesh import make_mesh, shard_state
+from matfac_tpu.utils import freq
+
+NOISE = 0.05
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((4, 2), ("u", "i"))
+    assert mesh2.shape == {"u": 4, "i": 2}
+    with pytest.raises(ValueError):
+        make_mesh((3, 2))
+
+
+def test_shard_state_placement():
+    params = Params(fac_dim=4)
+    mesh = make_mesh((4, 2), ("u", "i"))
+    state = init_state(params, 64, 32)
+    sharded = shard_state(state, mesh)
+    assert sharded.u_fac.sharding.spec == P("u", None)
+    assert sharded.i_fac.sharding.spec == P("i", None)
+    np.testing.assert_allclose(np.asarray(sharded.u_fac),
+                               np.asarray(state.u_fac))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data, _, _ = synthetic_data(n_users=160, n_items=96, k=4,
+                                density=0.3, seed=9, noise=NOISE)
+    params = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, learn_rate=0.02,
+                    seed=5, batch_size=256)
+    inval_u, inval_i = freq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    ev = Evaluator(data, inval_u, inval_i, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    return data, params, ev, model, inval_u, inval_i
+
+
+def test_dsgd_partition_covers_all_ratings(setup):
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((8,), ("u",))
+    solver = DSGDShardedSolver(model, params, data.train_mat, iu, ii, mesh)
+    wts = np.asarray(solver.wts)
+    assert int((wts > 0).sum()) == solver.nnz
+    # every staged entry lands in the correct (shard, round) cell
+    u_loc = np.asarray(solver.u_loc)
+    i_loc = np.asarray(solver.i_loc)
+    N = solver.n_shards
+    for shard in range(N):
+        for rnd in range(N):
+            mask = wts[shard, rnd] > 0
+            gu = u_loc[shard, rnd][mask] + shard * solver.bu
+            blk = (shard + rnd) % N
+            gi = i_loc[shard, rnd][mask] + blk * solver.bi
+            assert (gu < data.n_users).all()
+            assert (gi < data.n_items).all()
+            assert (gu // solver.bu == shard).all()
+            assert (gi // solver.bi == blk).all()
+
+
+def test_dsgd_converges_on_mesh(setup):
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((8,), ("u",))
+    solver = DSGDShardedSolver(model, params, data.train_mat, iu, ii, mesh,
+                               batch_size=256)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        state = solver.epoch(state, 0.02, k)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+
+
+def test_dsgd_single_shard_matches_convergence(setup):
+    """1-shard DSGD is plain minibatch SGD — same convergence regime."""
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((1,), ("u",), devices=jax.devices()[:1])
+    solver = DSGDShardedSolver(model, params, data.train_mat, iu, ii, mesh,
+                               batch_size=256)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        state = solver.epoch(state, 0.02, k)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.1
+
+
+def test_dsgd_with_ifwmf_weights(setup):
+    data, params, ev, model, iu, ii = setup
+    uf, itf = freq.row_col_freq(data.train_mat)
+    uf = np.resize(uf, data.n_users)
+    itf = np.resize(itf, data.n_items)
+    m = ModelInvPopMF(params, data.n_users, data.n_items, uf, itf,
+                      invalid_users=iu, invalid_items=ii)
+    mesh = make_mesh((8,), ("u",))
+    solver = DSGDShardedSolver(m, params, data.train_mat, iu, ii, mesh,
+                               batch_size=256)
+    # staged weights match the model's weight fn
+    wts = np.asarray(solver.wts)
+    real = wts[wts > 0]
+    assert (real <= 1.0 + 1e-6).all() and real.min() < 1.0
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        state = solver.epoch(state, 0.02, k)
+    val = ev.rmse(m.eval_view(state), "val")
+    assert val < 0.5
