@@ -202,6 +202,16 @@ def item_cosine_sim(mat: RatingMatrix, top_k: int = 50,
                     block: int = 1024) -> RatingMatrix:
     n_items = mat.ncols
     colptr, rowind, colval = mat.csc()
+    # native OpenMP two-hop fast path (writeItemSimMatPar analog)
+    out = native.item_cosine_topk(colptr, rowind, colval, mat.indptr,
+                                  mat.indices, mat.values, n_items,
+                                  mat.nrows, top_k)
+    if out is not None:
+        cols_n, vals_n = out
+        keep = (cols_n >= 0) & (vals_n > 0)
+        rr = np.repeat(np.arange(n_items), top_k).reshape(n_items, top_k)
+        return RatingMatrix.from_coo(rr[keep], cols_n[keep], vals_n[keep],
+                                     n_items, n_items)
     # dense item x user is too big; use normalized sparse columns blocked
     import scipy.sparse as sp  # available in the baked image via deps
     X = sp.csr_matrix((colval, rowind, colptr), shape=(n_items, mat.nrows))
