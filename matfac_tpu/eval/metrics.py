@@ -180,6 +180,62 @@ class Evaluator:
                           float(self.params.i_reg))
         return float(s + reg)
 
+    def objective_sing(self, view: EvalView, state,
+                       singular_vals) -> float:
+        """objectiveSing (model.cpp:1818-1865): L2 penalty weighted
+        per-dim by the singular values, with NO uReg/iReg scaling."""
+        s, _ = sse(view, self.train_coo)
+        sv = jnp.asarray(singular_vals, jnp.float32)[None, :]
+        u = jnp.sum(jnp.sum(state.u_fac * state.u_fac * sv, axis=1)
+                    * self.valid_u)
+        i = jnp.sum(jnp.sum(state.i_fac * state.i_fac * sv, axis=1)
+                    * self.valid_i)
+        return float(s + u + i)
+
+    def full_low_rank_err(self, view: EvalView,
+                          orig_u_fac, orig_i_fac,
+                          exclude_rated: bool = True,
+                          user_block: int = 512) -> float:
+        """fullLowRankErr (model.cpp:1942-2038): RMSE between the model
+        and a known ground-truth low-rank model over all valid
+        (user, item) cells — optionally excluding train-rated cells
+        (synthetic-recovery validation, SURVEY.md §4). Blocked dense."""
+        ou = jnp.asarray(orig_u_fac, jnp.float32)
+        oi = jnp.asarray(orig_i_fac, jnp.float32)
+        n_users = self.n_users
+        rated_cols = rated_mask = None
+        if exclude_rated:
+            cols, _, mask = self._data.train_mat.pad_rows()
+            if self._data.train_mat.nrows < n_users:
+                pad = n_users - self._data.train_mat.nrows
+                cols = np.pad(cols, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            rated_cols = jnp.asarray(cols)
+            rated_mask = jnp.asarray(mask.astype(np.float32))
+        total = 0.0
+        count = 0.0
+        for s in range(0, n_users, user_block):
+            e = min(s + user_block, n_users)
+            uids = jnp.arange(s, e)
+            pred = (view.mu + view.u_bias[uids][:, None]
+                    + view.i_bias[None, :]
+                    + view.u_fac[uids] @ view.i_fac.T)
+            orig = ou[uids] @ oi.T
+            ok = (self.valid_u[uids][:, None] * self.valid_i[None, :])
+            if exclude_rated:
+                B = e - s
+                blk = jnp.ones((B, self.n_items))
+                rows = jnp.arange(B)[:, None]
+                rc = rated_cols[uids]
+                blk = blk.at[rows, rc].min(
+                    jnp.where(rated_mask[uids] > 0, 0.0, 1.0),
+                    mode="drop")
+                ok = ok * blk
+            d = (orig - pred) * ok
+            total += float(jnp.sum(d * d))
+            count += float(jnp.sum(ok))
+        return float(np.sqrt(total / max(count, 1.0)))
+
     # -- NDCG ----------------------------------------------------------
     def _padded_test(self, which: str):
         if which not in self._ndcg_cache:

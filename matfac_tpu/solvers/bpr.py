@@ -39,10 +39,18 @@ from matfac_tpu.models.base import MFState
 class BPRSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
-                 batch_size: Optional[int] = None, n_tries: int = 16):
+                 batch_size: Optional[int] = None, n_tries: int = 16,
+                 mode: str = "stream"):
+        """mode="stream": iterate all positives per epoch (train,
+        modelMFBPR.cpp:405-559). mode="posneg": per step sample a
+        random train user, a random positive from their row, and a
+        negative that is either a LOWER-RATED rated item or a gap item
+        (trainHogPosNeg + samplePosNegItem, modelMFBPR.cpp:61-132,
+        :562-722)."""
         self.model = model
         self.params = params
         self.n_tries = n_tries
+        self.mode = mode
         bs = batch_size or params.batch_size
 
         # positives: rating > 0, valid entities
@@ -76,7 +84,11 @@ class BPRSolver:
         ti[: len(deg_i)] = deg_i > 0
         self.train_items = jnp.asarray(ti)
         self.n_items = int(model.n_items)
-        self._epoch = self._build_epoch()
+        deg_u = train_mat.row_degrees()
+        tu = np.nonzero((deg_u > 0) & ~invalid_users[: train_mat.nrows])[0]
+        self.train_users = jnp.asarray(tu.astype(np.int32))
+        self._epoch = (self._build_epoch() if mode == "stream"
+                       else self._build_posneg_epoch())
         self.last_loss = jnp.zeros(())
         self.last_inversions = jnp.zeros((), jnp.int32)
 
@@ -197,9 +209,103 @@ class BPRSolver:
 
         return epoch
 
+    # ------------------------------------------------------------------
+    def _build_posneg_epoch(self):
+        model = self.model
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        n_batches = self.n_batches
+        B = self.batch_size
+        eps = float(self.params.eps)
+        n_tries = self.n_tries
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def epoch(state: MFState, train_users, indptr, csr_cols,
+                  csr_vals, train_items, lr, key):
+            n_tr = train_users.shape[0]
+
+            def step(carry, k_b):
+                st, loss, inv = carry
+                k_u, k_p, k_neg, k_mask = jax.random.split(k_b, 4)
+                u = train_users[jax.random.randint(k_u, (B,), 0, n_tr)]
+                start = indptr[u]
+                deg = jnp.maximum(indptr[u + 1] - start, 1)
+                jj_p = jax.random.randint(k_p, (B,), 0, deg)
+                p = csr_cols[start + jj_p]
+                pos_rat = csr_vals[start + jj_p]
+                pos_ok = pos_rat > 0
+
+                # negative: explicit lower-rated item or gap item
+                def one_try(carry2, k_t):
+                    neg, ok = carry2
+                    k1, k2 = jax.random.split(k_t)
+                    jj = jax.random.randint(k1, (B,), 0, deg)
+                    pos_j = start + jj
+                    item_jj = csr_cols[pos_j]
+                    val_jj = csr_vals[pos_j]
+                    explicit = val_jj < pos_rat   # :88 explicit negative
+                    lo = jnp.where(jj == 0, 0, item_jj + 1)
+                    nxt = csr_cols[jnp.minimum(pos_j + 1,
+                                               indptr[u + 1] - 1)]
+                    hi = jnp.where(jj == 0, item_jj,
+                                   jnp.where(jj == deg - 1, self.n_items,
+                                             nxt))
+                    span = jnp.maximum(hi - lo, 1)
+                    j = lo + jax.random.randint(k2, (B,), 0, 2 ** 30) % span
+                    gap_ok = (hi - lo > 0) & train_items[
+                        jnp.clip(j, 0, self.n_items - 1)]
+                    cand = jnp.where(explicit, item_jj, j)
+                    cand_ok = explicit | gap_ok
+                    take = cand_ok & ~ok
+                    return (jnp.where(take, cand, neg), ok | cand_ok), None
+
+                keys_t = jax.random.split(k_neg, n_tries)
+                (neg, ok), _ = jax.lax.scan(
+                    one_try, (jnp.zeros(B, jnp.int32),
+                              jnp.zeros(B, bool)), keys_t)
+                w = (pos_ok & ok).astype(jnp.float32)
+                m = model.triple_rank_mask(k_mask, u, p, neg)
+                pu = st.u_fac[u]
+                qp = st.i_fac[p]
+                qn = st.i_fac[neg]
+                pm = pu if m is None else pu * m
+                r_ui = jnp.einsum("ek,ek->e", pm, qp,
+                                  preferred_element_type=jnp.float32)
+                r_uj = jnp.einsum("ek,ek->e", pm, qn,
+                                  preferred_element_type=jnp.float32)
+                r_uij = r_ui - r_uj
+                inv = inv + jnp.sum((r_uj - r_ui > eps) & (w > 0)
+                                    ).astype(jnp.int32)
+                loss = loss + jnp.sum(w * jnp.log1p(jnp.exp(-r_uij)))
+                coeff = w * (-1.0 / (1.0 + jnp.exp(r_uij)))
+                gu = coeff[:, None] * (qp - qn) \
+                    + 2.0 * u_reg * w[:, None] * pu
+                gp = coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qp
+                gn = -coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qn
+                if m is not None:
+                    gu, gp, gn = gu * m, gp * m, gn * m
+                st = st._replace(
+                    u_fac=st.u_fac.at[u].add(-lr * gu),
+                    i_fac=st.i_fac.at[p].add(-lr * gp
+                                             ).at[neg].add(-lr * gn))
+                return (st, loss, inv), None
+
+            keys = jax.random.split(key, n_batches)
+            (state, loss, inv), _ = jax.lax.scan(
+                step, (state, jnp.zeros(()), jnp.zeros((), jnp.int32)),
+                keys)
+            return state, loss, inv
+
+        return epoch
+
     def epoch(self, state: MFState, lr: float, key) -> MFState:
-        state, self.last_loss, self.last_inversions = self._epoch(
-            state, self.pos_u, self.pos_i, self.pos_valid,
-            self.csr_indptr, self.csr_cols, self.csr_vals,
-            self.train_items, jnp.float32(lr), key)
+        if self.mode == "posneg":
+            state, self.last_loss, self.last_inversions = self._epoch(
+                state, self.train_users, self.csr_indptr, self.csr_cols,
+                self.csr_vals, self.train_items, jnp.float32(lr), key)
+        else:
+            state, self.last_loss, self.last_inversions = self._epoch(
+                state, self.pos_u, self.pos_i, self.pos_valid,
+                self.csr_indptr, self.csr_cols, self.csr_vals,
+                self.train_items, jnp.float32(lr), key)
         return state

@@ -41,9 +41,17 @@ class SGDSolver:
 
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None,
+                 reg_vec: Optional[np.ndarray] = None):
+        """``reg_vec``: optional per-dim regularization rates replacing
+        the scalar u_reg/i_reg for BOTH sides — the singular-value-
+        weighted scheme of trainSGDParSVD (modelMF.cpp:496-506, rate
+        (sing_a+1)/(sing_b+sigma_k))."""
         self.model = model
         self.params = params
+        if reg_vec is not None and model.use_bias:
+            raise ValueError("per-dim reg_vec is factor-only")
+        self.reg_vec = reg_vec
         bs = batch_size or params.batch_size
         b = coo_batches(train_mat, bs, invalid_users, invalid_items)
         # One static host-side shuffle; per-epoch randomness is a random
@@ -65,8 +73,12 @@ class SGDSolver:
     # ------------------------------------------------------------------
     def _build_epoch(self):
         model = self.model
-        u_reg = float(self.params.u_reg)
-        i_reg = float(self.params.i_reg)
+        if self.reg_vec is not None:
+            u_reg = jnp.asarray(self.reg_vec, jnp.float32)[None, :]
+            i_reg = u_reg
+        else:
+            u_reg = float(self.params.u_reg)
+            i_reg = float(self.params.i_reg)
         use_bias = model.use_bias
         use_factors = model.use_factors
         n_batches = self.n_batches

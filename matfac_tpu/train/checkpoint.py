@@ -91,3 +91,33 @@ def load_state(path: str) -> Tuple[MFState, dict]:
     extra = {k: z[k] for k in z.files
              if k not in ("u_fac", "i_fac", "u_bias", "i_bias", "mu")}
     return state, extra
+
+
+# ----------------------------------------------------------------------
+# sharded checkpoints (orbax) — multi-host-safe save/restore of factor
+# tables placed on a mesh (SURVEY.md §5 "checkpoint/resume": the TPU
+# build stores sharded tables + loop progress; the reference's text
+# factors remain the interchange format)
+# ----------------------------------------------------------------------
+
+def save_sharded(path: str, state: MFState, **extra) -> None:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"state": state._asdict(),
+               "extra": {k: np.asarray(v) for k, v in extra.items()}}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_sharded(path: str, like: MFState):
+    """Restore with the shardings/dtypes of ``like`` (pass a sharded
+    abstract or concrete state to bring tables up already-placed)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    import jax
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(path)     # host tree
+    state = MFState(**{k: jax.device_put(v, getattr(like, k).sharding)
+                       for k, v in out["state"].items()})
+    return state, out.get("extra", {})

@@ -172,13 +172,19 @@ class TrainLoopHR:
     """
 
     def __init__(self, model, solver, scorer, val_mat, params: Params,
-                 log_fn: Callable[[str], None] = print):
+                 log_fn: Callable[[str], None] = print,
+                 metric_fn: Optional[Callable] = None):
+        """``metric_fn(view) -> float`` (higher = better) overrides the
+        default val HR@10 — e.g. NDCG for the trainHogPosNeg protocol
+        (modelMFBPR.cpp:633, isTerminateModelNDCG model.cpp:1379)."""
         self.model = model
         self.solver = solver
         self.scorer = scorer
         self.val_mat = val_mat
         self.params = params
         self.log_fn = log_fn
+        self.metric_fn = metric_fn or (
+            lambda view: self.scorer.hit_rate(view, self.val_mat, 10))
 
     def run(self, state: MFState, seed: Optional[int] = None) -> TrainReport:
         p = self.params
@@ -187,8 +193,7 @@ class TrainLoopHR:
         snapshot = lambda st: jax.tree_util.tree_map(jnp.copy, st)
 
         best_state = snapshot(state)
-        best_hr = self.scorer.hit_rate(
-            self.model.eval_view(state), self.val_mat, 10)
+        best_hr = self.metric_fn(self.model.eval_view(state))
         best_iter = -1
         history: List[EpochLog] = []
         stop = "max_iter"
@@ -209,8 +214,7 @@ class TrainLoopHR:
             lr *= 0.9  # modelMFBPR.cpp:533
 
             if it % p.obj_iter == 0 or it == p.max_iter - 1:
-                hr = self.scorer.hit_rate(
-                    self.model.eval_view(state), self.val_mat, 10)
+                hr = self.metric_fn(self.model.eval_view(state))
                 if hr > best_hr:
                     best_state = snapshot(state)
                     best_hr = hr
@@ -289,8 +293,24 @@ def train_model(data, params: Params, algo: str = "mf",
         cls(params, data.n_users, data.n_items)
 
     m = mf_method.lower()
+    sing_vals = None
     if m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
         solver = SGDSolver(model, params, data.train_mat, inval_u, inval_i)
+    elif m == "sgdparsvd":
+        # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
+        # singular-value-weighted regularization + objectiveSing
+        import jax.numpy as jnp
+        from matfac_tpu.ops.svd_init import svd_init
+        u0, v0, sing_vals = svd_init(data.train_mat, params.fac_dim)
+        reg = (params.u_reg + 1.0) / (params.i_reg + sing_vals)
+        solver = SGDSolver(model, params, data.train_mat, inval_u,
+                           inval_i, reg_vec=reg)
+        if init_state_override is None:
+            st = init_state(params, data.n_users, data.n_items)
+            u0 = np.resize(u0, (data.n_users, params.fac_dim))
+            v0 = np.resize(v0, (data.n_items, params.fac_dim))
+            init_state_override = st._replace(u_fac=jnp.asarray(u0),
+                                              i_fac=jnp.asarray(v0))
     elif m == "als":
         solver = ALSSolver(model, params, data.train_mat, inval_u, inval_i)
     elif m == "ccd":
@@ -314,6 +334,10 @@ def train_model(data, params: Params, algo: str = "mf",
     loop = TrainLoop(model, solver, ev, params, prefix=prefix,
                      invalid_users=inval_u, invalid_items=inval_i,
                      log_fn=log_fn)
+    if sing_vals is not None:
+        # isTerminateModelSing path: objective uses sigma-weighted L2
+        loop._objective = lambda st: ev.objective_sing(
+            model.eval_view(st), st, sing_vals)
     report = loop.run(state)
     return report, model, ev, (inval_u, inval_i)
 
@@ -336,8 +360,10 @@ def _train_ranking(data, params, algo, mf_method, log_fn,
         model = ModelBPRPoissonDropout(
             params, data.n_users, data.n_items, user_freq, item_freq,
             sample_poisson=(mf_method != "sigmoid"))
+    mode = ("posneg" if mf_method.lower() in ("hogposneg", "posneg")
+            else "stream")
     solver = BPRSolver(model, params, data.train_mat, inval_u, inval_i,
-                       n_tries=params.n_negatives)
+                       n_tries=params.n_negatives, mode=mode)
     scorer = CatalogScorer(data.train_mat, inval_u, inval_i,
                            data.n_users, data.n_items,
                            user_block=min(params.eval_user_block,
@@ -345,8 +371,15 @@ def _train_ranking(data, params, algo, mf_method, log_fn,
                            item_block=params.eval_item_block)
     state = init_state_override or init_state(params, data.n_users,
                                               data.n_items)
+    metric_fn = None
+    if mf_method.lower() in ("hog", "hogposneg", "posneg"):
+        # trainHog / trainHogPosNeg select on validation NDCG
+        # (modelMFBPR.cpp:245-402 / :633)
+        from matfac_tpu.eval.metrics import Evaluator
+        ev = Evaluator(data, inval_u, inval_i, params)
+        metric_fn = lambda view: ev.ndcg(view, "val")
     loop = TrainLoopHR(model, solver, scorer, data.val_mat, params,
-                       log_fn=log_fn)
+                       log_fn=log_fn, metric_fn=metric_fn)
     report = loop.run(state)
     return report, model, scorer, (inval_u, inval_i)
 

@@ -88,3 +88,26 @@ def test_bpr_poisson_end_to_end(lo_data):
                                         log_fn=lambda s: None)
     assert np.isfinite(rep.best_metric)
     assert rep.best_metric > 0.3
+
+
+def test_bpr_posneg_mode(lo_data):
+    """posneg sampling mode with HR selection (NDCG selection needs
+    >=2-entry val rows, which leave-one-out data lacks by design)."""
+    from matfac_tpu.eval.ranking import CatalogScorer
+    from matfac_tpu.models.base import init_state
+    from matfac_tpu.train.loop import TrainLoopHR
+
+    data = lo_data
+    params = Params(fac_dim=8, u_reg=0.001, i_reg=0.001, learn_rate=0.3,
+                    max_iter=20, seed=2, batch_size=256, disp_iter=1000)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    model = ModelMFBPR(params, data.n_users, data.n_items)
+    solver = BPRSolver(model, params, data.train_mat, iu, ii,
+                       batch_size=256, mode="posneg")
+    scorer = CatalogScorer(data.train_mat, iu, ii, data.n_users,
+                           data.n_items, user_block=128, item_block=128)
+    loop = TrainLoopHR(model, solver, scorer, data.val_mat, params,
+                       log_fn=lambda s: None)
+    rep = loop.run(init_state(params, data.n_users, data.n_items))
+    assert rep.best_metric > 0.5, rep.best_metric

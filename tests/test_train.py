@@ -213,3 +213,42 @@ def test_train_model_longtail_models():
         init_val = ev.rmse(model.eval_view(
             init_state(p, data.n_users, data.n_items)), "val")
         assert rep.best_metric < init_val, algo
+
+
+def test_train_model_sgdparsvd():
+    data, uf, vf = synthetic_data(n_users=80, n_items=60, k=3,
+                                  density=0.35, seed=11, noise=0.05,
+                                  nonneg=True)
+    p = Params(fac_dim=3, u_reg=0.1, i_reg=1.0, learn_rate=0.02,
+               max_iter=15, seed=1, batch_size=256, disp_iter=1000)
+    rep, model, ev, _ = train_model(data, p, algo="mf",
+                                    mf_method="sgdparsvd",
+                                    log_fn=lambda s: None)
+    assert np.isfinite(rep.best_metric)
+    assert rep.best_metric < 1.0  # SVD init should start close already
+
+
+def test_full_low_rank_err():
+    from matfac_tpu.models.base import EvalView
+    import jax.numpy as jnp
+    from matfac_tpu.utils import freq as ufreq
+    from matfac_tpu.eval.metrics import Evaluator
+
+    data, uf, vf = synthetic_data(n_users=40, n_items=30, k=3,
+                                  density=0.3, seed=12, noise=0.0)
+    p = Params(fac_dim=3)
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    ev = Evaluator(data, iu, ii, p)
+    gt = EvalView(jnp.asarray(uf), jnp.asarray(vf),
+                  jnp.zeros(data.n_users), jnp.zeros(data.n_items),
+                  jnp.float32(0))
+    # ground truth vs itself -> 0 error
+    assert ev.full_low_rank_err(gt, uf, vf) < 1e-5
+    # shifted model -> positive error
+    sh = gt._replace(u_fac=gt.u_fac + 0.5)
+    err = ev.full_low_rank_err(sh, uf, vf)
+    assert err > 0.1
+    # unobserved-only excludes rated cells
+    err_all = ev.full_low_rank_err(sh, uf, vf, exclude_rated=False)
+    assert np.isfinite(err_all)
