@@ -84,6 +84,52 @@ def score_bucket_rmses(orig_view: EvalView, full_view: EvalView,
     return rmse_curve(scores, actual, predicted, n_buckets)
 
 
+# ----------------------------------------------------------------------
+# pair-score providers — the orderings the reference's bucket family
+# compares (computeModConf / computeGPRConf / computePPRConf /
+# genOptConfRMSECurve / genUserConfRMSECurve / genItemConfRMSECurve,
+# confCompute.cpp:379-993): feed any of these into score_bucket_rmses.
+# ----------------------------------------------------------------------
+
+def gpr_pair_scores(ppr_engine, cols, lamda: float = 0.85) -> np.ndarray:
+    """Global-PageRank score of each pair's item (computeGPRConf)."""
+    gpr = np.asarray(ppr_engine.global_pagerank(lamda))
+    return gpr[np.asarray(cols)]
+
+
+def ppr_pair_scores(ppr_engine, train_mat, rows, cols,
+                    lamda: float = 0.85, user_batch: int = 64
+                    ) -> np.ndarray:
+    """Personalized-PageRank score of each pair's item w.r.t. its user
+    (computePPRConf / computeMissingPPRConf)."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    out = np.zeros(len(rows))
+    uniq = np.unique(rows)
+    for s in range(0, len(uniq), user_batch):
+        us = uniq[s:s + user_batch]
+        pr = ppr_engine.user_ppr(train_mat, us, lamda)
+        for j, u in enumerate(us):
+            m = rows == u
+            out[m] = pr[j, cols[m]]
+    return out
+
+
+def freq_pair_scores(item_freq: np.ndarray, cols) -> np.ndarray:
+    """Item-frequency ordering (genItemConfCurve by freq)."""
+    return np.asarray(item_freq)[np.asarray(cols)]
+
+
+def optimal_pair_scores(orig_view: EvalView, full_view: EvalView,
+                        rows, cols) -> np.ndarray:
+    """Oracle ordering: most-confident = smallest true error
+    (genOptConfRMSECurve, confCompute.cpp:271-313)."""
+    r, c = _pairs(rows, cols)
+    a = np.asarray(predict_pairs(orig_view, r, c))
+    p = np.asarray(predict_pairs(full_view, r, c))
+    return -np.abs(a - p)
+
+
 def per_user_bucket_rmses(orig_view: EvalView, full_view: EvalView,
                           item_scores: np.ndarray, users: np.ndarray,
                           item_mask: np.ndarray, n_buckets: int = 10

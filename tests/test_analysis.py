@@ -224,3 +224,48 @@ def test_incremental_rank_training():
     # model eval view truncates by rank
     view = model.eval_view(rep.state)
     assert np.isfinite(np.asarray(view.u_fac)).all()
+
+
+def test_pair_score_providers():
+    from matfac_tpu.analysis.confidence import (freq_pair_scores,
+                                                gpr_pair_scores,
+                                                optimal_pair_scores,
+                                                ppr_pair_scores,
+                                                score_bucket_rmses)
+    from matfac_tpu.data import io as mfio
+
+    data, uf, vf = synthetic_data(n_users=40, n_items=30, k=3,
+                                  density=0.4, seed=9, noise=0.05)
+    graph = mfio.item_cosine_sim(data.train_mat, top_k=5)
+    eng = PPREngine(graph)
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 40, 50)
+    cols = rng.integers(0, 30, 50)
+    orig = make_view(uf, vf)
+    full = make_view(uf + 0.2 * rng.standard_normal(uf.shape
+                                                    ).astype(np.float32),
+                     vf)
+    gpr = gpr_pair_scores(eng, cols)
+    assert gpr.shape == (50,) and (gpr >= 0).all()
+    ppr = ppr_pair_scores(eng, data.train_mat, rows, cols)
+    assert ppr.shape == (50,)
+    fr = freq_pair_scores(data.train_mat.col_degrees(), cols)
+    assert (fr >= 0).all()
+    op = optimal_pair_scores(orig, full, rows, cols)
+    # oracle ordering yields monotonically nondecreasing bucket RMSEs
+    curve = score_bucket_rmses(orig, full, rows, cols, op, n_buckets=5)
+    assert (np.diff(curve) >= -1e-6).all()
+
+
+def test_distributed_helpers():
+    from matfac_tpu.parallel.distributed import (host_local_ratings,
+                                                 host_user_range)
+    data, _, _ = synthetic_data(n_users=50, n_items=30, k=3, density=0.3,
+                                seed=1)
+    total = 0
+    for s in range(4):
+        lo, hi = host_user_range(50, 4, s)
+        r, c, v = host_local_ratings(data.train_mat, 50, 4, s)
+        assert ((r >= lo) & (r < hi)).all()
+        total += len(r)
+    assert total == data.train_mat.nnz
