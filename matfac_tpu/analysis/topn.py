@@ -141,3 +141,22 @@ def top_n_rec(view: EvalView, train_mat: RatingMatrix,
         {s: hits[s] / max(n_test, 1) for s in scorers},
         {s: head_hits[s] / max(n_head, 1) for s in scorers},
         {s: tail_hits[s] / max(n_tail, 1) for s in scorers})
+
+
+def spot_rec(views: Dict[str, EvalView], train_mat: RatingMatrix,
+             test_mat: RatingMatrix, invalid_users: np.ndarray,
+             invalid_items: np.ndarray, n_values=(1, 5, 10, 20),
+             head_pc: float = 0.5, n_samp_users: int = 5000,
+             n_negatives: int = 1000, seed: int = 1
+             ) -> Dict[str, "TopNRecReport"]:
+    """spotRec analog (longTail.cpp:2139): sampled-negative recall at
+    several N cutoffs for multiple models (e.g. trained vs SVD),
+    head/tail split. Returns {f"{name}@N": report}."""
+    out = {}
+    for name, view in views.items():
+        for n in n_values:
+            out[f"{name}@{n}"] = top_n_rec(
+                view, train_mat, test_mat, invalid_users, invalid_items,
+                head_pc=head_pc, n=n, n_samp_users=n_samp_users,
+                n_negatives=n_negatives, seed=seed)
+    return out

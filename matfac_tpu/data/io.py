@@ -264,3 +264,26 @@ def item_jaccard_sim(mat: RatingMatrix, top_k: int = 50,
     return RatingMatrix.from_coo(
         np.concatenate(rows_out), np.concatenate(cols_out),
         np.concatenate(vals_out), n_items, n_items)
+
+
+def write_csr_with_model_values(mat: RatingMatrix, u_fac: np.ndarray,
+                                i_fac: np.ndarray, path: str,
+                                with_values: bool = True) -> None:
+    """writeCSRWSparsityStructure analog (io.cpp:690-714): same sparsity
+    pattern, values replaced by a factor model's predictions."""
+    r, c, _ = mat.to_coo()
+    vals = np.einsum("ek,ek->e", u_fac[r], i_fac[c]).astype(np.float32)
+    out = RatingMatrix.from_coo(r, c, vals, mat.nrows, mat.ncols)
+    write_csr(out, path, with_values)
+
+
+def tail_test_mat(mat: RatingMatrix, head_mask: np.ndarray,
+                  max_ratings: int = 5000) -> RatingMatrix:
+    """writeTailTestMat analog (io.cpp:~500): keep only tail-item test
+    entries, capped at ``max_ratings`` total."""
+    r, c, v = mat.to_coo()
+    keep = ~head_mask[c]
+    r, c, v = r[keep], c[keep], v[keep]
+    if len(r) > max_ratings:
+        r, c, v = r[:max_ratings], c[:max_ratings], v[:max_ratings]
+    return RatingMatrix.from_coo(r, c, v, mat.nrows, mat.ncols)

@@ -269,3 +269,32 @@ def test_distributed_helpers():
         assert ((r >= lo) & (r < hi)).all()
         total += len(r)
     assert total == data.train_mat.nnz
+
+
+def test_io_variants_and_spot_rec(tmp_path):
+    from matfac_tpu.analysis.topn import spot_rec
+    from matfac_tpu.data.io import (read_csr, tail_test_mat,
+                                    write_csr_with_model_values)
+
+    data, uf, vf = synthetic_data(n_users=30, n_items=25, k=3,
+                                  density=0.4, seed=2, nonneg=True)
+    p = str(tmp_path / "pred.csr")
+    write_csr_with_model_values(data.train_mat, uf, vf, p)
+    back = read_csr(p)
+    r, c, _ = data.train_mat.to_coo()
+    np.testing.assert_allclose(
+        back.to_dense()[r, c],
+        np.einsum("ek,ek->e", uf[r], vf[c]), rtol=1e-3, atol=1e-3)
+
+    head = freq.head_items(data.train_mat, 0.5)
+    tail = tail_test_mat(data.test_mat, head, max_ratings=10)
+    assert tail.nnz <= 10
+    assert not head[tail.to_coo()[1]].any()
+
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    reps = spot_rec({"gt": make_view(uf, vf)}, data.train_mat,
+                    data.test_mat, iu, ii, n_values=(1, 5),
+                    n_samp_users=10, n_negatives=15)
+    assert set(reps) == {"gt@1", "gt@5"}
+    assert reps["gt@5"].recall["model"] >= reps["gt@1"].recall["model"]
