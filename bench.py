@@ -13,6 +13,8 @@ Env knobs:
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -101,5 +103,18 @@ def main():
     }))
 
 
+def _watchdog(signum, frame):
+    # a wedged device tunnel must not stall the driver: emit a sentinel
+    # line and die
+    print(json.dumps({"metric": "sgd_ratings_per_sec_per_chip",
+                      "value": 0.0, "unit": "ratings/s/chip",
+                      "vs_baseline": 0.0,
+                      "extra": {"error": "bench watchdog timeout"}}),
+          flush=True)
+    os._exit(2)
+
+
 if __name__ == "__main__":
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1500")))
     main()

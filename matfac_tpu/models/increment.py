@@ -73,8 +73,8 @@ def _build_epoch(n_total, n_batches, B, u_reg, i_reg, k):
                   + 2.0 * u_reg * v[:, None] * pu) * m
             gi = (-2.0 * (v * diff)[:, None] * pu
                   + 2.0 * i_reg * v[:, None] * qi) * m
-            return st._replace(u_fac=st.u_fac.at[u].add(-lr * gu),
-                               i_fac=st.i_fac.at[i].add(-lr * gi)), None
+            return st._replace(u_fac=st.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
+                               i_fac=st.i_fac.at[i].add((-lr * gi).astype(st.i_fac.dtype))), None
 
         state, _ = jax.lax.scan(step, state, border)
         return state

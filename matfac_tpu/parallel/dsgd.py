@@ -180,8 +180,9 @@ class DSGDShardedSolver:
                           + 2.0 * u_reg * vmask[:, None] * pu) * m
                     gi = (-2.0 * (w * diff)[:, None] * pu
                           + 2.0 * i_reg * vmask[:, None] * qi) * m
-                    u_fac = u_fac.at[u].add(-lr * gu)
-                    i_fac_blk = i_fac_blk.at[i].add(-lr * gi)
+                    u_fac = u_fac.at[u].add((-lr * gu).astype(u_fac.dtype))
+                    i_fac_blk = i_fac_blk.at[i].add(
+                        (-lr * gi).astype(i_fac_blk.dtype))
                     return (u_fac, i_fac_blk, key)
 
                 u_fac, i_fac_blk, key = jax.lax.fori_loop(

@@ -196,9 +196,9 @@ class BPRSolver:
                 if m is not None:
                     gu, gp, gn = gu * m, gp * m, gn * m
                 st = st._replace(
-                    u_fac=st.u_fac.at[u].add(-lr * gu),
-                    i_fac=st.i_fac.at[p].add(-lr * gp
-                                             ).at[neg].add(-lr * gn))
+                    u_fac=st.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
+                    i_fac=st.i_fac.at[p].add((-lr * gp).astype(st.i_fac.dtype)
+                                             ).at[neg].add((-lr * gn).astype(st.i_fac.dtype)))
                 return (st, loss, inv), None
 
             keys = jax.random.split(key, n_batches)
@@ -285,9 +285,9 @@ class BPRSolver:
                 if m is not None:
                     gu, gp, gn = gu * m, gp * m, gn * m
                 st = st._replace(
-                    u_fac=st.u_fac.at[u].add(-lr * gu),
-                    i_fac=st.i_fac.at[p].add(-lr * gp
-                                             ).at[neg].add(-lr * gn))
+                    u_fac=st.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
+                    i_fac=st.i_fac.at[p].add((-lr * gp).astype(st.i_fac.dtype)
+                                             ).at[neg].add((-lr * gn).astype(st.i_fac.dtype)))
                 return (st, loss, inv), None
 
             keys = jax.random.split(key, n_batches)

@@ -133,14 +133,14 @@ class SGDSolver:
                         gu = gu * m
                         gi = gi * m
                     new = new._replace(
-                        u_fac=new.u_fac.at[u].add(-lr * gu),
-                        i_fac=new.i_fac.at[i].add(-lr * gi))
+                        u_fac=new.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
+                        i_fac=new.i_fac.at[i].add((-lr * gi).astype(st.i_fac.dtype)))
                 if use_bias:
                     gbu = -2.0 * w * diff + 2.0 * u_reg * v * st.u_bias[u]
                     gbi = -2.0 * w * diff + 2.0 * i_reg * v * st.i_bias[i]
                     new = new._replace(
-                        u_bias=new.u_bias.at[u].add(-lr * gbu),
-                        i_bias=new.i_bias.at[i].add(-lr * gbi))
+                        u_bias=new.u_bias.at[u].add((-lr * gbu).astype(st.u_bias.dtype)),
+                        i_bias=new.i_bias.at[i].add((-lr * gbi).astype(st.i_bias.dtype)))
                 return new, None
 
             keys = jax.random.split(mask_key, n_batches)

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from matfac_tpu.config import Params
 from matfac_tpu.data.synthetic import synthetic_data
@@ -179,3 +180,22 @@ def test_ccdpp_freq_adaptive_truncates(setup):
     # rare items: dims 1.. must be zero
     np.testing.assert_allclose(V[rare, 1:], 0.0, atol=1e-7)
     assert np.abs(V[rare, 0]).max() > 0
+
+
+def test_sgd_bfloat16_converges(setup):
+    """bf16 factor tables (HBM-traffic halving) still converge on the
+    SGD path; ALS stays f32 (Cholesky precision)."""
+    data, _, ev0, _, iu, ii = setup
+    params = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.02,
+                    seed=5, dtype="bfloat16")
+    ev = Evaluator(data, iu, ii, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    solver = SGDSolver(model, params, data.train_mat, iu, ii,
+                       batch_size=512)
+    state = init_state(params, data.n_users, data.n_items)
+    assert state.u_fac.dtype == jnp.bfloat16
+    state = run_epochs(solver, model, params, ev, 40, lr=0.02,
+                       state=state)
+    assert state.u_fac.dtype == jnp.bfloat16
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 0.3, f"bf16 val RMSE {val}"
