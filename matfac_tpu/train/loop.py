@@ -240,14 +240,14 @@ class TrainLoopHR:
 # one-call front door
 # ----------------------------------------------------------------------
 
-_SOLVERS = ("sgd", "sgdpar", "sgdu", "hogsgd", "als", "ccd", "ccd++",
-            "ccd++freqadap")
+_SOLVERS = ("sgd", "sgdpar", "sgdparsvd", "sgdu", "hogsgd", "als",
+            "ialspp", "ccd", "ccd++", "ccd++freqadap")
 
 
 def train_model(data, params: Params, algo: str = "mf",
                 mf_method: str = "sgd", log_fn=print,
                 init_state_override: Optional[MFState] = None,
-                prefix: Optional[str] = None):
+                prefix: Optional[str] = None, mesh=None):
     """Build model+solver from reference-parity names and train.
 
     algo: mf | mf_bias | IFWMF | TMF | TMFDropout  (main.cpp --algo)
@@ -294,7 +294,12 @@ def train_model(data, params: Params, algo: str = "mf",
 
     m = mf_method.lower()
     sing_vals = None
-    if m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
+    if mesh is not None and m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
+        # multi-device: block-stratified DSGD over the mesh
+        from matfac_tpu.parallel.dsgd import DSGDShardedSolver
+        solver = DSGDShardedSolver(model, params, data.train_mat,
+                                   inval_u, inval_i, mesh)
+    elif m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
         solver = SGDSolver(model, params, data.train_mat, inval_u, inval_i)
     elif m == "sgdparsvd":
         # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
@@ -313,6 +318,10 @@ def train_model(data, params: Params, algo: str = "mf",
                                               i_fac=jnp.asarray(v0))
     elif m == "als":
         solver = ALSSolver(model, params, data.train_mat, inval_u, inval_i)
+    elif m == "ialspp":
+        from matfac_tpu.solvers.als import SubspaceALSSolver
+        solver = SubspaceALSSolver(model, params, data.train_mat,
+                                   inval_u, inval_i)
     elif m == "ccd":
         if not data.train_mat.is_sorted():
             raise ValueError("CCD requires sorted CSR (main.cpp:1245)")

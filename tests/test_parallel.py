@@ -152,3 +152,18 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (1024,)
     g.dryrun_multichip(8)
+
+
+def test_train_model_with_mesh(setup):
+    """train_model front door with a mesh routes SGD through the
+    sharded DSGD solver and the full termination loop."""
+    from matfac_tpu.train.loop import train_model
+
+    data, _, _, _, iu, ii = setup
+    mesh = make_mesh((8,), ("u",))
+    p = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, learn_rate=0.02,
+               max_iter=25, seed=5, batch_size=256, disp_iter=1000)
+    rep, model, ev, _ = train_model(data, p, algo="mf",
+                                    mf_method="sgdpar",
+                                    log_fn=lambda s: None, mesh=mesh)
+    assert rep.best_metric < 1.0, rep.best_metric

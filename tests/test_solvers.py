@@ -199,3 +199,41 @@ def test_sgd_bfloat16_converges(setup):
     assert state.u_fac.dtype == jnp.bfloat16
     val = ev.rmse(model.eval_view(state), "val")
     assert val < 0.3, f"bf16 val RMSE {val}"
+
+
+def test_subspace_als_recovers_low_rank(setup_pos):
+    from matfac_tpu.solvers.als import SubspaceALSSolver
+
+    data, params, ev, model, iu, ii = setup_pos
+    solver = SubspaceALSSolver(model, params, data.train_mat, iu, ii,
+                               block_dim=2)
+    state = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(0)
+    # block-coordinate descent needs more sweeps than full ALS at tiny
+    # k/d; its win is wall-clock per sweep at large k (iALS++)
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        state = solver.epoch(state, 0.0, k)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+
+
+def test_subspace_als_matches_full_als_fixpoint(setup_pos):
+    """At convergence both solve the same normal equations — after many
+    sweeps the two solutions give near-identical train RMSE."""
+    from matfac_tpu.solvers.als import SubspaceALSSolver
+
+    data, params, ev, model, iu, ii = setup_pos
+    full = ALSSolver(model, params, data.train_mat, iu, ii)
+    sub = SubspaceALSSolver(model, params, data.train_mat, iu, ii,
+                            block_dim=2)
+    s1 = init_state(params, model.n_users, model.n_items)
+    s2 = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(1)
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        s1 = full.epoch(s1, 0.0, None)
+        s2 = sub.epoch(s2, 0.0, k)
+    r1 = ev.rmse(model.eval_view(s1), "train")
+    r2 = ev.rmse(model.eval_view(s2), "train")
+    assert abs(r1 - r2) < 0.02, (r1, r2)
