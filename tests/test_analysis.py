@@ -298,3 +298,36 @@ def test_io_variants_and_spot_rec(tmp_path):
                     n_samp_users=10, n_negatives=15)
     assert set(reps) == {"gt@1", "gt@5"}
     assert reps["gt@5"].recall["model"] >= reps["gt@1"].recall["model"]
+
+
+def test_analysis_drivers():
+    from matfac_tpu.analysis.drivers import (compare_ppr_gpr,
+                                             freq_rmse_sweep,
+                                             sample_top_n_analysis)
+    from matfac_tpu.ops.svd_init import svd_init
+
+    data, uf, vf = synthetic_data(n_users=50, n_items=40, k=3,
+                                  density=0.35, seed=6, noise=0.05,
+                                  power_law=0.7, nonneg=True)
+    params = Params(fac_dim=3)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    ev = Evaluator(data, iu, ii, params)
+    orig = make_view(uf, vf)
+    full = make_view(uf + 0.1, vf)
+    sweep = freq_rmse_sweep(full, ev, data)
+    assert set(sweep) == {0.1, 0.25, 0.5, 0.75, 1.0}
+    counts = [sweep[p][0] for p in sorted(sweep)]
+    assert counts == sorted(counts)  # monotone coverage
+
+    su, sv, _ = svd_init(data.train_mat, 3)
+    svd_view = make_view(su, sv)
+    graph = mfio.item_cosine_sim(data.train_mat, top_k=5)
+    eng = PPREngine(graph)
+    rep = sample_top_n_analysis(full, orig, ev, data, iu, ii,
+                                svd_view=svd_view, ppr_engine=eng,
+                                n_users=8, n_buckets=4)
+    assert set(rep["bucket_curves"]) == {"freq", "svd", "ppr"}
+
+    ov = compare_ppr_gpr(eng, data.train_mat, users=[0, 1, 2], top_m=10)
+    assert 0.0 <= ov["mean_overlap"] <= 1.0
