@@ -56,7 +56,76 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--quartiles", action="store_true", default=True)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "analyze"],
+                    help="analyze = offline analysis of saved factors "
+                         "(computeSampTopNFrmFullModel path, "
+                         "main.cpp:75-396)")
     return ap
+
+
+def _run_analyze(args, params, data):
+    """Offline analysis: load trained factors (--initufac/--initifac),
+    optional ground truth (--origufac/--origifac), run freq-RMSE sweeps,
+    top-bucket curves and PPR/GPR comparison."""
+    import jax.numpy as jnp
+
+    from matfac_tpu.analysis.drivers import (compare_ppr_gpr,
+                                             sample_top_n_analysis)
+    from matfac_tpu.data.io import item_cosine_sim, read_factor_mat
+    from matfac_tpu.eval.metrics import Evaluator
+    from matfac_tpu.models.base import EvalView
+    from matfac_tpu.ops.ppr import PPREngine
+    from matfac_tpu.ops.svd_init import svd_init
+    from matfac_tpu.utils import freq as ufreq
+
+    if not (args.initufac and args.initifac):
+        raise SystemExit("--mode analyze needs --initufac/--initifac "
+                         "(the trained factors)")
+    inval_u, inval_i = ufreq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    ev = Evaluator(data, inval_u, inval_i, params)
+
+    def view_of(u, i):
+        return EvalView(jnp.asarray(u), jnp.asarray(i),
+                        jnp.zeros(data.n_users), jnp.zeros(data.n_items),
+                        jnp.float32(0))
+
+    full = view_of(read_factor_mat(args.initufac, data.n_users,
+                                   params.fac_dim),
+                   read_factor_mat(args.initifac, data.n_items,
+                                   params.fac_dim))
+    print(f"Loaded model: Train RMSE {ev.rmse(full, 'train'):.6f} "
+          f"Test RMSE {ev.rmse(full, 'test'):.6f}")
+
+    orig = full
+    if data.orig_u_fac is not None and data.orig_i_fac is not None:
+        orig = view_of(data.orig_u_fac, data.orig_i_fac)
+        print(f"fullLowRankErr vs ground truth: "
+              f"{ev.full_low_rank_err(full, data.orig_u_fac, data.orig_i_fac):.6f}")
+
+    su, sv, _ = svd_init(data.train_mat, params.svd_fac_dim,
+                         sparsity_only=True)
+    svd_view = view_of(su, sv)
+    if data.graph_mat is not None:
+        eng = PPREngine(data.graph_mat)
+    else:
+        eng = PPREngine(item_cosine_sim(data.train_mat, top_k=50))
+    rep = sample_top_n_analysis(full, orig, ev, data, inval_u, inval_i,
+                                svd_view=svd_view, ppr_engine=eng,
+                                n_users=min(200, data.n_users),
+                                seed=params.seed)
+    print("Freq-RMSE sweep (top-p items): ")
+    for p, (cnt, rmse) in rep["freq_rmse_sweep"].items():
+        print(f"  top {p:.0%}: n={cnt} rmse={rmse:.6f}")
+    print("Per-user bucket RMSE curves (bucket 0 = top-scored):")
+    for name, curve in rep["bucket_curves"].items():
+        print(f"  {name}: " + " ".join(f"{x:.4f}" for x in curve))
+    users = np.random.default_rng(params.seed).choice(
+        data.n_users, size=min(50, data.n_users), replace=False)
+    ov = compare_ppr_gpr(eng, data.train_mat, users)
+    print(f"PPR-vs-GPR top-100 mean overlap: {ov['mean_overlap']:.4f}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -84,6 +153,9 @@ def main(argv=None) -> int:
 
     data = Data(params)
     print(data)
+
+    if args.mode == "analyze":
+        return _run_analyze(args, params, data)
 
     init_override = None
     if args.initufac and args.initifac:
