@@ -99,6 +99,10 @@ def bucketed_rows(mat: RatingMatrix, min_cap: int = 8,
     out: List[RowBucket] = []
     if not keep.any():
         return out
+    # vectorized fill: per-entry destination = (bucket-local row, slot)
+    r, c, v = mat.to_coo()
+    slot = np.arange(mat.nnz, dtype=np.int64) - np.repeat(
+        mat.indptr[:-1], deg)
     max_deg = int(deg[keep].max())
     cap = max(min_cap, 1)
     lo = 0
@@ -107,15 +111,16 @@ def bucketed_rows(mat: RatingMatrix, min_cap: int = 8,
         sel = np.nonzero(keep & (deg > lo) & (deg <= hi))[0]
         if len(sel):
             nb = -(-len(sel) // rows_multiple) * rows_multiple
+            local = np.full(mat.nrows, -1, np.int64)
+            local[sel] = np.arange(len(sel))
+            erow = local[r]
+            ok = erow >= 0
             cols = np.zeros((nb, cap), np.int32)
             vals = np.zeros((nb, cap), np.float32)
             mask = np.zeros((nb, cap), np.float32)
-            for j, rid in enumerate(sel):
-                s, e = mat.indptr[rid], mat.indptr[rid + 1]
-                d = e - s
-                cols[j, :d] = mat.indices[s:e]
-                vals[j, :d] = mat.values[s:e]
-                mask[j, :d] = 1.0
+            cols[erow[ok], slot[ok]] = c[ok]
+            vals[erow[ok], slot[ok]] = v[ok]
+            mask[erow[ok], slot[ok]] = 1.0
             row_ids = np.concatenate(
                 [sel.astype(np.int32),
                  np.zeros(nb - len(sel), np.int32)])

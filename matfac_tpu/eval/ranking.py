@@ -148,20 +148,22 @@ def _loo_score(top_i: np.ndarray, test_mat: RatingMatrix,
                invalid_users: np.ndarray, n_users: int,
                reciprocal: bool) -> float:
     deg = test_mat.row_degrees()
-    hits = 0.0
-    n_val = 0
     nr = min(test_mat.nrows, n_users)
     first = np.zeros(nr, dtype=np.int64)
     nz = deg[:nr] > 0
     first[nz] = test_mat.indices[test_mat.indptr[:nr][nz]]
-    for u in range(nr):
-        if invalid_users[u] or not nz[u]:
-            continue
-        n_val += 1
-        pos = np.nonzero(top_i[u] == first[u])[0]
-        if len(pos):
-            hits += 1.0 / (pos[0] + 1) if reciprocal else 1.0
-    return hits / n_val if n_val else 0.0
+    valid = nz & ~invalid_users[:nr]
+    n_val = int(valid.sum())
+    if n_val == 0:
+        return 0.0
+    match = top_i[:nr] == first[:, None]          # [nr, N]
+    has_hit = match.any(axis=1) & valid
+    if reciprocal:
+        rank = np.argmax(match, axis=1)           # first hit position
+        credit = np.where(has_hit, 1.0 / (rank + 1.0), 0.0)
+    else:
+        credit = has_hit.astype(np.float64)
+    return float(credit.sum()) / n_val
 
 
 def _round_up(x: int, m: int) -> int:

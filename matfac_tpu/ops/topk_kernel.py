@@ -183,38 +183,28 @@ class PallasCatalogScorer:
         self.invalid = jnp.asarray(inval)
         self.invalid_users = invalid_users
 
-        # rated-in-tile lists [n_user_blocks][n_tiles, BU, c_max]
+        # rated-in-tile lists [n_user_blocks][n_tiles, BU, c_max] —
+        # vectorized staging (O(nnz), no Python per-entry loops)
         self.n_users_pad = _round_up(n_users, user_block)
-        deg = np.zeros(self.n_users_pad, np.int64)
-        deg[: train_mat.nrows] = train_mat.row_degrees()
-        self.rated_tiles = []
-        c_max_global = 1
-        per_block = []
-        for s in range(0, self.n_users_pad, user_block):
-            counts = np.zeros((self.n_tiles, user_block), np.int64)
-            entries = []   # (tile, local_u, col)
-            for j in range(user_block):
-                u = s + j
-                if u >= train_mat.nrows:
-                    continue
-                cols = train_mat.row(u)[0]
-                tiles = cols // self.item_block
-                for tile, col in zip(tiles, cols):
-                    entries.append((tile, j, col))
-                    counts[tile, j] += 1
-            c_max = max(int(counts.max()), 1) if entries else 1
-            c_max_global = max(c_max_global, c_max)
-            per_block.append(entries)
-        self.c_max = _round_up(c_max_global, 8)
-        for b, entries in enumerate(per_block):
-            arr = np.full((self.n_tiles, user_block, self.c_max), -1,
-                          np.int32)
-            pos = {}
-            for tile, j, col in entries:
-                p = pos.get((tile, j), 0)
-                arr[tile, j, p] = col
-                pos[(tile, j)] = p + 1
-            self.rated_tiles.append(jnp.asarray(arr))
+        r, c, _ = train_mat.to_coo()
+        tile = c // self.item_block
+        ublk = r // user_block
+        ulocal = r % user_block
+        # slot of each entry within its (user, tile) group: entries are
+        # row-major sorted, and within a row tiles are nondecreasing
+        grp = (r.astype(np.int64) * self.n_tiles + tile)
+        order = np.argsort(grp, kind="stable")
+        grp_s = grp[order]
+        slot = np.arange(len(grp_s)) - np.searchsorted(grp_s, grp_s,
+                                                       side="left")
+        c_max = int(slot.max()) + 1 if len(slot) else 1
+        self.c_max = _round_up(max(c_max, 1), 8)
+        n_blocks = self.n_users_pad // user_block
+        stage = np.full((n_blocks, self.n_tiles, user_block, self.c_max),
+                        -1, np.int32)
+        stage[ublk[order], tile[order], ulocal[order], slot] = c[order]
+        self.rated_tiles = [jnp.asarray(stage[b])
+                            for b in range(n_blocks)]
 
     def topk(self, view, n: int):
         i_fac = view.i_fac
