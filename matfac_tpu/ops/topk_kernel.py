@@ -156,11 +156,6 @@ def topk_tiles(u_blk: jax.Array, i_fac: jax.Array, i_bias: jax.Array,
     return out_v, out_i
 
 
-def _kernel_available() -> bool:
-    import os
-    return os.environ.get("MATFAC_DISABLE_PALLAS") != "1"
-
-
 class PallasCatalogScorer:
     """Drop-in alternative backend for eval.ranking.CatalogScorer's
     topk, using the fused kernel. Falls back to interpret mode off-TPU
