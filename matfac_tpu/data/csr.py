@@ -170,6 +170,36 @@ class RatingMatrix:
         mask[r[ok], pos[ok]] = True
         return cols, vals, mask
 
+    def stats(self) -> dict:
+        """genStats analog (util.cpp:319-411): nnz + degree summary."""
+        du = self.row_degrees()
+        di = self.col_degrees()
+        return {
+            "nnz": self.nnz, "nrows": self.nrows, "ncols": self.ncols,
+            "mean_rating": self.mean_rating(),
+            "row_deg_min": int(du.min()) if len(du) else 0,
+            "row_deg_max": int(du.max()) if len(du) else 0,
+            "row_deg_mean": float(du.mean()) if len(du) else 0.0,
+            "col_deg_min": int(di.min()) if len(di) else 0,
+            "col_deg_max": int(di.max()) if len(di) else 0,
+            "col_deg_mean": float(di.mean()) if len(di) else 0.0,
+            "zero_rows": int((du == 0).sum()),
+            "zero_cols": int((di == 0).sum()),
+        }
+
     def __repr__(self) -> str:
         return (f"RatingMatrix(nrows={self.nrows}, ncols={self.ncols}, "
                 f"nnz={self.nnz})")
+
+
+def mats_equal(a: "RatingMatrix", b: "RatingMatrix",
+               check_values: bool = True, tol: float = 0.0) -> bool:
+    """Structural (+value) equality — compMat analog (util.cpp:964-987)."""
+    if a.shape != b.shape or a.nnz != b.nnz:
+        return False
+    if not (np.array_equal(a.indptr, b.indptr)
+            and np.array_equal(a.indices, b.indices)):
+        return False
+    if check_values:
+        return bool(np.all(np.abs(a.values - b.values) <= tol))
+    return True

@@ -192,3 +192,15 @@ def test_item_sim_graphs():
     # no self loops
     r, c, _ = cos.to_coo()
     assert not (r == c).any()
+
+
+def test_stats_and_equality():
+    from matfac_tpu.data.csr import mats_equal
+    mat, _ = small_mat()
+    st = mat.stats()
+    assert st["nnz"] == 6 and st["zero_rows"] == 1
+    assert mats_equal(mat, mat.copy())
+    other = RatingMatrix(mat.indptr, mat.indices,
+                         mat.values + 1.0, mat.ncols)
+    assert not mats_equal(mat, other)
+    assert mats_equal(mat, other, check_values=False)

@@ -167,3 +167,34 @@ def test_train_model_with_mesh(setup):
                                     mf_method="sgdpar",
                                     log_fn=lambda s: None, mesh=mesh)
     assert rep.best_metric < 1.0, rep.best_metric
+
+
+def test_dsgd_with_tmf_rank_tables(setup):
+    """DSGD staging honors TMF deterministic pair ranks and TMF+Poisson
+    sampling flags."""
+    from matfac_tpu.models.longtail import (ModelDropoutSigmoid,
+                                            ModelPoissonDropout)
+
+    data, params, ev, _, iu, ii = setup
+    uf, itf = freq.row_col_freq(data.train_mat)
+    uf = np.resize(uf, data.n_users)
+    itf = np.resize(itf, data.n_items)
+    p = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, rho_rms=1.0,
+               alpha=0.0, seed=5, batch_size=256)
+    mesh = make_mesh((8,), ("u",))
+    for cls, sampled in ((ModelDropoutSigmoid, False),
+                         (ModelPoissonDropout, True)):
+        m = cls(p, data.n_users, data.n_items, uf, itf)
+        solver = DSGDShardedSolver(m, p, data.train_mat, iu, ii, mesh,
+                                   batch_size=256)
+        assert solver.sample_poisson == sampled
+        lams = np.asarray(solver.lams)
+        real = np.asarray(solver.wts) > 0
+        assert lams[real].min() >= 1 and lams[real].max() <= p.fac_dim
+        state = init_state(p, data.n_users, data.n_items)
+        key = jax.random.PRNGKey(0)
+        for _ in range(10):
+            key, kk = jax.random.split(key)
+            state = solver.epoch(state, 0.02, kk)
+        val = ev.rmse(m.eval_view(state), "val")
+        assert np.isfinite(val)
