@@ -27,7 +27,8 @@ def load_ratings_file(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     elif path.endswith(".dat"):
         with open(path) as f:
             txt = f.read().replace("::", "\t")
-        raw = np.fromstring(txt, sep="\t").reshape(-1, 4)[:, :3]
+        flat = np.array(txt.split(), dtype=np.float64)
+        raw = flat.reshape(-1, 4)[:, :3]
     else:  # u.data: user \t item \t rating \t ts
         raw = np.loadtxt(path, usecols=(0, 1, 2), dtype=np.float64)
     users = raw[:, 0].astype(np.int64)

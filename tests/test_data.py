@@ -204,3 +204,27 @@ def test_stats_and_equality():
                          mat.values + 1.0, mat.ncols)
     assert not mats_equal(mat, other)
     assert mats_equal(mat, other, check_values=False)
+
+
+def test_movielens_parsers(tmp_path):
+    from matfac_tpu.data.movielens import load_movielens, load_ratings_file
+
+    p = str(tmp_path / "ratings.dat")
+    open(p, "w").write("1::10::5::978300760\n1::20::3::1\n2::10::4::1\n"
+                       "3::30::2::1\n")
+    u, i, r = load_ratings_file(p)
+    np.testing.assert_array_equal(u, [0, 0, 1, 2])  # dense remapped
+    np.testing.assert_array_equal(i, [0, 1, 0, 2])
+    data = load_movielens(p, test_pc=0.0, val_pc=0.0, seed=0)
+    assert data.train_mat.nnz == 4
+
+    p2 = str(tmp_path / "u.data")
+    open(p2, "w").write("5\t7\t4\t1\n9\t7\t2\t1\n")
+    u2, i2, r2 = load_ratings_file(p2)
+    np.testing.assert_array_equal(u2, [0, 1])
+    np.testing.assert_array_equal(i2, [0, 0])
+
+    p3 = str(tmp_path / "ratings.csv")
+    open(p3, "w").write("userId,movieId,rating,ts\n3,4,4.5,1\n7,9,1.0,1\n")
+    u3, i3, r3 = load_ratings_file(p3)
+    np.testing.assert_allclose(r3, [4.5, 1.0])
