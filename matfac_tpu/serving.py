@@ -1,0 +1,122 @@
+"""Batch recommendation serving.
+
+The deployment-facing surface the reference lacks entirely (its only
+"serving" is offline top-N analysis): load a trained model, keep the
+item table device-resident, and answer "top-N unrated items for these
+users" with warm-jitted blocked scoring (eval.ranking engine, or the
+fused Pallas kernel on TPU).
+
+    recommender = Recommender.from_checkpoint(prefix, params, data)
+    items, scores = recommender.recommend([12, 99, 1042], n=10)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from matfac_tpu.config import Params
+from matfac_tpu.eval.ranking import CatalogScorer
+from matfac_tpu.models.base import EvalView, MFState
+from matfac_tpu.utils import freq as ufreq
+
+
+class Recommender:
+    def __init__(self, view: EvalView, train_mat, n_users: int,
+                 n_items: int, invalid_users: Optional[np.ndarray] = None,
+                 invalid_items: Optional[np.ndarray] = None,
+                 user_block: int = 256, item_block: int = 4096,
+                 use_pallas: Optional[bool] = None):
+        if invalid_users is None or invalid_items is None:
+            invalid_users, invalid_items = ufreq.invalid_users_items(
+                train_mat, n_users, n_items)
+        self.view = view
+        self.n_users = n_users
+        self.user_block = user_block
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from matfac_tpu.ops.topk_kernel import PallasCatalogScorer
+            self._scorer = PallasCatalogScorer(
+                train_mat, invalid_users, invalid_items, n_users,
+                n_items, user_block=user_block, item_block=item_block)
+            self._pallas = True
+        else:
+            self._scorer = CatalogScorer(
+                train_mat, invalid_users, invalid_items, n_users,
+                n_items, user_block=user_block, item_block=item_block)
+            self._pallas = False
+
+    @classmethod
+    def from_checkpoint(cls, prefix: str, params: Params, data,
+                        model=None, **kw) -> "Recommender":
+        """Load text-format factors saved by the training loop."""
+        from matfac_tpu.models.base import ModelMF, init_state
+        from matfac_tpu.train import checkpoint as ck
+
+        model = model or ModelMF(params, data.n_users, data.n_items)
+        sig = ck.model_signature(params, data.n_users, data.n_items)
+        state = ck.load_facs(
+            init_state(params, data.n_users, data.n_items), prefix, sig)
+        if state is None:
+            raise FileNotFoundError(
+                f"no checkpoint at {prefix}_*Fac_{sig}.mat")
+        return cls(model.eval_view(state), data.train_mat, data.n_users,
+                   data.n_items, **kw)
+
+    def recommend(self, users: Sequence[int], n: int = 10
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """(item_ids [len(users), n], scores) — excludes each user's
+        train-rated and invalid items."""
+        users = np.asarray(users, dtype=np.int64)
+        if (users < 0).any() or (users >= self.n_users).any():
+            raise ValueError("user id out of range")
+        # score the covering user blocks, then select requested rows
+        # (block scoring is warm-jitted; repeat queries are cheap)
+        scores, items = self._topk_for_blocks(np.unique(
+            users // self.user_block), n)
+        out_i = np.empty((len(users), n), np.int64)
+        out_s = np.empty((len(users), n), np.float32)
+        for j, u in enumerate(users):
+            b = int(u // self.user_block)
+            r = int(u % self.user_block)
+            out_i[j] = items[b][r]
+            out_s[j] = scores[b][r]
+        return out_i, out_s
+
+    def _topk_for_blocks(self, blocks: np.ndarray, n: int):
+        scores, items = {}, {}
+        for b in blocks:
+            s = int(b) * self.user_block
+            if self._pallas:
+                from matfac_tpu.ops.topk_kernel import topk_tiles
+                sc = self._scorer
+                i_fac = self.view.i_fac
+                i_bias = self.view.i_bias
+                pad = sc.I_pad - i_fac.shape[0]
+                if pad:
+                    i_fac = jnp.pad(i_fac, ((0, pad), (0, 0)))
+                    i_bias = jnp.pad(i_bias, (0, pad))
+                uids = np.clip(np.arange(s, s + self.user_block), 0,
+                               self.view.u_fac.shape[0] - 1)
+                bv, bi = topk_tiles(
+                    self.view.u_fac[jnp.asarray(uids)], i_fac, i_bias,
+                    sc.invalid, sc.rated_tiles[int(b)], n,
+                    sc.item_block, sc.c_max, interpret=sc.interpret)
+            else:
+                sc = self._scorer
+                view = sc._pad_view(self.view)
+                uids = np.clip(np.arange(s, s + self.user_block), 0,
+                               self.n_users - 1).astype(np.int32)
+                from matfac_tpu.eval.ranking import topk_catalog_block
+                ids = jnp.asarray(uids)
+                bv, bi = topk_catalog_block(
+                    view, ids, sc.rated_cols[ids], sc.rated_mask[ids],
+                    sc.invalid_items_dev, n, sc.item_block)
+            scores[int(b)] = np.asarray(bv)
+            items[int(b)] = np.asarray(bi)
+        return scores, items
