@@ -61,3 +61,41 @@ def test_pallas_scorer_hit_rate_parity():
     hx = _loo_score(ix, data.test_mat, iu, data.n_users, False)
     hp = _loo_score(ip, data.test_mat, iu, data.n_users, False)
     assert hx == pytest.approx(hp)
+
+
+def test_fused_cell_update_matches_xla(monkeypatch):
+    """Interpret-mode parity of the fused DSGD cell kernel against a
+    plain jnp implementation of the same minibatch sequence."""
+    import jax.numpy as jnp
+    from matfac_tpu.ops.sgd_kernel import fused_cell_update
+
+    rng = np.random.default_rng(0)
+    BU, BI, k, S, bs = 32, 24, 8, 64, 16
+    U = jnp.asarray(rng.standard_normal((BU, k)).astype(np.float32) * 0.1)
+    I = jnp.asarray(rng.standard_normal((BI, k)).astype(np.float32) * 0.1)
+    u_loc = jnp.asarray(rng.integers(0, BU, S).astype(np.int32))
+    i_loc = jnp.asarray(rng.integers(0, BI, S).astype(np.int32))
+    vals = jnp.asarray(rng.standard_normal(S).astype(np.float32))
+    wts = jnp.asarray((rng.random(S) > 0.2).astype(np.float32))
+    lr, u_reg, i_reg = 0.05, 0.01, 0.02
+
+    fu, fi = fused_cell_update(U, I, u_loc, i_loc, vals, wts, lr,
+                               bs=bs, u_reg=u_reg, i_reg=i_reg,
+                               interpret=True)
+
+    # reference: identical minibatch sequence in plain jnp
+    Ur, Ir = U, I
+    for s in range(S // bs):
+        sl = slice(s * bs, (s + 1) * bs)
+        u, i = u_loc[sl], i_loc[sl]
+        r, w = vals[sl], wts[sl]
+        pu, qi = Ur[u], Ir[i]
+        coeff = w * (r - jnp.sum(pu * qi, axis=1))
+        vm = (w > 0).astype(np.float32)
+        gu = -2 * coeff[:, None] * qi + 2 * u_reg * vm[:, None] * pu
+        gi = -2 * coeff[:, None] * pu + 2 * i_reg * vm[:, None] * qi
+        Ur = Ur.at[u].add(-lr * gu)
+        Ir = Ir.at[i].add(-lr * gi)
+
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(Ur), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(Ir), atol=1e-5)
