@@ -287,3 +287,19 @@ def tail_test_mat(mat: RatingMatrix, head_mask: np.ndarray,
     if len(r) > max_ratings:
         r, c, v = r[:max_ratings], c[:max_ratings], v[:max_ratings]
     return RatingMatrix.from_coo(r, c, v, mat.nrows, mat.ncols)
+
+
+def split_in_half(mat: RatingMatrix, seed: int
+                  ) -> Tuple[RatingMatrix, RatingMatrix]:
+    """splitValMat analog (main.cpp:1203-1231): random exact-half nnz
+    split, both halves keeping the full shape."""
+    rng = np.random.default_rng(seed)
+    nnz = mat.nnz
+    color = np.zeros(nnz, np.int8)
+    color[rng.permutation(nnz)[: nnz // 2]] = 1
+    r, c, v = mat.to_coo()
+    a = RatingMatrix.from_coo(r[color == 0], c[color == 0], v[color == 0],
+                              mat.nrows, mat.ncols)
+    b = RatingMatrix.from_coo(r[color == 1], c[color == 1], v[color == 1],
+                              mat.nrows, mat.ncols)
+    return a, b

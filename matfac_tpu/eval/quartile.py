@@ -91,3 +91,36 @@ def quartile_ranking_report(view, data, scorer, inval_u, inval_i,
         parts.append(f"q{b}={hr:.4f}")
     lines.append("  " + "  ".join(parts))
     return "\n".join(lines)
+
+
+def submat_rmse(view, ev, which: str, u_range, i_range,
+                exclude: bool = False):
+    """subMatRMSE / subMatExRMSE analogs (model.h:179-181): (count,
+    RMSE) over entries inside (or, with exclude=True, outside) the
+    [uStart, uEnd) x [iStart, iEnd) block."""
+    u_lo, u_hi = u_range
+    i_lo, i_hi = i_range
+    n_u = len(np.asarray(ev.valid_u))
+    n_i = len(np.asarray(ev.valid_i))
+    uf = np.zeros(n_u, bool)
+    uf[u_lo:u_hi] = True
+    itf = np.zeros(n_i, bool)
+    itf[i_lo:i_hi] = True
+    if not exclude:
+        return filtered_rmse(view, ev, which, user_filter=uf,
+                             item_filter=itf)
+    # exclude: entries NOT fully inside the block
+    import jax.numpy as jnp
+    from matfac_tpu.eval.metrics import predict_pairs
+
+    coo = {"train": ev.train_coo, "test": ev.test_coo,
+           "val": ev.val_coo}[which]
+    mask = np.asarray(coo.valid) > 0
+    r = np.asarray(coo.rows)
+    c = np.asarray(coo.cols)
+    mask &= ~(uf[r] & itf[c])
+    if not mask.any():
+        return 0, float("nan")
+    pred = np.asarray(predict_pairs(view, coo.rows, coo.cols))
+    d = (np.asarray(coo.vals) - pred)[mask]
+    return int(mask.sum()), float(np.sqrt((d * d).mean()))

@@ -207,3 +207,21 @@ def test_topk_excludes_rated_and_invalid():
         for it in top_i[u]:
             assert it not in rated
             assert not inval_i[it]
+
+
+def test_submat_rmse_and_half_split():
+    from matfac_tpu.data.io import split_in_half
+    from matfac_tpu.eval.quartile import submat_rmse
+
+    data, params, ev, model, state, iu, ii = make_setup(seed=3)
+    view = model.eval_view(state)
+    cnt_in, r_in = submat_rmse(view, ev, "test", (0, 30), (0, 20))
+    cnt_ex, r_ex = submat_rmse(view, ev, "test", (0, 30), (0, 20),
+                               exclude=True)
+    total, _ = ev.test_coo.valid.shape, None
+    assert cnt_in + cnt_ex == int(np.asarray(ev.test_coo.valid).sum())
+    assert np.isfinite(r_in) and np.isfinite(r_ex)
+
+    a, b = split_in_half(data.val_mat, seed=1)
+    assert a.nnz + b.nnz == data.val_mat.nnz
+    assert abs(a.nnz - b.nnz) <= 1
