@@ -21,6 +21,7 @@ Best-on-validation is what gets checkpointed (modelMF.cpp:135-146).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, List, Optional
 
@@ -79,7 +80,12 @@ class TrainLoop:
         view = self.model.eval_view(state)
         return self.ev.objective(view, state, self.obj_weights)
 
-    def run(self, state: MFState, seed: Optional[int] = None) -> TrainReport:
+    def run(self, state: MFState, seed: Optional[int] = None,
+            resume: bool = False) -> TrainReport:
+        """``resume=True`` with a prefix continues from the last full
+        loop checkpoint ({prefix}_loop.npz): epoch counter, lr, best
+        state and the termination counters are all restored (the
+        multi-host-restart semantics SURVEY §5 calls for)."""
         p = self.params
         lr = p.learn_rate
         key = jax.random.PRNGKey(p.seed if seed is None else seed)
@@ -91,13 +97,26 @@ class TrainLoop:
         prev_obj = self._objective(state)
         best_val = self.ev.rmse(self.model.eval_view(state), "val")
         best_iter = -1
+        start_iter = 0
         history: List[EpochLog] = []
         stop = "max_iter"
         sig = (ckpt.model_signature(p, self.model.n_users,
                                     self.model.n_items)
                if self.prefix else None)
+        loop_path = f"{self.prefix}_loop.npz" if self.prefix else None
 
-        for it in range(p.max_iter):
+        if resume and loop_path and os.path.exists(loop_path):
+            state, extra = ckpt.load_state(loop_path)
+            best_state, _ = ckpt.load_state(loop_path.replace("_loop.npz", "_loop_best.npz"))
+            lr = float(extra["lr"])
+            best_val = float(extra["best_val"])
+            best_iter = int(extra["best_iter"])
+            prev_obj = float(extra["prev_obj"])
+            start_iter = int(extra["epoch"]) + 1
+            key = jax.random.PRNGKey(int(extra["key_seed"]))
+            self.log_fn(f"resumed from {loop_path} at epoch {start_iter}")
+
+        for it in range(start_iter, p.max_iter):
             key, ek = jax.random.split(key)
             t0 = time.time()
             state = self.solver.epoch(state, lr, ek)
@@ -148,6 +167,14 @@ class TrainLoop:
                 if self.prefix and (it % p.save_iter == 0
                                     or it == p.max_iter - 1):
                     ckpt.save_facs(best_state, self.prefix, sig)
+                    ckpt.save_state(loop_path, state,
+                                    epoch=np.int64(it),
+                                    lr=np.float64(lr),
+                                    best_val=np.float64(best_val),
+                                    best_iter=np.int64(best_iter),
+                                    prev_obj=np.float64(prev_obj),
+                                    key_seed=np.int64(it * 7919 + p.seed))
+                    ckpt.save_state(loop_path.replace("_loop.npz", "_loop_best.npz"), best_state)
 
                 if converged:
                     stop = "converged"

