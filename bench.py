@@ -22,13 +22,13 @@ import numpy as np
 SCALE = os.environ.get("BENCH_SCALE", "medium")
 TIMED_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
 
-# First-round measured SGD throughput on one TPU v5e chip at the
-# "medium" scale (20k x 5k, 1M nnz, k=64): 18.7M ratings/s. Later
-# rounds are compared against this (vs_baseline = value / baseline).
-BENCH_BASELINE = float(os.environ.get("BENCH_BASELINE", "0") or
-                       (18_700_000 if os.environ.get("BENCH_SCALE",
-                                                     "medium") == "medium"
-                        else 0))
+# Round-1 measured SGD throughput on one TPU v5e chip per scale —
+# later rounds are compared against these (vs_baseline = value/baseline).
+_R1_BASELINES = {"small": 3_500_000, "medium": 13_700_000,
+                 "full": 9_400_000}
+_env_baseline = float(os.environ.get("BENCH_BASELINE", "0"))
+BENCH_BASELINE = _env_baseline or _R1_BASELINES.get(
+    os.environ.get("BENCH_SCALE", "medium"), 0)
 
 
 def main():
