@@ -27,10 +27,42 @@ from matfac_tpu.data.batching import RowBucket, bucketed_rows
 from matfac_tpu.models.base import MFState
 
 
-@functools.partial(jax.jit, static_argnames=("reg",), donate_argnums=(0,))
+def solve_spd_cg(gram, b, x0, iters: int, eps: float = 1e-12):
+    """Warm-started batched conjugate gradient for SPD systems —
+    gram [n,k,k], b/x0 [n,k]. Batched cholesky on TPU costs ~8us/matrix
+    (measured: 833ms for 102k solves of 64x64, dominating every ALS
+    epoch); CG is nothing but batched matvecs on the MXU, and with the
+    previous factors as x0 a handful of iterations reaches ALS-quality
+    solves (the iALS warm-start trick, Hu et al. / iALS++)."""
+    def mv(x):
+        return jnp.einsum("bij,bj->bi", gram, x,
+                          preferred_element_type=jnp.float32)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        ap = mv(p)
+        alpha = rs / (jnp.sum(p * ap, axis=1) + eps)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * ap
+        rs_new = jnp.sum(r * r, axis=1)
+        beta = rs_new / (rs + eps)
+        p = r + beta[:, None] * p
+        return (x, r, p, rs_new), None
+
+    r0 = b - mv(x0)
+    p0 = r0
+    rs0 = jnp.sum(r0 * r0, axis=1)
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rs0), None,
+                                   length=iters)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("reg", "cg_iters"),
+                   donate_argnums=(0,))
 def _solve_bucket(target_fac: jax.Array, source_fac: jax.Array,
                   row_ids: jax.Array, cols: jax.Array, vals: jax.Array,
-                  mask: jax.Array, reg: float) -> jax.Array:
+                  mask: jax.Array, reg: float,
+                  cg_iters: int = 0) -> jax.Array:
     """Solve rows `row_ids` of target_fac from their padded rated lists.
 
     cols/vals/mask: [nb, cap]; source_fac: [n_src, k].
@@ -45,12 +77,16 @@ def _solve_bucket(target_fac: jax.Array, source_fac: jax.Array,
     b = jnp.einsum("bc,bck->bk", vals * w, q,
                    preferred_element_type=jnp.float32)
     yty = yty + reg * jnp.eye(k, dtype=yty.dtype)[None]
-    chol = jax.lax.linalg.cholesky(yty)
-    sol = jax.lax.linalg.triangular_solve(
-        chol, b[..., None], left_side=True, lower=True)
-    sol = jax.lax.linalg.triangular_solve(
-        chol, sol, left_side=True, lower=True, transpose_a=True)
-    sol = sol[..., 0].astype(target_fac.dtype)
+    if cg_iters > 0:
+        x0 = target_fac[row_ids].astype(jnp.float32)
+        sol = solve_spd_cg(yty, b, x0, cg_iters).astype(target_fac.dtype)
+    else:
+        chol = jax.lax.linalg.cholesky(yty)
+        sol = jax.lax.linalg.triangular_solve(
+            chol, b[..., None], left_side=True, lower=True)
+        sol = jax.lax.linalg.triangular_solve(
+            chol, sol, left_side=True, lower=True, transpose_a=True)
+        sol = sol[..., 0].astype(target_fac.dtype)
     # dummy padded rows (mask all-zero) would clobber row 0 — route their
     # writes out of range so the scatter drops them
     real = (jnp.sum(mask, axis=1) > 0)
@@ -64,9 +100,10 @@ class ALSSolver:
 
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
-                 **_):
+                 cg_iters: int = 0, **_):
         self.model = model
         self.params = params
+        self.cg_iters = cg_iters
         self.u_buckets: List[RowBucket] = bucketed_rows(
             train_mat, invalid=invalid_users)
         self.i_buckets: List[RowBucket] = bucketed_rows(
@@ -81,10 +118,12 @@ class ALSSolver:
         u_fac, i_fac = state.u_fac, state.i_fac
         for ids, cols, vals, mask in self._stage[0]:
             u_fac = _solve_bucket(u_fac, i_fac, ids, cols, vals, mask,
-                                  float(self.params.u_reg))
+                                  float(self.params.u_reg),
+                                  cg_iters=self.cg_iters)
         for ids, cols, vals, mask in self._stage[1]:
             i_fac = _solve_bucket(i_fac, u_fac, ids, cols, vals, mask,
-                                  float(self.params.i_reg))
+                                  float(self.params.i_reg),
+                                  cg_iters=self.cg_iters)
         return state._replace(u_fac=u_fac, i_fac=i_fac)
 
 
@@ -174,3 +213,133 @@ class SubspaceALSSolver(ALSSolver):
                 i_fac, u_fac, ids, cols, vals, mask, blocks,
                 float(self.params.i_reg), self.d)
         return state._replace(u_fac=u_fac, i_fac=i_fac)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reg", "blk", "transposed",
+                                    "cg_iters"),
+                   donate_argnums=(0,))
+def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
+                     blk: int, transposed: bool = False,
+                     cg_iters: int = 0):
+    """Dense masked-Gram ALS sweep: for each row block,
+
+        G[u] = sum_i 1[r_ui > 0] q_i q_i^T  =  M @ QQ      (one matmul)
+        b[u] = sum_i r_ui q_i               =  Wv @ Q      (one matmul)
+
+    with QQ[i, (k,l)] = q_ik q_il. Identical normal equations to
+    _solve_bucket (modelMF.cpp:806-880 semantics incl. the rating>0
+    gate) but zero gathers — pure MXU work. Requires the dense ratings
+    block-row Wv [n_rows, n_src] in HBM (bf16 is fine for ratings).
+    """
+    n_rows = target_fac.shape[0]
+    k = target_fac.shape[1]
+    # big matmuls run with bf16 operands + f32 accumulation (MXU rate);
+    # the k x k solves stay f32
+    mm_dtype = dense_vals.dtype if dense_vals.dtype == jnp.bfloat16 \
+        else jnp.float32
+    qf = source_fac.astype(jnp.float32)
+    q = qf.astype(mm_dtype)
+    qq = (qf[:, :, None] * qf[:, None, :]).reshape(qf.shape[0], k * k
+                                                   ).astype(mm_dtype)
+
+    def solve_block(_, s):
+        if transposed:
+            # dense_vals is [n_src, n_rows_pad]: slice COLUMNS and
+            # contract over axis 0 (no transpose materialization)
+            wv = jax.lax.dynamic_slice_in_dim(
+                dense_vals, s * blk, blk, axis=1)
+            m = (wv > 0).astype(mm_dtype)
+            gram = jnp.einsum("ur,uk->rk", m, qq,
+                              preferred_element_type=jnp.float32
+                              ).reshape(blk, k, k)
+            b = jnp.einsum("ur,uk->rk", wv.astype(mm_dtype) * m, q,
+                           preferred_element_type=jnp.float32)
+        else:
+            wv = jax.lax.dynamic_slice_in_dim(dense_vals, s * blk, blk)
+            m = (wv > 0).astype(mm_dtype)
+            gram = jnp.dot(m, qq, preferred_element_type=jnp.float32
+                           ).reshape(blk, k, k)
+            b = jnp.dot(wv.astype(mm_dtype) * m, q,
+                        preferred_element_type=jnp.float32)
+        gram = gram + reg * jnp.eye(k, dtype=jnp.float32)[None]
+        if cg_iters > 0:
+            x0 = jax.lax.dynamic_slice_in_dim(
+                target_fac, s * blk, blk).astype(jnp.float32)
+            return _, solve_spd_cg(gram, b, x0, cg_iters)
+        chol = jax.lax.linalg.cholesky(gram)
+        sol = jax.lax.linalg.triangular_solve(
+            chol, b[..., None], left_side=True, lower=True)
+        sol = jax.lax.linalg.triangular_solve(
+            chol, sol, left_side=True, lower=True, transpose_a=True)
+        return _, sol[..., 0]
+
+    n_blocks = n_rows // blk
+    _, sols = jax.lax.scan(solve_block, None,
+                           jnp.arange(n_blocks, dtype=jnp.int32))
+    return sols.reshape(n_rows, k).astype(target_fac.dtype)
+
+
+class DenseALSSolver:
+    """ALS via dense masked Grams — the gather-free formulation.
+
+    Index-gather throughput on TPU (~35M rows/s measured) caps the
+    bucketed ALS at ~9M ratings/s/chip; this variant trades nnz-sized
+    gathers for dense [rows x cols] matmuls on the MXU, which wins
+    whenever density > ~0.1% (PERF.md). Memory: needs the dense rating
+    matrix (bf16) + its transpose in HBM — guarded below.
+    """
+
+    MAX_DENSE_BYTES = 5 * 1024 ** 3
+
+    def __init__(self, model, params: Params, train_mat,
+                 invalid_users, invalid_items, row_block: int = 2048,
+                 dense_dtype=jnp.bfloat16, cg_iters: int = 6, **_):
+        """cg_iters > 0: warm-started CG solves instead of Cholesky
+        (see solve_spd_cg); 0 restores exact solves."""
+        self.model = model
+        self.params = params
+        self.cg_iters = cg_iters
+        n_users, n_items = model.n_users, model.n_items
+        self.row_block = row_block
+        need = n_users * n_items * jnp.dtype(dense_dtype).itemsize
+        if need > self.MAX_DENSE_BYTES:
+            raise ValueError(
+                f"DenseALSSolver needs {need/2**30:.1f} GiB dense "
+                "storage; use ALSSolver for this shape")
+        self.nu_pad = _cdiv(n_users, row_block) * row_block
+        self.ni_pad = _cdiv(n_items, row_block) * row_block
+        dense = np.zeros((self.nu_pad, self.ni_pad), np.float32)
+        r, c, v = train_mat.to_coo()
+        keep = ~invalid_users[r] & ~invalid_items[c]
+        dense[r[keep], c[keep]] = v[keep]
+        # single copy; the item sweep slices columns (transposed mode)
+        self.dense = jnp.asarray(dense, dense_dtype)
+        del dense
+
+    def epoch(self, state: MFState, lr: float, key) -> MFState:
+        del lr, key
+        n_users, n_items = self.model.n_users, self.model.n_items
+        k = self.model.k
+        u_pad = self.nu_pad - n_users
+        i_pad = self.ni_pad - n_items
+        # padded source rows/cols of the dense matrix are zero => they
+        # contribute nothing to Grams; pad factors accordingly
+        u_fac = jnp.pad(state.u_fac, ((0, u_pad), (0, 0))) if u_pad \
+            else state.u_fac
+        i_fac = jnp.pad(state.i_fac, ((0, i_pad), (0, 0))) if i_pad \
+            else state.i_fac
+        u_fac = _dense_als_sweep(u_fac, i_fac, self.dense,
+                                 float(self.params.u_reg),
+                                 self.row_block,
+                                 cg_iters=self.cg_iters)
+        i_fac = _dense_als_sweep(i_fac, u_fac, self.dense,
+                                 float(self.params.i_reg),
+                                 self.row_block, transposed=True,
+                                 cg_iters=self.cg_iters)
+        return state._replace(u_fac=u_fac[:n_users],
+                              i_fac=i_fac[:n_items])
+
+
+def _cdiv(a, b):
+    return -(-a // b)

@@ -268,7 +268,7 @@ class TrainLoopHR:
 # ----------------------------------------------------------------------
 
 _SOLVERS = ("sgd", "sgdpar", "sgdparsvd", "sgdu", "hogsgd", "als",
-            "ialspp", "ccd", "ccd++", "ccd++freqadap")
+            "ialspp", "alsdense", "ccd", "ccd++", "ccd++freqadap")
 
 
 def train_model(data, params: Params, algo: str = "mf",
@@ -349,6 +349,10 @@ def train_model(data, params: Params, algo: str = "mf",
         from matfac_tpu.solvers.als import SubspaceALSSolver
         solver = SubspaceALSSolver(model, params, data.train_mat,
                                    inval_u, inval_i)
+    elif m == "alsdense":
+        from matfac_tpu.solvers.als import DenseALSSolver
+        solver = DenseALSSolver(model, params, data.train_mat,
+                                inval_u, inval_i)
     elif m == "ccd":
         if not data.train_mat.is_sorted():
             raise ValueError("CCD requires sorted CSR (main.cpp:1245)")

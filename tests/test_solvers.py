@@ -237,3 +237,65 @@ def test_subspace_als_matches_full_als_fixpoint(setup_pos):
     r1 = ev.rmse(model.eval_view(s1), "train")
     r2 = ev.rmse(model.eval_view(s2), "train")
     assert abs(r1 - r2) < 0.02, (r1, r2)
+
+
+def test_dense_als_matches_bucketed(setup_pos):
+    """DenseALSSolver solves the same normal equations as ALSSolver —
+    factors must match after one sweep (up to f32/bf16 rounding)."""
+    from matfac_tpu.solvers.als import DenseALSSolver
+
+    data, params, ev, model, iu, ii = setup_pos
+    a = ALSSolver(model, params, data.train_mat, iu, ii)
+    d = DenseALSSolver(model, params, data.train_mat, iu, ii,
+                       row_block=32, dense_dtype=jnp.float32)
+    s1 = init_state(params, model.n_users, model.n_items)
+    s2 = init_state(params, model.n_users, model.n_items)
+    s1 = a.epoch(s1, 0, None)
+    s2 = d.epoch(s2, 0, None)
+    # f32 dense values -> same normal equations, tight match
+    np.testing.assert_allclose(np.asarray(s2.u_fac),
+                               np.asarray(s1.u_fac), atol=5e-3,
+                               rtol=5e-3)
+    # and convergence end-to-end
+    for _ in range(8):
+        s2 = d.epoch(s2, 0, None)
+    val = ev.rmse(model.eval_view(s2), "val")
+    assert val < 3 * NOISE + 0.05, val
+
+
+def test_dense_als_memory_guard():
+    from matfac_tpu.solvers.als import DenseALSSolver
+
+    params = Params(fac_dim=4)
+    model = ModelMF(params, 200_000, 50_000)
+    with pytest.raises(ValueError):
+        DenseALSSolver(model, params, None, None, None)
+
+
+def test_als_cg_matches_exact_solves(setup_pos):
+    """Warm-started CG ALS (6 iters, k=16 > iters) tracks the exact-
+    Cholesky trajectory — the iALS inexact-solve regime. (Absolute val
+    RMSE is overfit at k=16 on rank-4 data for ALL solvers, so compare
+    against the exact solver, not a floor.)"""
+    from matfac_tpu.solvers.als import ALSSolver, DenseALSSolver
+
+    data, _, ev0, _, iu, ii = setup_pos
+    params = Params(fac_dim=16, u_reg=0.05, i_reg=0.05, seed=5)
+    ev = Evaluator(data, iu, ii, params)
+    model = ModelMF(params, data.n_users, data.n_items)
+    vals = {}
+    for name, solver in [
+            ("exact", ALSSolver(model, params, data.train_mat, iu, ii)),
+            ("cg", ALSSolver(model, params, data.train_mat, iu, ii,
+                             cg_iters=6)),
+            ("dense_cg", DenseALSSolver(model, params, data.train_mat,
+                                        iu, ii, row_block=32,
+                                        cg_iters=6))]:
+        state = init_state(params, data.n_users, data.n_items)
+        for _ in range(12):
+            state = solver.epoch(state, 0, None)
+        vals[name] = (ev.rmse(model.eval_view(state), "train"),
+                      ev.rmse(model.eval_view(state), "val"))
+    for name in ("cg", "dense_cg"):
+        assert abs(vals[name][0] - vals["exact"][0]) < 0.02, vals
+        assert abs(vals[name][1] - vals["exact"][1]) < 0.15, vals
