@@ -82,7 +82,9 @@ def main():
     sgd_epoch_s = time_epochs(sgd, TIMED_EPOCHS)
     sgd_rps = sgd.nnz / sgd_epoch_s
 
-    als = ALSSolver(model, params, mat, inval_u, inval_i)
+    # warm-started CG solves: the ALS perf path (exact-solve parity is
+    # a solver option; see solvers/als.py solve_spd_cg)
+    als = ALSSolver(model, params, mat, inval_u, inval_i, cg_iters=6)
     als_epoch_s = time_epochs(als, TIMED_EPOCHS)
     als_rps = mat.nnz / als_epoch_s
 
