@@ -55,15 +55,12 @@ def _build_epoch(n_total, n_batches, B, u_reg, i_reg, k):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: MFState, rows, cols, vals, valid, rank_u, rank_i,
               lr, key):
-        k_off, k_ord = jax.random.split(key)
-        offset = jax.random.randint(k_off, (), 0, n_total)
-        border = jax.random.permutation(k_ord, n_batches)
+        border = jax.random.permutation(key, n_batches)
 
         def step(st, b_idx):
-            idx = (offset + b_idx * B
-                   + jnp.arange(B, dtype=jnp.int32)) % n_total
-            u, i = rows[idx], cols[idx]
-            r, v = vals[idx], valid[idx]
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b_idx * B, B)
+            u, i = sl(rows), sl(cols)
+            r, v = sl(vals), sl(valid)
             m = rank_mask(jnp.minimum(rank_u[u], rank_i[i]), k)
             pu, qi = st.u_fac[u], st.i_fac[i]
             pred = jnp.einsum("ek,ek->e", pu * m, qi,

@@ -147,20 +147,23 @@ class DSGDShardedSolver:
 
             def round_body(t, carry):
                 u_fac, i_fac_blk, key = carry
-                # per-epoch randomness: random cyclic rotation of the
-                # statically-shuffled cell stream (see staging note)
+                # per-epoch randomness: random batch-START rotation of
+                # the statically-shuffled cell stream, batch-granular so
+                # stream access stays contiguous slices (element-level
+                # index math costs scalar-gather passes — solvers/sgd.py)
                 key, pk = jax.random.split(key)
-                offset = jax.random.randint(pk, (), 0, S)
+                boff = jax.random.randint(pk, (), 0, n_steps)
 
                 def batch_body(s, inner):
                     u_fac, i_fac_blk, key = inner
-                    idx = (offset + s * bs
-                           + jnp.arange(bs, dtype=jnp.int32)) % S
-                    u = u_loc[t][idx]
-                    i = i_loc[t][idx]
-                    r = vals[t][idx]
-                    w = wts[t][idx]
-                    lam = lams[t][idx]
+                    start = ((s + boff) % n_steps) * bs
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a[t], start, bs)
+                    u = sl(u_loc)
+                    i = sl(i_loc)
+                    r = sl(vals)
+                    w = sl(wts)
+                    lam = sl(lams)
                     if sample_poisson:
                         key, sk = jax.random.split(key)
                         rank = jnp.clip(jax.random.poisson(

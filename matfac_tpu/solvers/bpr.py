@@ -155,19 +155,18 @@ class BPRSolver:
         def epoch(state: MFState, pos_u, pos_i, pos_valid, indptr,
                   csr_cols, csr_vals, train_items, lr, key):
             csr = (indptr, csr_cols, csr_vals, train_items)
-            k_off, k_ord, key = jax.random.split(key, 3)
-            offset = jax.random.randint(k_off, (), 0, n_total)
+            k_ord, key = jax.random.split(key)
             border = jax.random.permutation(k_ord, n_batches)
 
             def step(carry, xs):
                 st, loss, inv = carry
                 b_idx, k_b = xs
-                idx = (offset + b_idx * B
-                       + jnp.arange(B, dtype=jnp.int32)) % n_total
+                # contiguous slices + random batch order (element-level
+                # rotation costs scalar-gather passes — see solvers/sgd.py)
                 k_neg, k_mask = jax.random.split(k_b)
-                u = pos_u[idx]
-                p = pos_i[idx]
-                v = pos_valid[idx]
+                u = jax.lax.dynamic_slice_in_dim(pos_u, b_idx * B, B)
+                p = jax.lax.dynamic_slice_in_dim(pos_i, b_idx * B, B)
+                v = jax.lax.dynamic_slice_in_dim(pos_valid, b_idx * B, B)
                 neg, ok = self._sample_negatives(k_neg, u, csr)
                 w = v * ok.astype(jnp.float32)
                 m = model.triple_rank_mask(k_mask, u, p, neg)

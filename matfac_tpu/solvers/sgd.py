@@ -93,19 +93,24 @@ class SGDSolver:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def epoch(state: MFState, rows, cols, vals, valid, lr,
                   key) -> MFState:
-            k_off, k_ord, mask_key = jax.random.split(key, 3)
-            offset = jax.random.randint(k_off, (), 0, n_total)
+            k_ord, mask_key = jax.random.split(key)
             border = jax.random.permutation(k_ord, n_batches)
 
             def step(carry, xs):
                 st = carry
                 b_idx, k_b = xs
-                idx = (offset + b_idx * B
-                       + jnp.arange(B, dtype=jnp.int32)) % n_total
-                u = rows[idx]
-                i = cols[idx]
-                r = vals[idx]
-                v = valid[idx]
+                # contiguous slices of the statically-shuffled stream;
+                # per-epoch randomness = random batch ORDER. (An
+                # element-level rotation costs 4 scalar-gather passes
+                # over the stream — measured ~1 s/epoch at 10M nnz,
+                # dominating the entire update.)
+                start = b_idx * B
+                sl = functools.partial(jax.lax.dynamic_slice_in_dim,
+                                       start_index=start, slice_size=B)
+                u = sl(rows)
+                i = sl(cols)
+                r = sl(vals)
+                v = sl(valid)
                 w = model.example_weight(u, i) * v
                 m = model.update_rank_mask(k_b, u, i)
                 pu = st.u_fac[u]
