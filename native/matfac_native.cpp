@@ -168,6 +168,7 @@ int mfio_item_cosine_topk2(long long n_items, long long n_users,
 #endif
   {
     std::vector<double> acc(n_items, 0.0);
+    std::vector<char> seen(n_items, 0);
     std::vector<int32_t> touched;
     touched.reserve(4096);
 #ifdef _OPENMP
@@ -181,7 +182,9 @@ int mfio_item_cosine_topk2(long long n_items, long long n_users,
         for (long long jj = rowptr[u]; jj < rowptr[u + 1]; ++jj) {
           int32_t j = colind[jj];
           if (j == i) continue;
-          if (acc[j] == 0.0) touched.push_back(j);
+          // membership via a seen flag: an accumulator that transits
+          // through exactly 0.0 must not be double-inserted
+          if (!seen[j]) { seen[j] = 1; touched.push_back(j); }
           acc[j] += vi * static_cast<double>(rowval[jj]);
         }
       }
@@ -194,6 +197,7 @@ int mfio_item_cosine_topk2(long long n_items, long long n_users,
       for (int32_t j : touched) {
         double sim = acc[j] / (norms[i] * norms[j]);
         acc[j] = 0.0;
+        seen[j] = 0;
         // insertion into the running top-k (k is small)
         int pos = -1;
         for (int t = 0; t < k; ++t) {
