@@ -9,7 +9,7 @@ similarity structure.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,7 @@ buckets, and report per-bucket RMSE against a ground-truth model
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,6 @@ import numpy as np
 from matfac_tpu.analysis.top_bucket import pred_samp_users_rmse
 from matfac_tpu.eval.quartile import filtered_rmse
 from matfac_tpu.models.base import EvalView
-from matfac_tpu.utils import freq as ufreq
 
 
 def freq_rmse_sweep(view: EvalView, ev, data,

@@ -18,7 +18,7 @@ pred-vs-orig RMSE of each successive bucket of the ranking.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

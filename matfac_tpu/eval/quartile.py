@@ -10,7 +10,7 @@ user-quartile and item-quartile (count + RMSE per bucket).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

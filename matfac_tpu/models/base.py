@@ -24,7 +24,6 @@ scalar loops: adapDotProd, util.cpp:1067-1074).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional
 
 import jax

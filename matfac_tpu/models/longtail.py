@@ -10,7 +10,7 @@ models/base.py for why pair-rank truncation factorizes per entity).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

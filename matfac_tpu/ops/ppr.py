@@ -17,8 +17,6 @@ instead of per-user walks.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
-import numpy as np
-
 
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from matfac_tpu.config import Params
 from matfac_tpu.eval.ranking import CatalogScorer
-from matfac_tpu.models.base import EvalView, MFState
+from matfac_tpu.models.base import EvalView
 from matfac_tpu.utils import freq as ufreq
 
 
