@@ -44,7 +44,13 @@ class DSGDShardedSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  mesh: Mesh, axis: str = "u",
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None,
+                 balance_items: bool = False):
+        """``balance_items``: relabel items so frequency is spread evenly
+        across item blocks (round-robin over descending train frequency)
+        — the power-law hot-spot mitigation of SURVEY.md §7. The item
+        permutation is applied to iFac rows on entry/exit of each epoch
+        (two row gathers of [n_items, k] — negligible vs the stream)."""
         self.model = model
         self.params = params
         self.mesh = mesh
@@ -60,6 +66,22 @@ class DSGDShardedSolver:
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]
         r, c, v = r[keep], c[keep], v[keep]
+        self.item_perm = None
+        if balance_items:
+            freq = np.bincount(c, minlength=n_items)
+            order = np.argsort(-freq, kind="stable")
+            # round-robin blocks, snake order to balance within-block sums
+            perm = np.empty(n_items, np.int64)   # old id -> new id
+            pos_in_block = np.arange(n_items) // N
+            blk = np.arange(n_items) % N
+            snake = np.where(pos_in_block % 2 == 1, N - 1 - blk, blk)
+            perm[order] = snake * self.bi + pos_in_block
+            self.item_perm = perm.astype(np.int32)
+            self.item_perm_dev = jnp.asarray(self.item_perm)
+            inv = np.empty_like(self.item_perm)
+            inv[self.item_perm] = np.arange(n_items, dtype=np.int32)
+            self.item_perm_inv_dev = jnp.asarray(inv)
+            c = self.item_perm[c]
         # static per-example weight / rank from the model hooks
         w = np.asarray(model.example_weight(jnp.asarray(r.astype(np.int32)),
                                             jnp.asarray(c.astype(np.int32))))
@@ -225,7 +247,11 @@ class DSGDShardedSolver:
         pu = self.n_users_pad - n_users
         pi = self.n_items_pad - n_items
         u_fac = jnp.pad(state.u_fac, ((0, pu), (0, 0))) if pu else state.u_fac
-        i_fac = jnp.pad(state.i_fac, ((0, pi), (0, 0))) if pi else state.i_fac
+        i_fac = state.i_fac
+        if self.item_perm is not None:
+            # reorder rows into balanced-label space: new row p[i] = old i
+            i_fac = i_fac[self.item_perm_inv_dev]
+        i_fac = jnp.pad(i_fac, ((0, pi), (0, 0))) if pi else i_fac
         u_sh = NamedSharding(self.mesh, P(self.axis, None))
         u_fac = jax.device_put(u_fac, u_sh)
         i_fac = jax.device_put(i_fac, u_sh)
@@ -234,4 +260,6 @@ class DSGDShardedSolver:
             u_fac = u_fac[:n_users]
         if pi:
             i_fac = i_fac[:n_items]
+        if self.item_perm is not None:
+            i_fac = i_fac[self.item_perm_dev]
         return state._replace(u_fac=u_fac, i_fac=i_fac)
