@@ -47,9 +47,16 @@ class CCDPPSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  n_inner: int = 5, freq_adaptive: bool = False,
-                 freq_thresh: float = 75.0, item_freq=None, **_):
+                 freq_thresh: float = 75.0, item_freq=None,
+                 sweep_mode: str = "scan", **_):
+        """``sweep_mode``: "scan" = whole epoch as one lax.scan over
+        dims (fastest dispatch); "per_dim" = one jitted call per dim —
+        fallback for backends where the monolithic scan program
+        miscompiles (a TPU worker kernel-fault was observed at
+        100k-user scale on the axon backend, round 1)."""
         self.model = model
         self.params = params
+        self.sweep_mode = sweep_mode
         self.rows, self.cols, self.vals = _stage_coo(
             train_mat, invalid_users, invalid_items)
         self.n_users = int(model.n_users)
@@ -66,7 +73,46 @@ class CCDPPSolver:
         else:
             self.item_dim_ok = None
         self._epoch = self._build_epoch()
+        self._dim_sweep = self._build_dim_sweep()
         self._initialized = False
+
+    def _build_dim_sweep(self):
+        """Single-dim sweep for sweep_mode="per_dim" (same math as one
+        scan step of _build_epoch)."""
+        n_users, n_items = self.n_users, self.n_items
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        n_inner = self.n_inner
+        item_dim_ok = self.item_dim_ok
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def dim_sweep(u_fac, i_fac, res, rows, cols, kk):
+            def seg_u(x):
+                return jax.ops.segment_sum(x, rows, n_users)
+
+            def seg_i(x):
+                return jax.ops.segment_sum(x, cols, n_items)
+
+            u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+            v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+            res = res + u_k[rows] * v_k[cols]
+
+            def inner(_, uv):
+                u_k, v_k = uv
+                vg = v_k[cols]
+                u_k = seg_u(res * vg) / (u_reg + seg_u(vg * vg))
+                ug = u_k[rows]
+                v_k = seg_i(res * ug) / (i_reg + seg_i(ug * ug))
+                return (u_k, v_k)
+
+            u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
+            if item_dim_ok is not None:
+                v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
+            res = res - u_k[rows] * v_k[cols]
+            return (_set_col(u_fac, kk, u_k), _set_col(i_fac, kk, v_k),
+                    res)
+
+        return dim_sweep
 
     def _build_epoch(self):
         n_users, n_items = self.n_users, self.n_items
@@ -129,6 +175,15 @@ class CCDPPSolver:
             state = state._replace(u_fac=jnp.zeros_like(state.u_fac))
             self.res = jnp.array(self.vals, copy=True)
             self._initialized = True
+        if self.sweep_mode == "per_dim":
+            dims = np.asarray(jax.random.permutation(
+                key, state.u_fac.shape[1]))
+            u_fac, i_fac, res = state.u_fac, state.i_fac, self.res
+            for kk in dims:
+                u_fac, i_fac, res = self._dim_sweep(
+                    u_fac, i_fac, res, self.rows, self.cols, int(kk))
+            self.res = res
+            return state._replace(u_fac=u_fac, i_fac=i_fac)
         state, self.res = self._epoch(state, self.res, self.rows,
                                       self.cols, key)
         return state

@@ -299,3 +299,25 @@ def test_als_cg_matches_exact_solves(setup_pos):
     for name in ("cg", "dense_cg"):
         assert abs(vals[name][0] - vals["exact"][0]) < 0.02, vals
         assert abs(vals[name][1] - vals["exact"][1]) < 0.15, vals
+
+
+def test_ccdpp_per_dim_mode_matches(setup_reg):
+    """per_dim sweep mode is numerically equivalent to the scan mode
+    given the same dim order (fallback path for backend miscompiles)."""
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    a = CCDPPSolver(model, params, data.train_mat, iu, ii)
+    b = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                    sweep_mode="per_dim")
+    s1 = init_state(params, model.n_users, model.n_items)
+    s2 = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(3)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        s1 = a.epoch(s1, 0, k)
+        s2 = b.epoch(s2, 0, k)
+    np.testing.assert_allclose(np.asarray(s1.u_fac),
+                               np.asarray(s2.u_fac), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.i_fac),
+                               np.asarray(s2.i_fac), atol=1e-4)
