@@ -286,3 +286,58 @@ def test_loop_resume(tmp_path):
                     resume=True)
     # resumed run continues beyond the first run's best
     assert rep2.best_metric <= rep1.best_metric + 1e-6
+
+
+class StubRankSolver:
+    def __init__(self, losses=None):
+        self.calls = 0
+        self.losses = losses or []
+        self.last_loss = jnp.zeros(())
+        self.last_inversions = jnp.zeros((), jnp.int32)
+
+    def epoch(self, state, lr, key):
+        if self.calls < len(self.losses):
+            self.last_loss = jnp.float32(self.losses[self.calls])
+        self.calls += 1
+        return state._replace(u_fac=state.u_fac + 1.0)
+
+
+class StubScorer:
+    def __init__(self, hrs):
+        self.hrs = hrs
+        self.i = -1
+
+    def hit_rate(self, view, mat, n):
+        self.i += 1
+        return self.hrs[min(self.i, len(self.hrs) - 1)]
+
+
+def test_hr_loop_lr_decay_and_selection():
+    from matfac_tpu.train.loop import TrainLoopHR
+
+    p = Params(max_iter=5, learn_rate=1.0)
+    scorer = StubScorer([0.1, 0.5, 0.3, 0.6, 0.2, 0.2])
+    solver = StubRankSolver()
+    loop = TrainLoopHR(StubModel(), solver, scorer, None, p,
+                       log_fn=lambda s: None)
+    rep = loop.run(dummy_state())
+    # best HR 0.6 at check 3 (epoch 2)
+    assert rep.best_metric == 0.6
+    assert rep.best_iter == 2
+    # lr decays x0.9 each epoch (modelMFBPR.cpp:533)
+    assert rep.history[-1].lr == pytest.approx(1.0 * 0.9 ** 5)
+    # best state snapshot taken at epoch 2 (3 epochs had run)
+    assert float(rep.best_state.u_fac[0, 0]) == 3.0
+
+
+def test_hr_loop_nonfinite_loss_stops():
+    from matfac_tpu.train.loop import TrainLoopHR
+
+    p = Params(max_iter=10, learn_rate=1.0)
+    scorer = StubScorer([0.1] * 12)
+    solver = StubRankSolver(losses=[1.0, 2.0, float("inf")])
+    loop = TrainLoopHR(StubModel(), solver, scorer, None, p,
+                       log_fn=lambda s: None)
+    rep = loop.run(dummy_state())
+    assert rep.stop_reason == "nonfinite_loss"
+    assert solver.calls == 3
