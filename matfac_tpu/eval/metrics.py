@@ -251,8 +251,15 @@ class Evaluator:
                 user_ids, user_valid)))
         return self._ndcg_cache[which]
 
-    def ndcg(self, view: EvalView, which: str = "test", n: int = 10) -> float:
+    def ndcg(self, view: EvalView, which: str = "test", n: int = 10,
+             user_mask=None) -> float:
+        """``user_mask``: optional boolean [n_users-ish] restricting the
+        averaged users (quartileNDCG, main.cpp:568)."""
         cols, vals, mask, user_ids, user_valid = self._padded_test(which)
+        if user_mask is not None:
+            um = jnp.asarray(np.asarray(
+                user_mask[: user_valid.shape[0]], np.float32))
+            user_valid = user_valid * um
         total, cnt = ndcg_at_n(view, cols, vals, mask, user_ids,
                                user_valid, n=n, eps=self.params.eps)
         cnt = float(cnt)

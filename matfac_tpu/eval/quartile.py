@@ -75,21 +75,34 @@ def quartile_report(view, data, ev, inval_u, inval_i,
 
 
 def quartile_ranking_report(view, data, scorer, inval_u, inval_i,
-                            n_quantiles: int = 4, n: int = 10) -> str:
-    """quartileHR/quartileARHR analog: leave-one-out HR restricted to
-    users in each frequency quartile."""
+                            n_quantiles: int = 4, n: int = 10,
+                            evaluator=None) -> str:
+    """quartileHR / quartileARHR / quartileNDCG analogs
+    (main.cpp:568-698): leave-one-out HR and ARHR (and NDCG when an
+    Evaluator is provided) restricted to users in each frequency
+    quartile."""
     from matfac_tpu.eval.ranking import _loo_score
 
     uq, _ = quartile_partitions(data, inval_u, inval_i, n_quantiles)
-    _, top_i = scorer.topk(view, n)
-    lines = [f"Test HR@{n} by user quartile:"]
-    parts = []
-    for b in range(n_quantiles):
-        inval_mask = inval_u | (uq != b)
-        hr = _loo_score(top_i, data.test_mat, inval_mask,
-                        data.n_users, reciprocal=False)
-        parts.append(f"q{b}={hr:.4f}")
-    lines.append("  " + "  ".join(parts))
+    _, top_hr = scorer.topk(view, n)
+    _, top_ar = scorer.topk(view, min(1000, data.n_items))
+    lines = []
+    for label, ti, recip in ((f"Test HR@{n}", top_hr, False),
+                             ("Test ARHR", top_ar, True)):
+        parts = []
+        for b in range(n_quantiles):
+            inval_mask = inval_u | (uq != b)
+            v = _loo_score(ti, data.test_mat, inval_mask,
+                           data.n_users, reciprocal=recip)
+            parts.append(f"q{b}={v:.4f}")
+        lines.append(f"{label} by user quartile:\n  " + "  ".join(parts))
+    if evaluator is not None:
+        parts = []
+        for b in range(n_quantiles):
+            nd = evaluator.ndcg(view, "test", n=n, user_mask=(uq == b))
+            parts.append(f"q{b}={nd:.4f}")
+        lines.append("Test NDCG@10 by user quartile:\n  "
+                     + "  ".join(parts))
     return "\n".join(lines)
 
 

@@ -331,3 +331,31 @@ def test_analysis_drivers():
 
     ov = compare_ppr_gpr(eng, data.train_mat, users=[0, 1, 2], top_m=10)
     assert 0.0 <= ov["mean_overlap"] <= 1.0
+
+
+def test_quartile_ranking_report():
+    from matfac_tpu.data.synthetic import leave_one_out_data
+    from matfac_tpu.eval.quartile import quartile_ranking_report
+    from matfac_tpu.eval.ranking import CatalogScorer
+
+    data = leave_one_out_data(n_users=40, n_items=30, per_user=8, seed=9)
+    # give test rows 2 entries so NDCG has support: merge val into test
+    import matfac_tpu.data.csr as csr
+    r1, c1, v1 = data.test_mat.to_coo()
+    r2, c2, v2 = data.val_mat.to_coo()
+    test2 = csr.RatingMatrix.from_coo(
+        np.concatenate([r1, r2]), np.concatenate([c1, c2]),
+        np.concatenate([v1, v2]), data.n_users, data.n_items)
+    data.test_mat = test2
+    p = Params(fac_dim=4, seed=2)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    ev = Evaluator(data, iu, ii, p)
+    model = ModelMF(p, data.n_users, data.n_items)
+    view = model.eval_view(init_state(p, data.n_users, data.n_items))
+    sc = CatalogScorer(data.train_mat, iu, ii, data.n_users,
+                       data.n_items, user_block=8, item_block=16)
+    rep = quartile_ranking_report(view, data, sc, iu, ii, evaluator=ev)
+    assert "Test HR@10 by user quartile" in rep
+    assert "Test ARHR by user quartile" in rep
+    assert "Test NDCG@10 by user quartile" in rep
