@@ -41,16 +41,17 @@ def _topn_from_tile(scores, col_base, n):
     vals = []
     ids = []
     s = scores
+    big = jnp.int32(2 ** 30)
     for _ in range(n):
         m = jnp.max(s, axis=1, keepdims=True)              # [BU, 1]
-        # leftmost argmax position
-        is_max = (s == m)
-        first = jnp.cumsum(is_max.astype(jnp.int32), axis=1) == 1
-        pick = is_max & first
-        idx = jnp.max(jnp.where(pick, col_ids, -1), axis=1,
+        # tie-break by smallest column id (ids are unique per tile, so
+        # exactly one position is picked; no cumsum — unsupported in
+        # Mosaic lowering)
+        idx = jnp.min(jnp.where(s == m, col_ids, big), axis=1,
                       keepdims=True)
+        pick = col_ids == idx
         vals.append(m)
-        ids.append(idx)
+        ids.append(jnp.where(idx == big, -1, idx))
         s = jnp.where(pick, NEG_INF, s)
     return jnp.concatenate(vals, axis=1), jnp.concatenate(ids, axis=1)
 
@@ -60,12 +61,17 @@ def _merge_sorted(v1, i1, v2, i2, n):
     Implemented as 2n-way concat + n extraction passes (small n)."""
     v = jnp.concatenate([v1, v2], axis=1)
     i = jnp.concatenate([i1, i2], axis=1)
+    # position ids break value ties uniquely (item ids are unique across
+    # the union except -1 pads, which only carry NEG_INF values)
+    BU, W = v.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (BU, W), 1)
+    big = jnp.int32(2 ** 30)
     outs_v, outs_i = [], []
     for _ in range(n):
         m = jnp.max(v, axis=1, keepdims=True)
-        is_max = v == m
-        first = jnp.cumsum(is_max.astype(jnp.int32), axis=1) == 1
-        pick = is_max & first
+        p_idx = jnp.min(jnp.where(v == m, pos, big), axis=1,
+                        keepdims=True)
+        pick = pos == p_idx
         idx = jnp.max(jnp.where(pick, i, -1), axis=1, keepdims=True)
         outs_v.append(m)
         outs_i.append(idx)
