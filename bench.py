@@ -24,7 +24,7 @@ TIMED_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "3"))
 
 # Round-1 measured SGD throughput on one TPU v5e chip per scale —
 # later rounds are compared against these (vs_baseline = value/baseline).
-_R1_BASELINES = {"small": 3_500_000, "medium": 13_700_000,
+_R1_BASELINES = {"small": 3_500_000, "medium": 43_700_000,
                  "full": 38_000_000}
 _env_baseline = float(os.environ.get("BENCH_BASELINE", "0"))
 BENCH_BASELINE = _env_baseline or _R1_BASELINES.get(
