@@ -74,6 +74,20 @@ def topk_catalog_block(view: EvalView, user_ids: jax.Array,
     return best_s, best_i
 
 
+@functools.partial(jax.jit, static_argnames=("n", "item_block"))
+def _topk_all_blocks(view: EvalView, user_id_blocks: jax.Array,
+                     rated_cols: jax.Array, rated_mask: jax.Array,
+                     invalid_items: jax.Array, n: int, item_block: int):
+    def one_block(_, ids):
+        bs, bi = topk_catalog_block(view, ids, rated_cols[ids],
+                                    rated_mask[ids], invalid_items, n,
+                                    item_block)
+        return _, (bs, bi)
+
+    _, (all_s, all_i) = jax.lax.scan(one_block, None, user_id_blocks)
+    return all_s, all_i
+
+
 class CatalogScorer:
     """Host wrapper: pads the item table, stages exclusion lists, and
     streams user blocks through topk_catalog_block."""
@@ -109,22 +123,22 @@ class CatalogScorer:
 
     def topk(self, view: EvalView, n: int
              ) -> Tuple[np.ndarray, np.ndarray]:
-        """[n_users, n] (scores, item ids) of top unrated items."""
+        """[n_users, n] (scores, item ids) of top unrated items.
+
+        All user blocks run inside ONE jitted scan — a single device
+        dispatch per catalog pass (per-block host round trips dominate
+        on remote devices; measured ~50 ms/block over the tunnel)."""
         view = self._pad_view(view)
-        out_s, out_i = [], []
         B = self.user_block
         n_users_pad = _round_up(self.n_users, B)
         user_ids_all = np.arange(n_users_pad, dtype=np.int32)
         user_ids_all[self.n_users:] = 0
-        for s in range(0, n_users_pad, B):
-            ids = jnp.asarray(user_ids_all[s:s + B])
-            bs, bi = topk_catalog_block(
-                view, ids, self.rated_cols[ids], self.rated_mask[ids],
-                self.invalid_items_dev, n, self.item_block)
-            out_s.append(np.asarray(bs))
-            out_i.append(np.asarray(bi))
-        return (np.concatenate(out_s)[: self.n_users],
-                np.concatenate(out_i)[: self.n_users])
+        all_s, all_i = _topk_all_blocks(
+            view, jnp.asarray(user_ids_all.reshape(-1, B)),
+            self.rated_cols, self.rated_mask, self.invalid_items_dev,
+            n, self.item_block)
+        return (np.asarray(all_s).reshape(n_users_pad, n)[: self.n_users],
+                np.asarray(all_i).reshape(n_users_pad, n)[: self.n_users])
 
     # ------------------------------------------------------------------
     def hit_rate(self, view: EvalView, test_mat: RatingMatrix,
