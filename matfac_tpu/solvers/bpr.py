@@ -51,6 +51,9 @@ class BPRSolver:
         self.params = params
         self.n_tries = n_tries
         self.mode = mode
+        if model.n_items >= 2 ** 24:
+            raise ValueError("packed gap sampler stores item ids in "
+                             "f32 (exact below 2^24 items)")
         bs = batch_size or params.batch_size
 
         # positives: rating > 0, valid entities
@@ -74,10 +77,22 @@ class BPRSolver:
         self.n_batches = len(self.pos_u) // bs
 
         # flat CSR of the full train row (incl. explicit zeros) for gap
-        # sampling; rows sorted by construction (RatingMatrix.from_coo)
+        # sampling; rows sorted by construction (RatingMatrix.from_coo).
+        # The per-try lookup (col, val, next_col) is PACKED into one
+        # row so each try costs one row-gather instead of three —
+        # per-index cost dominates TPU gathers (PERF.md), so width-3
+        # rows are ~free.
         self.csr_indptr = jnp.asarray(train_mat.indptr.astype(np.int32))
         self.csr_cols = jnp.asarray(train_mat.indices.astype(np.int32))
         self.csr_vals = jnp.asarray(train_mat.values.astype(np.float32))
+        nxt = np.empty(train_mat.nnz, np.float32)
+        if train_mat.nnz:
+            nxt[:-1] = train_mat.indices[1:]
+            nxt[-1] = train_mat.indices[-1]
+        packed = np.stack([train_mat.indices.astype(np.float32),
+                           train_mat.values.astype(np.float32),
+                           nxt], axis=1)
+        self.csr_packed = jnp.asarray(packed)   # [nnz, 3] f32
         # items with >= 1 train rating (trainItems set, :442-448)
         ti = np.zeros(model.n_items, bool)
         deg_i = train_mat.col_degrees()
@@ -99,9 +114,8 @@ class BPRSolver:
         passed as traced args from the epoch (closure constants blow up
         compile time); defaults to the staged arrays for direct calls."""
         if csr is None:
-            csr = (self.csr_indptr, self.csr_cols, self.csr_vals,
-                   self.train_items)
-        indptr, csr_cols, csr_vals, train_items = csr
+            csr = (self.csr_indptr, self.csr_packed, self.train_items)
+        indptr, csr_packed, train_items = csr
         B = u.shape[0]
         start = indptr[u]
         deg = indptr[u + 1] - start
@@ -112,13 +126,16 @@ class BPRSolver:
             k1, k2 = jax.random.split(k_t)
             jj = jax.random.randint(k1, (B,), 0, deg)
             pos = start + jj
-            item_jj = csr_cols[pos]
-            val_jj = csr_vals[pos]
+            row = csr_packed[pos]                    # one [B, 3] gather
+            item_jj = row[:, 0].astype(jnp.int32)
+            val_jj = row[:, 1]
             # explicit zero at sampled position -> direct accept
             explicit = val_jj == 0.0
             # gap bounds (modelMFBPR.cpp:211-222)
             lo = jnp.where(jj == 0, 0, item_jj + 1)
-            next_item = csr_cols[jnp.minimum(pos + 1, indptr[u + 1] - 1)]
+            # packed next-col is exact except at the very last nnz entry
+            # (clamped there, matching the jj==deg-1 branch below anyway)
+            next_item = row[:, 2].astype(jnp.int32)
             # branch precedence matches :211-222 — jj==0 before jj==deg-1,
             # so a single-rating user samples from [0, first rated item)
             hi = jnp.where(jj == 0, item_jj,
@@ -153,8 +170,8 @@ class BPRSolver:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def epoch(state: MFState, pos_u, pos_i, pos_valid, indptr,
-                  csr_cols, csr_vals, train_items, lr, key):
-            csr = (indptr, csr_cols, csr_vals, train_items)
+                  csr_packed, train_items, lr, key):
+            csr = (indptr, csr_packed, train_items)
             k_ord, key = jax.random.split(key)
             border = jax.random.permutation(k_ord, n_batches)
 
@@ -219,8 +236,8 @@ class BPRSolver:
         n_tries = self.n_tries
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def epoch(state: MFState, train_users, indptr, csr_cols,
-                  csr_vals, train_items, lr, key):
+        def epoch(state: MFState, train_users, indptr, csr_packed,
+                  train_items, lr, key):
             n_tr = train_users.shape[0]
 
             def step(carry, k_b):
@@ -230,8 +247,9 @@ class BPRSolver:
                 start = indptr[u]
                 deg = jnp.maximum(indptr[u + 1] - start, 1)
                 jj_p = jax.random.randint(k_p, (B,), 0, deg)
-                p = csr_cols[start + jj_p]
-                pos_rat = csr_vals[start + jj_p]
+                prow = csr_packed[start + jj_p]
+                p = prow[:, 0].astype(jnp.int32)
+                pos_rat = prow[:, 1]
                 pos_ok = pos_rat > 0
 
                 # negative: explicit lower-rated item or gap item
@@ -239,13 +257,12 @@ class BPRSolver:
                     neg, ok = carry2
                     k1, k2 = jax.random.split(k_t)
                     jj = jax.random.randint(k1, (B,), 0, deg)
-                    pos_j = start + jj
-                    item_jj = csr_cols[pos_j]
-                    val_jj = csr_vals[pos_j]
+                    row = csr_packed[start + jj]
+                    item_jj = row[:, 0].astype(jnp.int32)
+                    val_jj = row[:, 1]
                     explicit = val_jj < pos_rat   # :88 explicit negative
                     lo = jnp.where(jj == 0, 0, item_jj + 1)
-                    nxt = csr_cols[jnp.minimum(pos_j + 1,
-                                               indptr[u + 1] - 1)]
+                    nxt = row[:, 2].astype(jnp.int32)
                     hi = jnp.where(jj == 0, item_jj,
                                    jnp.where(jj == deg - 1, self.n_items,
                                              nxt))
@@ -300,11 +317,11 @@ class BPRSolver:
     def epoch(self, state: MFState, lr: float, key) -> MFState:
         if self.mode == "posneg":
             state, self.last_loss, self.last_inversions = self._epoch(
-                state, self.train_users, self.csr_indptr, self.csr_cols,
-                self.csr_vals, self.train_items, jnp.float32(lr), key)
+                state, self.train_users, self.csr_indptr,
+                self.csr_packed, self.train_items, jnp.float32(lr), key)
         else:
             state, self.last_loss, self.last_inversions = self._epoch(
                 state, self.pos_u, self.pos_i, self.pos_valid,
-                self.csr_indptr, self.csr_cols, self.csr_vals,
+                self.csr_indptr, self.csr_packed,
                 self.train_items, jnp.float32(lr), key)
         return state
