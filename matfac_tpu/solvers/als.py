@@ -108,9 +108,25 @@ class ALSSolver:
             train_mat, invalid=invalid_users)
         self.i_buckets: List[RowBucket] = bucketed_rows(
             train_mat.transpose(), invalid=invalid_items)
+        # chunk large buckets so the gathered [nb, cap, k] block and the
+        # [nb, k, k] grams stay ~<=1 GiB each (a 122k-row cap-256 bucket
+        # at k=128 otherwise compiles to a 15 GiB temp -> HBM OOM)
+        k = max(model.k, 1)
+        budget = 1 << 28   # f32 elements
+
+        def chunks(b: RowBucket):
+            max_rows = max(budget // max(b.cap * k, k * k), 256)
+            max_rows -= max_rows % 8
+            if len(b.row_ids) <= max_rows:
+                yield b.row_ids, b.cols, b.vals, b.mask
+                return
+            for s0 in range(0, len(b.row_ids), max_rows):
+                e0 = min(s0 + max_rows, len(b.row_ids))
+                yield (b.row_ids[s0:e0], b.cols[s0:e0], b.vals[s0:e0],
+                       b.mask[s0:e0])
+
         self._stage = [
-            [(jnp.asarray(b.row_ids), jnp.asarray(b.cols),
-              jnp.asarray(b.vals), jnp.asarray(b.mask)) for b in bs]
+            [tuple(map(jnp.asarray, c)) for b in bs for c in chunks(b)]
             for bs in (self.u_buckets, self.i_buckets)]
 
     def epoch(self, state: MFState, lr: float, key) -> MFState:
