@@ -160,3 +160,32 @@ def per_user_bucket_rmses(orig_view: EvalView, full_view: EvalView,
             scores_sum[b] += d2[s:e].sum()
             nnz[b] += e - s
     return np.sqrt(scores_sum / np.maximum(nnz, 1)), nnz
+
+
+def sample_missing_pairs(train_mat, invalid_users: np.ndarray,
+                         invalid_items: np.ndarray, n_pairs: int,
+                         seed: int = 1):
+    """Sample valid UNOBSERVED (user, item) pairs — the pair source for
+    the computeMissing*Conf family (confCompute.cpp:733-1199), which
+    evaluates confidence orderings on cells outside the train matrix
+    (capped by MAX_MISS_RATS=200000 in the reference, const.h:9)."""
+    rng = np.random.default_rng(seed)
+    n_users, n_items = train_mat.nrows, train_mat.ncols
+    rows = np.empty(0, np.int64)
+    cols = np.empty(0, np.int64)
+    while len(rows) < n_pairs:
+        m = 2 * (n_pairs - len(rows)) + 16
+        r = rng.integers(0, n_users, m)
+        c = rng.integers(0, n_items, m)
+        ok = ~invalid_users[r] & ~invalid_items[c]
+        # reject observed entries via sorted-row membership
+        lo = train_mat.indptr[r]
+        hi = train_mat.indptr[r + 1]
+        pos = np.array([np.searchsorted(train_mat.indices[l:h], cc) + l
+                        for l, h, cc in zip(lo, hi, c)])
+        observed = (pos < hi) & (train_mat.indices[np.minimum(
+            pos, train_mat.nnz - 1)] == c)
+        ok &= ~observed
+        rows = np.concatenate([rows, r[ok]])
+        cols = np.concatenate([cols, c[ok]])
+    return rows[:n_pairs], cols[:n_pairs]

@@ -359,3 +359,18 @@ def test_quartile_ranking_report():
     assert "Test HR@10 by user quartile" in rep
     assert "Test ARHR by user quartile" in rep
     assert "Test NDCG@10 by user quartile" in rep
+
+
+def test_sample_missing_pairs():
+    from matfac_tpu.analysis.confidence import sample_missing_pairs
+
+    data, _, _ = synthetic_data(n_users=40, n_items=30, k=3,
+                                density=0.4, seed=2)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    rows, cols = sample_missing_pairs(data.train_mat, iu, ii, 200,
+                                      seed=3)
+    assert len(rows) == 200
+    for u, c in zip(rows[:50], cols[:50]):
+        assert not iu[u] and not ii[c]
+        assert c not in set(data.train_mat.row(int(u))[0])
