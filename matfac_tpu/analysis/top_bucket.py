@@ -116,3 +116,95 @@ def pred_samp_users_rmse(orig_view: EvalView, full_view: EvalView,
                 curves[name] += curve
                 counts[name] += 1
     return {k: curves[k] / max(counts[k], 1) for k in scorers}
+
+
+# ----------------------------------------------------------------------
+# score-ordering overlap statistics (topBucketComp.h:73-78)
+# ----------------------------------------------------------------------
+# "item pairs" = a ranking: (ids, scores) arrays already ordered by rank
+# (the reference passes vectors of (item, score) sorted descending).
+
+def ordering_overlap(ids_a: np.ndarray, ids_b: np.ndarray,
+                     scores_b: np.ndarray, size_a: int
+                     ) -> "tuple[np.ndarray, np.ndarray]":
+    """orderingOverlap (topBucketComp.cpp:1339-1359): items among the
+    first ``size_a`` of ranking B that also appear in the first
+    ``size_a`` of ranking A, in B's order, with B's scores."""
+    top_a = set(ids_a[:size_a].tolist())
+    n = min(size_a, len(ids_b))
+    keep = np.fromiter((int(i) in top_a for i in ids_b[:n]), bool, n)
+    return ids_b[:n][keep], scores_b[:n][keep]
+
+
+def ordering_diff(ids_a: np.ndarray, ids_b: np.ndarray,
+                  scores_b: np.ndarray, size_a: int
+                  ) -> "tuple[np.ndarray, np.ndarray]":
+    """orderingDiff (topBucketComp.cpp:1363-1383): top-size_a items of B
+    NOT present in the top-size_a of A."""
+    top_a = set(ids_a[:size_a].tolist())
+    n = min(size_a, len(ids_b))
+    keep = np.fromiter((int(i) not in top_a for i in ids_b[:n]), bool, n)
+    return ids_b[:n][keep], scores_b[:n][keep]
+
+
+def comp_ordering_overlap(ids_a: np.ndarray, ids_b: np.ndarray,
+                          size_a: int) -> float:
+    """compOrderingOverlap (topBucketComp.cpp:1478-1501): fraction of
+    A's top-size_a item set found in B's first size_a entries
+    (denominator = |set(A[:size_a])|)."""
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return 0.0
+    top_a = set(ids_a[:size_a].tolist())
+    count = sum(1 for i in ids_b[:size_a] if int(i) in top_a)
+    return count / len(top_a)
+
+
+def comp_ordering_overlap2(ids_a: np.ndarray, ids_b: np.ndarray,
+                           size_a: int) -> float:
+    """compOrderingOverlap2 (topBucketComp.cpp:1450-1475): same count,
+    denominator = number of B entries actually scanned
+    (min(size_a, len(B)))."""
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return 0.0
+    top_a = set(ids_a[:size_a].tolist())
+    n = min(size_a, len(ids_b))
+    if n == 0:
+        return 0.0
+    count = sum(1 for i in ids_b[:n] if int(i) in top_a)
+    return count / n
+
+
+def comp_ordering_overlap_bscores(ids_a: np.ndarray, ids_b: np.ndarray,
+                                  scores_b: np.ndarray, size_a: int
+                                  ) -> "tuple[float, float]":
+    """compOrderingOverlapBScores (topBucketComp.cpp:1386-1424): mean
+    B-score of B's top-size_a items that are / are not in A's top set.
+    Reference quirk preserved: the accumulators START at -1 (sentinel
+    value is also the additive identity there), so each mean is
+    (sum - 1) / count; -1 is returned when the group is empty."""
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return -1.0, -1.0
+    top_a = set(ids_a[:size_a].tolist())
+    ov_sum, ov_n = -1.0, 0
+    out_sum = -1.0
+    for i in range(size_a):
+        item = int(ids_b[i])
+        if item in top_a:
+            ov_n += 1
+            ov_sum += float(scores_b[i])
+        else:
+            out_sum += float(scores_b[i])
+    ov = ov_sum / ov_n if ov_n > 0 else -1.0
+    out = out_sum / (size_a - ov_n) if size_a - ov_n > 0 else -1.0
+    return ov, out
+
+
+def comp_diff_pc(ids_a: np.ndarray, ids_b: np.ndarray
+                 ) -> "tuple[float, float]":
+    """compDiffPc (topBucketComp.cpp:1427-1447): fraction of each
+    ranking's item set absent from the other."""
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return 0.0, 0.0
+    set_a = set(ids_a.tolist())
+    ov = sum(1 for i in ids_b if int(i) in set_a)
+    return (len(set_a) - ov) / len(set_a), (len(ids_b) - ov) / len(ids_b)

@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     # names mirror main.cpp:26-46 gflags
     ap.add_argument("--algo", default="mf",
                     help="mf | mf_bias | IFWMF | TMF | TMFDropout | "
-                         "bpr | bprPoissonDropout")
+                         "bpr | bprPoissonDropout | increment "
+                         "(increment needs --graphmat as the probe set)")
     ap.add_argument("--mf_method", default="sgd",
                     help="sgd|sgdpar|sgdu|hogsgd|als|ccd|ccd++|ccd++freqadap")
     ap.add_argument("--maxiter", type=int, default=1000)
@@ -169,10 +170,11 @@ def main(argv=None) -> int:
     elif args.svdinit:
         import jax.numpy as jnp
         from matfac_tpu.ops.svd_init import svd_init
+        from matfac_tpu.train.loop import _pad_rows
         u, v, s = svd_init(data.train_mat, params.fac_dim)
         st = init_state(params, data.n_users, data.n_items)
-        u = np.resize(u, (data.n_users, params.fac_dim))
-        v = np.resize(v, (data.n_items, params.fac_dim))
+        u = _pad_rows(u, data.n_users)
+        v = _pad_rows(v, data.n_items)
         init_override = st._replace(u_fac=jnp.asarray(u),
                                     i_fac=jnp.asarray(v))
 
@@ -197,6 +199,11 @@ def main(argv=None) -> int:
         if args.quartiles:
             from matfac_tpu.eval.quartile import quartile_report
             print(quartile_report(view, data, ev, inval_u, inval_i))
+        inc = getattr(report, "increment", None)
+        if inc is not None:
+            print(f"increment ranks: user mean {inc.rank_u.mean():.2f} "
+                  f"max {int(inc.rank_u.max())} | item mean "
+                  f"{inc.rank_i.mean():.2f} max {int(inc.rank_i.max())}")
     print(f"stop: {report.stop_reason} best_iter: {report.best_iter}")
     return 0
 

@@ -36,6 +36,12 @@ class Params:
     rho_rms: float = 1.0       # sigmoid steepness (TMF) / weight scale (IFWMF)
     alpha: float = 0.0         # sigmoid center (TMF)
 
+    # --- sgdparsvd singular-value regularization (modelMF.cpp:371) ---
+    # per-dim reg = (sing_a + 1) / (sing_b + sigma_k); None falls back
+    # to u_reg/i_reg (the round-1 proxy, kept as the default)
+    sing_a: Optional[float] = None
+    sing_b: Optional[float] = None
+
     # --- file paths (GKlib text CSR format unless noted) ---
     train_mat_file: Optional[str] = None
     test_mat_file: Optional[str] = None

@@ -101,13 +101,24 @@ def write_factor_mat(mat: np.ndarray, path: str) -> None:
     np.savetxt(path, np.asarray(mat), fmt="%.7g")
 
 
-def read_factor_mat_bin(path: str) -> np.ndarray:
-    """Binary factor IO (readMatBin analog, io.cpp:157-303) — npy format."""
-    return np.load(path)
+def read_factor_mat_bin(path: str, nrows: Optional[int] = None,
+                        ncols: Optional[int] = None) -> np.ndarray:
+    """readMatBin analog (io.cpp:273-303): a headerless row-major stream
+    of little-endian float64, nrows*ncols values — bit-compatible with
+    files written by the reference binary. With nrows/ncols omitted the
+    flat vector is returned (caller reshapes)."""
+    raw = np.fromfile(path, dtype="<f8")
+    if nrows is None or ncols is None:
+        return raw.astype(np.float32)
+    if raw.size < nrows * ncols:
+        raise ValueError(f"{path}: {raw.size} values < {nrows}x{ncols}")
+    return raw[: nrows * ncols].reshape(nrows, ncols).astype(np.float32)
 
 
 def write_factor_mat_bin(mat: np.ndarray, path: str) -> None:
-    np.save(path, np.asarray(mat))
+    """writeMatBin analog (io.cpp:157-184): raw little-endian float64
+    row-major stream, no header — readable by the reference."""
+    np.asarray(mat, dtype="<f8").tofile(path)
 
 
 def read_vector(path: str) -> np.ndarray:

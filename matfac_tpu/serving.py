@@ -37,8 +37,12 @@ class Recommender:
         self.view = view
         self.n_users = n_users
         self.user_block = user_block
+        # Default to the XLA scorer everywhere: on-chip the single-
+        # dispatch XLA scan beat the per-block Pallas path 83 ms vs
+        # 452 ms per 4096x8192 catalog pass (PERF.md "Full-catalog
+        # top-N eval"); Pallas stays opt-in for experimentation.
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False
         if use_pallas:
             from matfac_tpu.ops.topk_kernel import PallasCatalogScorer
             self._scorer = PallasCatalogScorer(

@@ -310,9 +310,11 @@ class DenseALSSolver:
 
     def __init__(self, model, params: Params, train_mat,
                  invalid_users, invalid_items, row_block: int = 2048,
-                 dense_dtype=jnp.bfloat16, cg_iters: int = 6, **_):
+                 dense_dtype=jnp.bfloat16, cg_iters: int = 0, **_):
         """cg_iters > 0: warm-started CG solves instead of Cholesky
-        (see solve_spd_cg); 0 restores exact solves."""
+        (see solve_spd_cg); 0 (default) = exact normal-equation solves,
+        matching the reference's ldlt (modelMF.cpp:836,874). Perf paths
+        (bench.py) opt into CG explicitly."""
         self.model = model
         self.params = params
         self.cg_iters = cg_iters

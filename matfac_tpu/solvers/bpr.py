@@ -203,7 +203,7 @@ class BPRSolver:
                 r_uij = r_ui - r_uj
                 inv = inv + jnp.sum((r_uj - r_ui > eps) & (w > 0)
                                     ).astype(jnp.int32)
-                loss = loss + jnp.sum(w * jnp.log1p(jnp.exp(-r_uij)))
+                loss = loss + jnp.sum(w * jnp.logaddexp(0.0, -r_uij))
                 coeff = w * (-1.0 / (1.0 + jnp.exp(r_uij)))
                 gu = coeff[:, None] * (qp - qn) \
                     + 2.0 * u_reg * w[:, None] * pu
@@ -292,7 +292,7 @@ class BPRSolver:
                 r_uij = r_ui - r_uj
                 inv = inv + jnp.sum((r_uj - r_ui > eps) & (w > 0)
                                     ).astype(jnp.int32)
-                loss = loss + jnp.sum(w * jnp.log1p(jnp.exp(-r_uij)))
+                loss = loss + jnp.sum(w * jnp.logaddexp(0.0, -r_uij))
                 coeff = w * (-1.0 / (1.0 + jnp.exp(r_uij)))
                 gu = coeff[:, None] * (qp - qn) \
                     + 2.0 * u_reg * w[:, None] * pu

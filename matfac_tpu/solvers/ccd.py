@@ -192,6 +192,18 @@ class CCDPPSolver:
         self._initialized = False
         self.res = None
 
+    # -- exact-resume hooks (TrainLoop checkpoints; the reference carries
+    # the residual across its whole process lifetime) -------------------
+    def internal_state(self) -> dict:
+        if not self._initialized:
+            return {}
+        return {"res": self.res}
+
+    def set_internal_state(self, d: dict) -> None:
+        if "res" in d:
+            self.res = jnp.asarray(d["res"])
+            self._initialized = True
+
 
 class CCDSolver(CCDPPSolver):
     """Per-entity CCD (trainCCD): full user sweep over all dims, then

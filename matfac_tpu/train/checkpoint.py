@@ -71,6 +71,32 @@ def load_invalid(prefix: str, n_users: int, n_items: int
     return u, i
 
 
+def save_bin_facs(state: MFState, prefix: str, sig: str
+                  ) -> Tuple[str, str]:
+    """saveBinFacs analog (model.cpp:131-140): reference-bit-format
+    ``{prefix}_uFac_{sig}.binmat`` raw float64 streams."""
+    from matfac_tpu.data.io import write_factor_mat_bin
+    up = f"{prefix}_uFac_{sig}.binmat"
+    ip = f"{prefix}_iFac_{sig}.binmat"
+    write_factor_mat_bin(np.asarray(state.u_fac), up)
+    write_factor_mat_bin(np.asarray(state.i_fac), ip)
+    return up, ip
+
+
+def load_bin_facs(state: MFState, prefix: str, sig: str
+                  ) -> Optional[MFState]:
+    """loadBinFacs analog (model.cpp:143-159): existence-checked; reads
+    binaries written by the reference (headerless f64 row-major)."""
+    from matfac_tpu.data.io import read_factor_mat_bin
+    up = f"{prefix}_uFac_{sig}.binmat"
+    ip = f"{prefix}_iFac_{sig}.binmat"
+    if not (os.path.exists(up) and os.path.exists(ip)):
+        return None
+    u = read_factor_mat_bin(up, *state.u_fac.shape)
+    i = read_factor_mat_bin(ip, *state.i_fac.shape)
+    return state._replace(u_fac=jnp.asarray(u), i_fac=jnp.asarray(i))
+
+
 # ----------------------------------------------------------------------
 # binary full-state checkpoints (resume)
 # ----------------------------------------------------------------------

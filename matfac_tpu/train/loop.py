@@ -113,7 +113,16 @@ class TrainLoop:
             best_iter = int(extra["best_iter"])
             prev_obj = float(extra["prev_obj"])
             start_iter = int(extra["epoch"]) + 1
-            key = jax.random.PRNGKey(int(extra["key_seed"]))
+            if "key_data" in extra:
+                # exact resume: the raw PRNG key is persisted, so the
+                # epoch-key chain continues bit-identically
+                key = jnp.asarray(extra["key_data"], dtype=jnp.uint32)
+            else:   # older checkpoints (pre round 2)
+                key = jax.random.PRNGKey(int(extra["key_seed"]))
+            if hasattr(self.solver, "set_internal_state"):
+                self.solver.set_internal_state(
+                    {k[len("solver__"):]: v for k, v in extra.items()
+                     if k.startswith("solver__")})
             self.log_fn(f"resumed from {loop_path} at epoch {start_iter}")
 
         for it in range(start_iter, p.max_iter):
@@ -167,13 +176,19 @@ class TrainLoop:
                 if self.prefix and (it % p.save_iter == 0
                                     or it == p.max_iter - 1):
                     ckpt.save_facs(best_state, self.prefix, sig)
+                    solver_extra = {}
+                    if hasattr(self.solver, "internal_state"):
+                        solver_extra = {
+                            "solver__" + k: np.asarray(v) for k, v in
+                            self.solver.internal_state().items()}
                     ckpt.save_state(loop_path, state,
                                     epoch=np.int64(it),
                                     lr=np.float64(lr),
                                     best_val=np.float64(best_val),
                                     best_iter=np.int64(best_iter),
                                     prev_obj=np.float64(prev_obj),
-                                    key_seed=np.int64(it * 7919 + p.seed))
+                                    key_data=np.asarray(key),
+                                    **solver_extra)
                     ckpt.save_state(loop_path.replace("_loop.npz", "_loop_best.npz"), best_state)
 
                 if converged:
@@ -297,14 +312,29 @@ def train_model(data, params: Params, algo: str = "mf",
     inval_u, inval_i = ufreq.invalid_users_items(
         data.train_mat, data.n_users, data.n_items)
     user_freq, item_freq = ufreq.row_col_freq(data.train_mat)
-    user_freq = np.resize(user_freq, data.n_users)
-    item_freq = np.resize(item_freq, data.n_items)
+    # zero-pad (NOT np.resize, which tiles cyclically): entities that
+    # appear only in test/val have zero train frequency in the reference
+    user_freq = _pad_rows(user_freq, data.n_users)
+    item_freq = _pad_rows(item_freq, data.n_items)
 
     a = algo.lower()
     if a in ("bpr", "bprpoissondropout", "bpr_poisson"):
         return _train_ranking(data, params, a, mf_method, log_fn,
                               init_state_override, inval_u, inval_i,
                               user_freq, item_freq)
+
+    if a == "increment":
+        # ModelIncrement dispatch (main.cpp:1325-1370 reaches it from
+        # --algo; probe matrix = --graphmat, modelIncrement.cpp:251-316)
+        from matfac_tpu.models.increment import train_increment
+        inc_report, model = train_increment(data, params, inval_u,
+                                            inval_i, log_fn=log_fn)
+        ev = Evaluator(data, inval_u, inval_i, params)
+        val = ev.rmse(model.eval_view(inc_report.state), "val")
+        report = TrainReport(inc_report.state, inc_report.state, val,
+                             params.max_iter - 1, "max_iter", [])
+        report.increment = inc_report    # rank tables + growth history
+        return report, model, ev, (inval_u, inval_i)
 
     models = {"mf": ModelMF, "mf_bias": ModelMFBias,
               "ifwmf": ModelInvPopMF, "tmf": ModelDropoutSigmoid,
@@ -334,13 +364,15 @@ def train_model(data, params: Params, algo: str = "mf",
         import jax.numpy as jnp
         from matfac_tpu.ops.svd_init import svd_init
         u0, v0, sing_vals = svd_init(data.train_mat, params.fac_dim)
-        reg = (params.u_reg + 1.0) / (params.i_reg + sing_vals)
+        sa = params.u_reg if params.sing_a is None else params.sing_a
+        sb = params.i_reg if params.sing_b is None else params.sing_b
+        reg = (sa + 1.0) / (sb + sing_vals)
         solver = SGDSolver(model, params, data.train_mat, inval_u,
                            inval_i, reg_vec=reg)
         if init_state_override is None:
             st = init_state(params, data.n_users, data.n_items)
-            u0 = np.resize(u0, (data.n_users, params.fac_dim))
-            v0 = np.resize(v0, (data.n_items, params.fac_dim))
+            u0 = _pad_rows(u0, data.n_users)
+            v0 = _pad_rows(v0, data.n_items)
             init_state_override = st._replace(u_fac=jnp.asarray(u0),
                                               i_fac=jnp.asarray(v0))
     elif m == "als":
@@ -429,3 +461,13 @@ def _round_up_pow2(x):
     while p < x:
         p *= 2
     return p
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Truncate or zero-pad the leading axis to length n (out-of-train
+    entities get zeros, matching the reference's treatment)."""
+    a = np.asarray(a)
+    if a.shape[0] >= n:
+        return a[:n]
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)

@@ -61,6 +61,7 @@ def _find_lib() -> Optional[ctypes.CDLL]:
                 lib.mfio_parse_csr_fill.restype = ctypes.c_int
                 lib.mfio_parse_csr_fill.argtypes = [
                     ctypes.c_char_p, ctypes.c_int,
+                    ctypes.c_longlong, ctypes.c_longlong,
                     np.ctypeslib.ndpointer(np.int64),
                     np.ctypeslib.ndpointer(np.int32),
                     np.ctypeslib.ndpointer(np.float32)]
@@ -87,7 +88,7 @@ def parse_csr_text(path: str, with_values: bool
     cols = np.zeros(nnz, dtype=np.int32)
     vals = np.ones(nnz, dtype=np.float32)
     rc = lib.mfio_parse_csr_fill(path.encode(), int(with_values),
-                                 indptr, cols, vals)
+                                 nrows.value, nnz, indptr, cols, vals)
     if rc != 0:
         return None
     return indptr, cols, vals

@@ -109,8 +109,12 @@ long long mfio_parse_csr_count(const char* path, int with_values,
 }
 
 // Pass 2: fill indptr[nrows+1], cols[nnz], vals[nnz] (vals untouched if
-// with_values == 0). Returns 0 on success.
+// with_values == 0). nrows/nnz are the pass-1 counts and bound every
+// write: a malformed token (non-numeric — strtol/strtod would leave the
+// cursor in place and loop forever) or a count mismatch returns nonzero
+// instead of overrunning the caller's buffers. Returns 0 on success.
 int mfio_parse_csr_fill(const char* path, int with_values,
+                        long long nrows, long long nnz,
                         long long* indptr, int32_t* cols, float* vals) {
   size_t len = 0;
   char* buf = read_file(path, &len);
@@ -120,7 +124,8 @@ int mfio_parse_csr_fill(const char* path, int with_values,
   long long row = 0, e = 0;
   indptr[0] = 0;
   const char* p = buf;
-  while (p < end) {
+  int rc = 0;
+  while (p < end && rc == 0) {
     // one line
     const char* line_end = static_cast<const char*>(
         memchr(p, '\n', end - p));
@@ -129,20 +134,31 @@ int mfio_parse_csr_fill(const char* path, int with_values,
     while (true) {
       q = skip_ws(q, line_end);
       if (q >= line_end) break;
+      if (e >= nnz) { rc = 2; break; }  // more entries than pass 1 saw
+      const char* before = q;
       long col = parse_int(&q);
+      if (q == before) { rc = 3; break; }  // non-numeric token
       cols[e] = static_cast<int32_t>(col);
       if (with_values) {
         q = skip_ws(q, line_end);
+        before = q;
         vals[e] = static_cast<float>(parse_val(&q, line_end));
+        if (q == before) { rc = 3; break; }
       }
       e++;
     }
+    if (rc != 0) break;
+    if (row >= nrows) { rc = 2; break; }
     row++;
     indptr[row] = e;
     p = line_end + 1;
   }
   std::free(buf);
-  return 0;
+  if (rc == 0 && (e != nnz || row > nrows)) rc = 2;
+  if (rc == 0) {
+    for (long long r = row; r < nrows; ++r) indptr[r + 1] = e;
+  }
+  return rc;
 }
 
 // Item-item cosine-similarity top-k graph (writeItemSimMatPar analog,

@@ -374,3 +374,41 @@ def test_sample_missing_pairs():
     for u, c in zip(rows[:50], cols[:50]):
         assert not iu[u] and not ii[c]
         assert c not in set(data.train_mat.row(int(u))[0])
+
+
+def test_ordering_overlap_family():
+    """orderingOverlap / compOrderingOverlap* (topBucketComp.cpp:
+    1339-1501) against hand-computed small rankings."""
+    from matfac_tpu.analysis.top_bucket import (
+        comp_diff_pc, comp_ordering_overlap, comp_ordering_overlap2,
+        comp_ordering_overlap_bscores, ordering_diff, ordering_overlap)
+
+    ids_a = np.array([5, 3, 9, 1, 7])
+    ids_b = np.array([3, 8, 5, 2, 9])
+    sc_b = np.array([.5, .4, .3, .2, .1])
+
+    # top-3 of A = {5,3,9}; top-3 of B in order = [3,8,5]
+    ov_i, ov_s = ordering_overlap(ids_a, ids_b, sc_b, 3)
+    np.testing.assert_array_equal(ov_i, [3, 5])
+    np.testing.assert_allclose(ov_s, [.5, .3])
+    df_i, _ = ordering_diff(ids_a, ids_b, sc_b, 3)
+    np.testing.assert_array_equal(df_i, [8])
+
+    assert comp_ordering_overlap(ids_a, ids_b, 3) == pytest.approx(2 / 3)
+    assert comp_ordering_overlap2(ids_a, ids_b, 3) == pytest.approx(2 / 3)
+    # B shorter than size_a: denominator differs between the variants
+    assert comp_ordering_overlap(ids_a, ids_b[:2], 3) == pytest.approx(1 / 3)
+    assert comp_ordering_overlap2(ids_a, ids_b[:2], 3) == pytest.approx(1 / 2)
+
+    # BScores preserves the reference's -1-seeded accumulators
+    ov, out = comp_ordering_overlap_bscores(ids_a, ids_b, sc_b, 3)
+    assert ov == pytest.approx((0.5 + 0.3 - 1.0) / 2)
+    assert out == pytest.approx((0.4 - 1.0) / 1)
+
+    da, db = comp_diff_pc(ids_a, ids_b)
+    assert da == pytest.approx(2 / 5)
+    assert db == pytest.approx(2 / 5)
+
+    assert comp_ordering_overlap(np.array([]), ids_b, 3) == 0.0
+    assert comp_ordering_overlap_bscores(np.array([]), ids_b, sc_b,
+                                         3) == (-1.0, -1.0)

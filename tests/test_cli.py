@@ -58,3 +58,19 @@ def test_cli_analyze(files, capsys):
     assert "PPR-vs-GPR" in out
     # ground truth vs itself -> zero recovery error
     assert "fullLowRankErr vs ground truth: 0.0" in out
+
+
+def test_cli_train_increment(files, capsys):
+    """--algo increment is dispatchable from the CLI (round-2 wiring);
+    probe set comes from --graphmat (modelIncrement.cpp:251-316)."""
+    rc = cli.main([
+        "--cpu", "--algo", "increment",
+        "--trainmat", files["train"], "--testmat", files["test"],
+        "--valmat", files["val"], "--graphmat", files["val"],
+        "--facdim", "6", "--maxiter", "12", "--learnrate", "0.05",
+        "--ureg", "0.01", "--ireg", "0.01",
+        "--prefix", os.path.join(files["dir"], "inc")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "RE Test RMSE:" in out
+    assert "increment ranks:" in out

@@ -67,3 +67,19 @@ def test_native_cosine_topk_matches_numpy():
                                    np.maximum(expect, 0) * (expect > -np.inf)
                                    if False else expect,
                                    atol=1e-5)
+
+
+def test_native_parser_rejects_malformed_token(tmp_path):
+    """A non-numeric token must fail cleanly (numpy fallback), not loop
+    forever / overrun the nnz-sized buffers (round-2 advisor fix)."""
+    p = str(tmp_path / "bad.csr")
+    with open(p, "w") as f:
+        f.write("0 2.0 x 3.0\n1 1.0\n")
+    assert native.parse_csr_text(p, True) is None
+
+
+def test_native_parser_rejects_trailing_garbage_value(tmp_path):
+    p = str(tmp_path / "bad2.csr")
+    with open(p, "w") as f:
+        f.write("0 2.0 1 zz\n")
+    assert native.parse_csr_text(p, True) is None

@@ -86,3 +86,92 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                                np.asarray(state.u_fac))
     assert back.u_fac.sharding.spec == state.u_fac.sharding.spec
     assert extra["epoch"] == 7
+
+
+def test_compute_conf_bucket_rmse():
+    """Vectorized computeConfBuckRMSEFrmModels vs a literal python
+    transcription of the reference script's loops."""
+    from matfac_tpu.tools import compute_conf_bucket_rmse
+
+    rng = np.random.default_rng(3)
+    U, I, K, M, NB = 12, 20, 3, 4, 4
+    u_facs = [rng.normal(size=(U, K)) for _ in range(M)]
+    i_facs = [rng.normal(size=(I, K)) for _ in range(M)]
+    u_fac, i_fac = rng.normal(size=(U, K)), rng.normal(size=(I, K))
+    orig_u, orig_i = rng.normal(size=(U, K)), rng.normal(size=(I, K))
+    got = compute_conf_bucket_rmse(u_facs, i_facs, u_fac, i_fac,
+                                   orig_u, orig_i, NB)
+
+    # reference transcription (computeConf.py:66-102)
+    per = I // NB
+    sq = np.zeros(NB)
+    ct = np.zeros(NB)
+    for u in range(U):
+        scores = []
+        for it in range(I):
+            preds = [np.dot(uf[u], vf[it])
+                     for uf, vf in zip(u_facs, i_facs)]
+            std = np.std(preds)
+            scores.append((1.0 / std if std != 0 else -1.0, it))
+        scores.sort(reverse=True)
+        for b in range(NB):
+            s, e = b * per, (b + 1) * per
+            if b == NB - 1 or e > I:
+                e = I
+            for i in range(s, e):
+                it = scores[i][1]
+                d = np.dot(u_fac[u], i_fac[it]) - np.dot(orig_u[u],
+                                                         orig_i[it])
+                sq[b] += d * d
+                ct[b] += 1
+    want = np.sqrt(sq / ct)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_quartile_rmse_from_predictions():
+    from matfac_tpu.tools import quartile_rmse_from_predictions
+
+    rows = [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (9, 9, 0.0)]
+    u_part = {0: 0, 1: 1}
+    i_part = {0: 0, 1: 0}
+    val = {(0, 0): 1.5, (0, 1): 2.0, (1, 0): 2.0}
+    out = quartile_rmse_from_predictions(
+        rows, u_part, i_part, lambda u, i: val[(u, i)])
+    assert out["missing"] == 1
+    assert out["all_rmse"] == pytest.approx(
+        np.sqrt((0.25 + 0.0 + 1.0) / 3))
+    assert out["user_part_rmse"][0] == pytest.approx(
+        np.sqrt((0.25 + 0.0) / 2))
+    assert out["user_part_rmse"][1] == pytest.approx(1.0)
+
+
+def test_overlap_rep_factor_and_pairwise():
+    from matfac_tpu.tools import overlap_rep_factor, pairwise_overlap_stats
+
+    s1, s2 = {1, 2, 3, 4}, {3, 4, 5, 6}
+    r = overlap_rep_factor(s1, s2, 100)
+    assert r["overlap"] == 2
+    assert r["expected"] == pytest.approx(16 / 100)
+    assert r["rep_factor"] == pytest.approx(2 / 0.16)
+    assert 0.0 <= r["prob"] <= 1.0
+    st = pairwise_overlap_stats([s1, s2, {1, 3, 5}], 100)
+    assert 0.0 < st["mean_pairwise_pc"] < 1.0
+    assert st["all_intersection"] == len(s1 & s2 & {1, 3, 5})
+
+
+def test_write_filtered_min_rating(tmp_path):
+    from matfac_tpu.data.csr import RatingMatrix
+    from matfac_tpu.data.io import read_csr
+    from matfac_tpu.tools import write_filtered_min_rating
+
+    indptr = np.array([0, 2, 4])
+    cols = np.array([0, 1, 1, 2])
+    vals = np.array([5.0, 3.0, 4.0, 5.0], np.float32)
+    mat = RatingMatrix(indptr, cols, vals, 3)
+    p = str(tmp_path / "f.csr")
+    kept = write_filtered_min_rating(mat, p, min_rating=4.0,
+                                     head_items={2})
+    assert kept == 2   # (0,0,5) and (1,1,4); item 2 is head, 3.0 < 4
+    out = read_csr(p, ncols=3)
+    assert out.nnz == 2
+    np.testing.assert_array_equal(out.indices, [0, 1])

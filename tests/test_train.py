@@ -341,3 +341,78 @@ def test_hr_loop_nonfinite_loss_stops():
     rep = loop.run(dummy_state())
     assert rep.stop_reason == "nonfinite_loss"
     assert solver.calls == 3
+
+
+def _run_loop(data, params, prefix, resume, solver_kind="sgd"):
+    from matfac_tpu.eval.metrics import Evaluator
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+    from matfac_tpu.solvers.sgd import SGDSolver
+    from matfac_tpu.utils import freq as ufreq
+
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    model = ModelMF(params, data.n_users, data.n_items)
+    cls = SGDSolver if solver_kind == "sgd" else CCDPPSolver
+    solver = cls(model, params, data.train_mat, iu, ii)
+    ev = Evaluator(data, iu, ii, params)
+    loop = TrainLoop(model, solver, ev, params, prefix=prefix,
+                     log_fn=lambda s: None)
+    return loop.run(init_state(params, data.n_users, data.n_items),
+                    resume=resume)
+
+
+@pytest.mark.parametrize("solver_kind", ["sgd", "ccdpp"])
+def test_loop_resume_bit_exact(tmp_path, solver_kind):
+    """A run interrupted at epoch 5 and resumed reaches the SAME final
+    state as an uninterrupted run: the raw PRNG key and solver-internal
+    state (CCD++ residual) are persisted (round-2 exact-resume fix)."""
+    data, _, _ = synthetic_data(n_users=50, n_items=40, k=3,
+                                density=0.35, seed=31, noise=0.05,
+                                nonneg=True)
+    base = Params(fac_dim=3, u_reg=0.05, i_reg=0.05, learn_rate=0.03,
+                  max_iter=10, seed=4, batch_size=256, disp_iter=1000,
+                  save_iter=1)
+    rep_full = _run_loop(data, base, str(tmp_path / "full"), False,
+                         solver_kind)
+    # interrupted: 5 epochs (checkpoint each epoch), then resume to 10
+    _run_loop(data, base.replace(max_iter=5), str(tmp_path / "part"),
+              False, solver_kind)
+    rep_res = _run_loop(data, base, str(tmp_path / "part"), True,
+                        solver_kind)
+    np.testing.assert_array_equal(np.asarray(rep_full.state.u_fac),
+                                  np.asarray(rep_res.state.u_fac))
+    np.testing.assert_array_equal(np.asarray(rep_full.state.i_fac),
+                                  np.asarray(rep_res.state.i_fac))
+    assert rep_full.best_metric == rep_res.best_metric
+
+
+def test_bin_facs_reference_layout_roundtrip(tmp_path):
+    """.binmat files are a headerless little-endian float64 row-major
+    stream (io.cpp:157-303) — a file hand-written in the documented
+    reference layout must load bit-exactly, and our writes must read
+    back with plain struct unpacking."""
+    import struct
+
+    p = Params(fac_dim=3, u_reg=0.01, i_reg=0.01, learn_rate=0.005)
+    st = init_state(p, 4, 5, seed=9)
+    sig = ckpt.model_signature(p, 4, 5)
+    prefix = str(tmp_path / "b")
+    up, ip = ckpt.save_bin_facs(st, prefix, sig)
+    # read back with raw struct = what the reference's ifstream does
+    raw = open(up, "rb").read()
+    vals = struct.unpack("<%dd" % (4 * 3), raw)
+    np.testing.assert_allclose(
+        np.array(vals).reshape(4, 3),
+        np.asarray(st.u_fac, dtype=np.float64), rtol=0, atol=1e-7)
+    # and a file written the reference way loads exactly
+    ref = np.arange(20, dtype=np.float64).reshape(4, 5) / 7.0
+    with open(str(tmp_path / f"c_uFac_{sig}.binmat"), "wb") as f:
+        for row in ref:
+            for v in row:
+                f.write(struct.pack("<d", v))
+    with open(str(tmp_path / f"c_iFac_{sig}.binmat"), "wb") as f:
+        f.write(struct.pack("<%dd" % 25, *np.zeros(25)))
+    st2 = init_state(p.replace(fac_dim=5), 4, 5, seed=1)
+    out = ckpt.load_bin_facs(st2, str(tmp_path / "c"),
+                             ckpt.model_signature(p, 4, 5))
+    np.testing.assert_allclose(np.asarray(out.u_fac), ref.astype(np.float32))
