@@ -101,20 +101,32 @@ def pred_samp_users_rmse(orig_view: EvalView, full_view: EvalView,
              if len(elig) > n_users else elig)
     curves = {k: np.zeros(n_buckets) for k in scorers}
     counts = {k: 0 for k in scorers}
-    for u in users:
-        u = int(u)
-        rated = train_mat.row(u)[0]
-        items = np.nonzero(cand_mask)[0]
-        items = np.setdiff1d(items, rated, assume_unique=False)
-        if len(items) < n_buckets:
-            continue
-        for name, fn in scorers.items():
-            sc = fn(u, items)
-            curve = top_bucket_rmse_curve(orig_view, full_view, u, items,
-                                          sc, n_buckets)
-            if np.isfinite(curve).all():
-                curves[name] += curve
-                counts[name] += 1
+    all_items = np.nonzero(cand_mask)[0]
+    # catalog errors arrive in block dispatches; the per-user work below
+    # is pure numpy (round 1 made 2 device calls per user per scorer)
+    from matfac_tpu.analysis.batch import catalog_sq_err
+    for idx, d2_blk in catalog_sq_err(orig_view, full_view,
+                                      np.asarray(users)):
+        for j, d2_row in zip(idx, d2_blk):
+            u = int(users[j])
+            rated = train_mat.row(u)[0]
+            items = np.setdiff1d(all_items, rated, assume_unique=False)
+            if len(items) < n_buckets:
+                continue
+            per = max(len(items) // n_buckets, 1)
+            for name, fn in scorers.items():
+                sc = fn(u, items)
+                d2 = d2_row[items[np.argsort(-sc, kind="stable")]]
+                curve = np.empty(n_buckets)
+                for b in range(n_buckets):
+                    s = b * per
+                    e = (len(items) if b == n_buckets - 1
+                         else min((b + 1) * per, len(items)))
+                    curve[b] = (np.sqrt(d2[s:e].mean()) if e > s
+                                else np.nan)
+                if np.isfinite(curve).all():
+                    curves[name] += curve
+                    counts[name] += 1
     return {k: curves[k] / max(counts[k], 1) for k in scorers}
 
 

@@ -55,12 +55,17 @@ class Params:
 
     # --- TPU execution knobs (new; no reference analog) ---
     batch_size: int = 16384        # SGD minibatch (COO examples per step)
+    # scale colliding same-entity gradients within a batch to their
+    # mean (stability on power-law data; solvers/sgd.py docstring)
+    sgd_collision_norm: bool = True
     eval_user_block: int = 1024    # users per block in full-catalog scoring
     eval_item_block: int = 8192    # items per block in full-catalog scoring
     dtype: str = "float32"         # factor dtype ("float32" or "bfloat16")
     mesh_shape: Tuple[int, ...] = ()   # () = single device
     mesh_axes: Tuple[str, ...] = ()
-    n_negatives: int = 8           # BPR: candidate negatives per positive
+    n_negatives: int = 2           # BPR: sampler tries per positive
+    # (first-try acceptance >90%; failures drop the pair — the
+    # reference's own 100-try failure handling, modelMFBPR.cpp:227-241)
 
     # --- training-loop constants (reference const.h:4-8) ---
     obj_iter: int = 1      # OBJ_ITER: check objective every N epochs

@@ -101,52 +101,89 @@ class DSGDShardedSolver:
         ub = r // self.bu            # owning shard of the user row
         ib = c // self.bi            # item block
         rnd = (ib - ub) % N          # round in which this entry is live
-        # stage [N, N_rounds, S] padded local-index arrays
+
+        # ---- multi-host staging (SURVEY §7 step 5; VERDICT r1 #4) ----
+        # Each process builds ONLY the (user-block, round) cells whose
+        # shard lives on one of its addressable devices, so no host ever
+        # holds the full staged stream. In a multi-process run the
+        # caller may pass either the full matrix or just its host-local
+        # rows (parallel.distributed.host_local_ratings) — out-of-block
+        # rows are dropped here either way.
+        mesh_devs = np.asarray(mesh.devices).reshape(-1)
+        proc = jax.process_index()
+        self.local_blocks = [b for b in range(N)
+                             if mesh_devs[b].process_index == proc]
+        multiproc = jax.process_count() > 1
+        local = np.isin(ub, self.local_blocks)
+        r, c, v, w, lam = r[local], c[local], v[local], w[local], lam[local]
+        ub, ib, rnd = ub[local], ib[local], rnd[local]
+        self.nnz = len(r)          # local nnz in multi-process runs
+
         bs = batch_size or params.batch_size
         counts = np.zeros((N, N), np.int64)
         np.add.at(counts, (ub, rnd), 1)
         S = max(int(counts.max()), 1)
+        if multiproc:
+            # the staged cell size must agree across processes
+            from jax.experimental import multihost_utils
+            S = int(np.max(multihost_utils.process_allgather(
+                np.asarray(S))))
         S = _cdiv(S, bs) * bs if S > bs else bs
         self.S = S
         self.bs = min(bs, S)
-        u_loc = np.zeros((N, N, S), np.int32)
-        i_loc = np.zeros((N, N, S), np.int32)
-        vals = np.zeros((N, N, S), np.float32)
-        wts = np.zeros((N, N, S), np.float32)     # 0 weight = padding
-        lams = np.ones((N, N, S), np.int32)
+        nb = len(self.local_blocks)
+        blk_pos = {b: j for j, b in enumerate(self.local_blocks)}
+        ub_loc = np.vectorize(blk_pos.__getitem__, otypes=[np.int64])(
+            ub) if len(ub) else ub
+        u_loc = np.zeros((nb, N, S), np.int32)
+        i_loc = np.zeros((nb, N, S), np.int32)
+        vals = np.zeros((nb, N, S), np.float32)
+        wts = np.zeros((nb, N, S), np.float32)    # 0 weight = padding
+        lams = np.ones((nb, N, S), np.int32)
         order = np.lexsort((rnd, ub))
         r, c, v, w, lam = r[order], c[order], v[order], w[order], lam[order]
         ub, ib, rnd = ub[order], ib[order], rnd[order]
+        ub_loc = ub_loc[order] if len(ub) else ub
         # position within each (shard, round) group
         grp = ub * N + rnd
         pos = np.arange(len(r)) - np.searchsorted(grp, grp, side="left")
-        u_loc[ub, rnd, pos] = (r - ub * self.bu).astype(np.int32)
-        i_loc[ub, rnd, pos] = (c - ib * self.bi).astype(np.int32)
-        vals[ub, rnd, pos] = v
-        wts[ub, rnd, pos] = w
-        lams[ub, rnd, pos] = lam
+        u_loc[ub_loc, rnd, pos] = (r - ub * self.bu).astype(np.int32)
+        i_loc[ub_loc, rnd, pos] = (c - ib * self.bi).astype(np.int32)
+        vals[ub_loc, rnd, pos] = v
+        wts[ub_loc, rnd, pos] = w
+        lams[ub_loc, rnd, pos] = lam
         # static shuffle within every cell: the stream is user-sorted and
         # an unshuffled minibatch holds whole user rows -> scatter-add
         # collisions blow up the effective step. Per-epoch randomness is
         # then a cheap random rotation (full device sorts compile
-        # pathologically slowly on TPU).
-        rng = np.random.default_rng(self.params.seed + 17)
-        for i_s in range(N):
+        # pathologically slowly on TPU). The rng is seeded PER CELL so
+        # any process staging any subset builds identical cells.
+        for j, b in enumerate(self.local_blocks):
             for t_s in range(N):
-                cnt = int(counts[i_s, t_s])
+                cnt = int(counts[b, t_s])
                 if cnt > 1:
+                    rng = np.random.default_rng(
+                        self.params.seed * 1000003 + b * N + t_s + 17)
                     p = rng.permutation(cnt)
                     for arr in (u_loc, i_loc, vals, wts, lams):
-                        arr[i_s, t_s, :cnt] = arr[i_s, t_s, :cnt][p]
+                        arr[j, t_s, :cnt] = arr[j, t_s, :cnt][p]
 
         sh = NamedSharding(mesh, P(axis, None, None))
-        self.u_loc = jax.device_put(jnp.asarray(u_loc), sh)
-        self.i_loc = jax.device_put(jnp.asarray(i_loc), sh)
-        self.vals = jax.device_put(jnp.asarray(vals), sh)
-        self.wts = jax.device_put(jnp.asarray(wts), sh)
-        self.lams = jax.device_put(jnp.asarray(lams), sh)
-        self.nnz = len(r)
+        if multiproc:
+            put = lambda a: jax.make_array_from_process_local_data(
+                sh, a, (N,) + a.shape[1:])
+        else:
+            put = lambda a: jax.device_put(jnp.asarray(a), sh)
+        self.u_loc = put(u_loc)
+        self.i_loc = put(i_loc)
+        self.vals = put(vals)
+        self.wts = put(wts)
+        self.lams = put(lams)
         self._epoch = self._build_epoch()
+        # epoch-resident factor layout (see epoch())
+        self._resident = None
+        self._last_u_view = None
+        self._last_i_view = None
 
     # ------------------------------------------------------------------
     def _build_epoch(self):
@@ -233,16 +270,20 @@ class DSGDShardedSolver:
             out_specs=(fac_spec, fac_spec),
             check_vma=False)
 
+        # staged arrays are jit ARGUMENTS: closure capture would embed
+        # them as HLO constants (compile blowup at scale, CLAUDE.md) and
+        # is illegal for multi-process global arrays
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch(u_fac, i_fac, lr, key):
-            return mapped(u_fac, i_fac, self.u_loc, self.i_loc, self.vals,
-                          self.wts, self.lams, lr, key)
+        def epoch(u_fac, i_fac, u_loc, i_loc, vals, wts, lams, lr, key):
+            return mapped(u_fac, i_fac, u_loc, i_loc, vals, wts, lams,
+                          lr, key)
 
         return epoch
 
     # ------------------------------------------------------------------
-    def epoch(self, state: MFState, lr: float, key) -> MFState:
-        n_users, k = state.u_fac.shape
+    def _stage_factors(self, state: MFState):
+        """Logical factors -> padded / item-permuted / mesh-sharded."""
+        n_users = state.u_fac.shape[0]
         n_items = state.i_fac.shape[0]
         pu = self.n_users_pad - n_users
         pi = self.n_items_pad - n_items
@@ -253,13 +294,37 @@ class DSGDShardedSolver:
             i_fac = i_fac[self.item_perm_inv_dev]
         i_fac = jnp.pad(i_fac, ((0, pi), (0, 0))) if pi else i_fac
         u_sh = NamedSharding(self.mesh, P(self.axis, None))
-        u_fac = jax.device_put(u_fac, u_sh)
-        i_fac = jax.device_put(i_fac, u_sh)
-        u_fac, i_fac = self._epoch(u_fac, i_fac, jnp.float32(lr), key)
-        if pu:
+        return jax.device_put(u_fac, u_sh), jax.device_put(i_fac, u_sh)
+
+    def _logical_view(self, u_fac, i_fac, n_users: int, n_items: int):
+        if self.n_users_pad != n_users:
             u_fac = u_fac[:n_users]
-        if pi:
-            i_fac = i_fac[:n_items]
+        i_view = i_fac
+        if self.n_items_pad != n_items:
+            i_view = i_view[:n_items]
         if self.item_perm is not None:
-            i_fac = i_fac[self.item_perm_dev]
-        return state._replace(u_fac=u_fac, i_fac=i_fac)
+            i_view = i_view[self.item_perm_dev]
+        return u_fac, i_view
+
+    def epoch(self, state: MFState, lr: float, key) -> MFState:
+        """The sharded factors stay RESIDENT in the padded/permuted
+        layout across epochs (VERDICT r1 weak #3: round 1 re-padded and
+        re-device_put both tables every call); staging happens only on
+        the first epoch or when the caller hands back a state we did not
+        produce (e.g. after a NaN rollback to a snapshot)."""
+        n_users = state.u_fac.shape[0]
+        n_items = state.i_fac.shape[0]
+        if (self._resident is not None
+                and state.u_fac is self._last_u_view
+                and state.i_fac is self._last_i_view):
+            u_fac, i_fac = self._resident
+        else:
+            u_fac, i_fac = self._stage_factors(state)
+        u_fac, i_fac = self._epoch(u_fac, i_fac, self.u_loc, self.i_loc,
+                                   self.vals, self.wts, self.lams,
+                                   jnp.float32(lr), key)
+        self._resident = (u_fac, i_fac)
+        u_view, i_view = self._logical_view(u_fac, i_fac, n_users,
+                                            n_items)
+        self._last_u_view, self._last_i_view = u_view, i_view
+        return state._replace(u_fac=u_view, i_fac=i_view)

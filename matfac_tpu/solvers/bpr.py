@@ -9,7 +9,12 @@ with flat-array gathers:
   try: jj ~ U[0, deg_u); if rowval[jj]==0 accept that explicit zero;
   else j ~ U[gap between rated item jj and the next rated item), accept
   if j is a train item (>=1 rating). Up to `n_tries` tries; failures
-  drop the example (weight 0).
+  drop the example (weight 0 — the reference's own failure handling
+  after its 100-try budget, modelMFBPR.cpp:227-241). First-try
+  acceptance measured >90% (PERF.md), so the default budget is 2 tries
+  (~1% of pairs dropped/epoch) — the sampler is gather-bound and each
+  try costs a [B,3] row-gather, so a 16-try budget spent 8x the gathers
+  to rescue <10% of pairs.
 
 The pairwise update (modelMFBPR.cpp:501-521):
 
@@ -39,7 +44,7 @@ from matfac_tpu.models.base import MFState
 class BPRSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
-                 batch_size: Optional[int] = None, n_tries: int = 16,
+                 batch_size: Optional[int] = None, n_tries: int = 2,
                  mode: str = "stream"):
         """mode="stream": iterate all positives per epoch (train,
         modelMFBPR.cpp:405-559). mode="posneg": per step sample a
@@ -211,10 +216,12 @@ class BPRSolver:
                 gn = -coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qn
                 if m is not None:
                     gu, gp, gn = gu * m, gp * m, gn * m
+                # one fused scatter over [p; neg] instead of two passes
+                i_idx = jnp.concatenate([p, neg])
+                i_upd = jnp.concatenate([gp, gn])
                 st = st._replace(
                     u_fac=st.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
-                    i_fac=st.i_fac.at[p].add((-lr * gp).astype(st.i_fac.dtype)
-                                             ).at[neg].add((-lr * gn).astype(st.i_fac.dtype)))
+                    i_fac=st.i_fac.at[i_idx].add((-lr * i_upd).astype(st.i_fac.dtype)))
                 return (st, loss, inv), None
 
             keys = jax.random.split(key, n_batches)
@@ -300,10 +307,12 @@ class BPRSolver:
                 gn = -coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qn
                 if m is not None:
                     gu, gp, gn = gu * m, gp * m, gn * m
+                # one fused scatter over [p; neg] instead of two passes
+                i_idx = jnp.concatenate([p, neg])
+                i_upd = jnp.concatenate([gp, gn])
                 st = st._replace(
                     u_fac=st.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
-                    i_fac=st.i_fac.at[p].add((-lr * gp).astype(st.i_fac.dtype)
-                                             ).at[neg].add((-lr * gn).astype(st.i_fac.dtype)))
+                    i_fac=st.i_fac.at[i_idx].add((-lr * i_upd).astype(st.i_fac.dtype)))
                 return (st, loss, inv), None
 
             keys = jax.random.split(key, n_batches)

@@ -48,10 +48,11 @@ class CCDPPSolver:
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  n_inner: int = 5, freq_adaptive: bool = False,
                  freq_thresh: float = 75.0, item_freq=None,
-                 sweep_mode: str = "scan", **_):
+                 sweep_mode: str = "scan", dim_chunk: int = 8, **_):
         """``sweep_mode``: "scan" = whole epoch as one lax.scan over
-        dims (fastest dispatch); "per_dim" = one jitted call per dim —
-        fallback for backends where the monolithic scan program
+        dims (fastest dispatch); "per_dim" = one jitted call per dim;
+        "chunked" = one jitted scan per ``dim_chunk`` dims — the
+        fallbacks for backends where the monolithic scan program
         miscompiles (a TPU worker kernel-fault was observed at
         100k-user scale on the axon backend, round 1)."""
         self.model = model
@@ -72,8 +73,10 @@ class CCDPPSolver:
             self.item_dim_ok = jnp.asarray(fa)
         else:
             self.item_dim_ok = None
+        self.dim_chunk = dim_chunk
         self._epoch = self._build_epoch()
         self._dim_sweep = self._build_dim_sweep()
+        self._chunk_sweep = self._build_chunk_sweep()
         self._initialized = False
 
     def _build_dim_sweep(self):
@@ -113,6 +116,51 @@ class CCDPPSolver:
                     res)
 
         return dim_sweep
+
+    def _build_chunk_sweep(self):
+        """Scan over an explicit chunk of dims (sweep_mode="chunked"):
+        same math as _build_epoch's scan body, host-driven chunking."""
+        n_users, n_items = self.n_users, self.n_items
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        n_inner = self.n_inner
+        item_dim_ok = self.item_dim_ok
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def chunk_sweep(u_fac, i_fac, res, rows, cols, dims):
+            def seg_u(x):
+                return jax.ops.segment_sum(x, rows, n_users)
+
+            def seg_i(x):
+                return jax.ops.segment_sum(x, cols, n_items)
+
+            def dim_sweep(carry, kk):
+                u_fac, i_fac, res = carry
+                u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+                v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+                res = res + u_k[rows] * v_k[cols]
+
+                def inner(_, uv):
+                    u_k, v_k = uv
+                    vg = v_k[cols]
+                    u_k = seg_u(res * vg) / (u_reg + seg_u(vg * vg))
+                    ug = u_k[rows]
+                    v_k = seg_i(res * ug) / (i_reg + seg_i(ug * ug))
+                    return (u_k, v_k)
+
+                u_k, v_k = jax.lax.fori_loop(0, n_inner, inner,
+                                             (u_k, v_k))
+                if item_dim_ok is not None:
+                    v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
+                res = res - u_k[rows] * v_k[cols]
+                return (_set_col(u_fac, kk, u_k),
+                        _set_col(i_fac, kk, v_k), res), None
+
+            (u_fac, i_fac, res), _ = jax.lax.scan(
+                dim_sweep, (u_fac, i_fac, res), dims)
+            return u_fac, i_fac, res
+
+        return chunk_sweep
 
     def _build_epoch(self):
         n_users, n_items = self.n_users, self.n_items
@@ -180,6 +228,24 @@ class CCDPPSolver:
                 key, state.u_fac.shape[1]))
             u_fac, i_fac, res = state.u_fac, state.i_fac, self.res
             for kk in dims:
+                u_fac, i_fac, res = self._dim_sweep(
+                    u_fac, i_fac, res, self.rows, self.cols, int(kk))
+            self.res = res
+            return state._replace(u_fac=u_fac, i_fac=i_fac)
+        if self.sweep_mode == "chunked":
+            k = state.u_fac.shape[1]
+            C = min(self.dim_chunk, k)
+            # pad the permutation to a chunk multiple by REPEATING the
+            # tail dims? No — a repeated sweep would change results;
+            # instead run the last partial chunk through per-dim calls.
+            dims = np.asarray(jax.random.permutation(key, k))
+            u_fac, i_fac, res = state.u_fac, state.i_fac, self.res
+            n_full = (k // C) * C
+            for s in range(0, n_full, C):
+                u_fac, i_fac, res = self._chunk_sweep(
+                    u_fac, i_fac, res, self.rows, self.cols,
+                    jnp.asarray(dims[s:s + C]))
+            for kk in dims[n_full:]:
                 u_fac, i_fac, res = self._dim_sweep(
                     u_fac, i_fac, res, self.rows, self.cols, int(kk))
             self.res = res

@@ -42,16 +42,31 @@ class SGDSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  batch_size: Optional[int] = None,
-                 reg_vec: Optional[np.ndarray] = None):
+                 reg_vec: Optional[np.ndarray] = None,
+                 collision_norm: Optional[bool] = None):
         """``reg_vec``: optional per-dim regularization rates replacing
         the scalar u_reg/i_reg for BOTH sides — the singular-value-
         weighted scheme of trainSGDParSVD (modelMF.cpp:496-506, rate
-        (sing_a+1)/(sing_b+sigma_k))."""
+        (sing_a+1)/(sing_b+sigma_k)).
+
+        ``collision_norm``: scale each example's gradient by 1/count of
+        its entity within the minibatch, so a hot entity's net batch
+        update is the MEAN of its colliding gradients instead of the
+        sum. The sum overshoots: an entity occurring n times in a batch
+        takes one stale n*lr step (unstable once n*lr*||q||^2 ~ 1 —
+        observed divergence on power-law data), where the sequential
+        reference takes n separate lr steps (modelMF.cpp:83-105).
+        Default (None -> read Params.sgd_collision_norm) is on; with it
+        the minibatched engine reaches the coordinate-solver basin
+        (scripts/sgd_parity.py)."""
         self.model = model
         self.params = params
         if reg_vec is not None and model.use_bias:
             raise ValueError("per-dim reg_vec is factor-only")
         self.reg_vec = reg_vec
+        self.collision_norm = (params.sgd_collision_norm
+                               if collision_norm is None
+                               else collision_norm)
         bs = batch_size or params.batch_size
         b = coo_batches(train_mat, bs, invalid_users, invalid_items)
         # One static host-side shuffle; per-epoch randomness is a random
@@ -83,6 +98,9 @@ class SGDSolver:
         use_factors = model.use_factors
         n_batches = self.n_batches
         B = self.batch_size
+        collision_norm = self.collision_norm
+        n_users = int(model.n_users)
+        n_items = int(model.n_items)
 
         n_total = self.rows.shape[0]
 
@@ -113,6 +131,15 @@ class SGDSolver:
                 v = sl(valid)
                 w = model.example_weight(u, i) * v
                 m = model.update_rank_mask(k_b, u, i)
+                if collision_norm:
+                    nu = jnp.zeros(n_users, jnp.float32).at[u].add(v)[u]
+                    ni = jnp.zeros(n_items, jnp.float32).at[i].add(v)[i]
+                    inv_nu = jnp.where(nu > 0, 1.0 / jnp.maximum(nu, 1.0),
+                                       0.0)
+                    inv_ni = jnp.where(ni > 0, 1.0 / jnp.maximum(ni, 1.0),
+                                       0.0)
+                else:
+                    inv_nu = inv_ni = None
                 pu = st.u_fac[u]
                 qi = st.i_fac[i]
                 pred = jnp.zeros_like(r)
@@ -137,12 +164,18 @@ class SGDSolver:
                     if m is not None:
                         gu = gu * m
                         gi = gi * m
+                    if collision_norm:
+                        gu = gu * inv_nu[:, None]
+                        gi = gi * inv_ni[:, None]
                     new = new._replace(
                         u_fac=new.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
                         i_fac=new.i_fac.at[i].add((-lr * gi).astype(st.i_fac.dtype)))
                 if use_bias:
                     gbu = -2.0 * w * diff + 2.0 * u_reg * v * st.u_bias[u]
                     gbi = -2.0 * w * diff + 2.0 * i_reg * v * st.i_bias[i]
+                    if collision_norm:
+                        gbu = gbu * inv_nu
+                        gbi = gbi * inv_ni
                     new = new._replace(
                         u_bias=new.u_bias.at[u].add((-lr * gbu).astype(st.u_bias.dtype)),
                         i_bias=new.i_bias.at[i].add((-lr * gbi).astype(st.i_bias.dtype)))

@@ -412,3 +412,42 @@ def test_ordering_overlap_family():
     assert comp_ordering_overlap(np.array([]), ids_b, 3) == 0.0
     assert comp_ordering_overlap_bscores(np.array([]), ids_b, sc_b,
                                          3) == (-1.0, -1.0)
+
+
+def test_batch_score_pools_matches_predict_pairs():
+    from matfac_tpu.analysis.batch import score_pools
+    from matfac_tpu.eval.metrics import predict_pairs
+
+    rng = np.random.default_rng(0)
+    U, I, K, P, C = 30, 40, 4, 17, 9
+    view = EvalView(jnp.asarray(rng.normal(size=(U, K)).astype(np.float32)),
+                    jnp.asarray(rng.normal(size=(I, K)).astype(np.float32)),
+                    jnp.asarray(rng.normal(size=U).astype(np.float32)),
+                    jnp.asarray(rng.normal(size=I).astype(np.float32)),
+                    jnp.float32(0.3))
+    users = rng.integers(0, U, P)
+    pools = rng.integers(0, I, (P, C))
+    got = score_pools(view, users, pools, pair_block=8)
+    want = np.asarray(predict_pairs(
+        view, jnp.asarray(np.repeat(users, C).astype(np.int32)),
+        jnp.asarray(pools.reshape(-1).astype(np.int32)))).reshape(P, C)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_sample_unrated_pools_validity():
+    from matfac_tpu.analysis.batch import sample_unrated_pools
+
+    mat, _, _ = low_rank_ratings(40, 30, 3, density=0.3, seed=2)
+    valid = np.ones(30, bool)
+    valid[5] = False
+    rng = np.random.default_rng(1)
+    users = np.array([0, 3, 7, 7])
+    tis = np.array([1, 2, 3, 4])
+    pools = sample_unrated_pools(mat, valid, users, tis, 50, rng)
+    assert pools.shape == (4, 51)
+    np.testing.assert_array_equal(pools[:, 0], tis)
+    for p in range(4):
+        u = int(users[p])
+        rated = set(mat.row(u)[0])
+        for it in pools[p, 1:]:
+            assert valid[it] and it != tis[p] and int(it) not in rated

@@ -1,5 +1,7 @@
 """Sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -242,3 +244,63 @@ def test_dsgd_item_balancing():
     # power-law data; balancing must not be worse
     assert vals["balanced"] <= vals["plain"] + 0.05, vals
     assert vals["balanced"] < 0.8, vals
+
+
+def test_dsgd_two_process_distributed(tmp_path):
+    """Real multi-host path (VERDICT r1 #4): two jax.distributed
+    processes, each staging only its host-local rating rows and its own
+    4 of 8 shard blocks, produce the SAME trained factors as one process
+    staging everything on an 8-device mesh."""
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordination service
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "dsgd_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(worker))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i}:\n{outs[i]}"
+        assert "WORKER_OK" in outs[i]
+    multi = np.load(str(tmp_path / "multi.npz"))
+
+    # identical problem on the in-process single-process 8-device mesh
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.parallel.dsgd import DSGDShardedSolver
+    from matfac_tpu.utils import freq as ufreq
+    data, _, _ = synthetic_data(n_users=64, n_items=48, k=3,
+                                density=0.3, seed=11, noise=0.05,
+                                nonneg=True)
+    params = Params(fac_dim=3, u_reg=0.02, i_reg=0.02, learn_rate=0.03,
+                    batch_size=32, seed=3)
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    mesh = make_mesh()
+    model = ModelMF(params, data.n_users, data.n_items)
+    solver = DSGDShardedSolver(model, params, data.train_mat, iu, ii,
+                               mesh)
+    state = init_state(params, data.n_users, data.n_items, seed=7)
+    key = jax.random.PRNGKey(5)
+    for _ in range(2):
+        key, ek = jax.random.split(key)
+        state = solver.epoch(state, params.learn_rate, ek)
+    np.testing.assert_allclose(multi["u_fac"], np.asarray(state.u_fac),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(multi["i_fac"], np.asarray(state.i_fac),
+                               rtol=1e-6, atol=1e-6)

@@ -321,3 +321,24 @@ def test_ccdpp_per_dim_mode_matches(setup_reg):
                                np.asarray(s2.u_fac), atol=1e-4)
     np.testing.assert_allclose(np.asarray(s1.i_fac),
                                np.asarray(s2.i_fac), atol=1e-4)
+
+
+def test_ccdpp_chunked_matches_scan(setup_pos):
+    """sweep_mode="chunked" is exact vs the monolithic scan epoch (same
+    dims permutation, same math, host-driven chunking)."""
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup_pos
+    a = CCDPPSolver(model, params, data.train_mat, iu, ii)
+    b = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                    sweep_mode="chunked", dim_chunk=3)
+    sa = init_state(params, model.n_users, model.n_items)
+    sb = init_state(params, model.n_users, model.n_items)
+    for e in range(3):
+        key = jax.random.PRNGKey(e)
+        sa = a.epoch(sa, 0, key)
+        sb = b.epoch(sb, 0, key)
+    np.testing.assert_allclose(np.asarray(sb.u_fac), np.asarray(sa.u_fac),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sb.i_fac), np.asarray(sa.i_fac),
+                               rtol=2e-5, atol=2e-5)
