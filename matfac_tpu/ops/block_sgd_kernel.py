@@ -1,0 +1,199 @@
+"""Pallas TPU kernel: cell-blocked SGD epoch via one-hot MXU matmuls.
+
+The measured wall for the XLA SGD engine is per-row gather/scatter issue
+rate (~25 ns/row; PERF.md), not HBM bandwidth — epoch time is nearly
+independent of k. This kernel removes row-indexed HBM ops entirely:
+
+  * users/items are partitioned into blocks (bu/bi rows); ratings are
+    staged into (user-block x item-block) cells (solvers/block_sgd.py),
+    the single-chip analog of the DSGD grid (modelMF.cpp:154-350).
+  * the epoch is ONE pallas_call with grid = NU user-block rows. The
+    ENTIRE item table is a VMEM-persistent output buffer (initialized
+    from HBM at step 0, written back once at the end — constant index
+    map, so no cross-step aliasing is needed); each step loads its user
+    block, sweeps that row's cells in a prefetched random order, and
+    every minibatch does
+
+        oh_u = onehot(u)  [b, bu]        (VPU compare vs iota)
+        p    = oh_u @ U                  (MXU)
+        ...gradient math...              (VPU)
+        U   += oh_u.T @ gu               (MXU)
+
+    so gathers/scatters become dense matmuls — per rating
+    ~4k(bu+bi) FLOP, which at bf16 MXU rates clears the gather
+    engine's ceiling by an order of magnitude.
+  * per-example weights (IFWMF) and deterministic rank masks (TMF) ride
+    the staged stream; collision normalization (mean of same-entity
+    gradients within a batch) is four extra thin matmuls.
+
+VMEM constraint: the padded item table (NI*bi x k f32) plus one stream
+row must fit in ~12 MB — holds for 20k items at k<=128; the solver
+refuses larger shapes (use SGDSolver/DSGD there).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
+                 NI: int, S: int, u_reg: float, i_reg: float,
+                 collision_norm: bool, use_mask: bool, mm_dtype):
+    def kernel(row_of_ref, ib_seq_ref, boff_ref, lr_ref,
+               u_loc_ref, i_loc_ref, vals_ref, wts_ref, lam_ref,
+               u_tab_in, i_tab_in, u_out, i_out):
+        t = pl.program_id(0)
+        # the item table persists in the output buffer across all steps
+        @pl.when(t == 0)
+        def _():
+            i_out[:, :] = i_tab_in[:, :]
+
+        u_out[:, :] = u_tab_in[:, :]
+        lr = lr_ref[0]
+        iota_u = jax.lax.broadcasted_iota(jnp.int32, (bs, bu), 1)
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (bs, bi), 1)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (bs, k), 1)
+
+        def one_cell(j, U):
+            ib = ib_seq_ref[t, j]
+            boff = boff_ref[t, j]
+            base = ib * S
+            I = i_out[pl.ds(ib * bi, bi), :]
+
+            def step(s, carry):
+                U, I = carry
+                start = base + ((s + boff) % n_steps) * bs
+                sl = pl.ds(start, bs)
+                u = u_loc_ref[0, sl]
+                i = i_loc_ref[0, sl]
+                r = vals_ref[0, sl]
+                w = wts_ref[0, sl]
+                oh_u = (u[:, None] == iota_u).astype(mm_dtype)
+                oh_i = (i[:, None] == iota_i).astype(mm_dtype)
+                pu = jnp.dot(oh_u, U.astype(mm_dtype),
+                             preferred_element_type=jnp.float32)
+                qi = jnp.dot(oh_i, I.astype(mm_dtype),
+                             preferred_element_type=jnp.float32)
+                if use_mask:
+                    lam = lam_ref[0, sl]
+                    m = (iota_k < lam[:, None]).astype(jnp.float32)
+                    pred = jnp.sum(pu * m * qi, axis=1)
+                else:
+                    m = None
+                    pred = jnp.sum(pu * qi, axis=1)
+                coeff = w * (r - pred)
+                vmask = (w > 0).astype(jnp.float32)
+                gu = (-2.0 * coeff[:, None] * qi
+                      + 2.0 * u_reg * vmask[:, None] * pu)
+                gi = (-2.0 * coeff[:, None] * pu
+                      + 2.0 * i_reg * vmask[:, None] * qi)
+                if use_mask:
+                    gu = gu * m
+                    gi = gi * m
+                if collision_norm:
+                    ones = vmask.astype(mm_dtype)
+                    cnt_u = jnp.dot(ones[None, :], oh_u,
+                                    preferred_element_type=jnp.float32)[0]
+                    cnt_i = jnp.dot(ones[None, :], oh_i,
+                                    preferred_element_type=jnp.float32)[0]
+                    n_u = jnp.dot(oh_u,
+                                  cnt_u[:, None].astype(mm_dtype),
+                                  preferred_element_type=jnp.float32
+                                  )[:, 0]
+                    n_i = jnp.dot(oh_i,
+                                  cnt_i[:, None].astype(mm_dtype),
+                                  preferred_element_type=jnp.float32
+                                  )[:, 0]
+                    gu = gu / jnp.maximum(n_u, 1.0)[:, None]
+                    gi = gi / jnp.maximum(n_i, 1.0)[:, None]
+                U = U + jnp.dot(oh_u.T, (-lr * gu).astype(mm_dtype),
+                                preferred_element_type=jnp.float32
+                                ).astype(U.dtype)
+                I = I + jnp.dot(oh_i.T, (-lr * gi).astype(mm_dtype),
+                                preferred_element_type=jnp.float32
+                                ).astype(I.dtype)
+                return (U, I)
+
+            U, I = jax.lax.fori_loop(0, n_steps, step, (U, I))
+            i_out[pl.ds(ib * bi, bi), :] = I
+            return U
+
+        U = jax.lax.fori_loop(0, NI, one_cell, u_out[:, :])
+        u_out[:, :] = U
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
+                     "collision_norm", "use_mask", "mm_bf16",
+                     "interpret"))
+def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
+                    row_of: jax.Array, ib_seq: jax.Array,
+                    boff: jax.Array, lr,
+                    u_loc: jax.Array, i_loc: jax.Array, vals: jax.Array,
+                    wts: jax.Array, lam: jax.Array,
+                    bs: int, bu: int, bi: int, NI: int,
+                    u_reg: float, i_reg: float, collision_norm: bool,
+                    use_mask: bool, mm_bf16: bool = True,
+                    interpret: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """One full SGD epoch over all cells.
+
+    u_tab [NU*bu, k], i_tab [NI*bi, k] (f32, padded). Stream arrays
+    [NU, NI*S] hold each user-block row's cells contiguously in
+    ib-ascending order. row_of [NU] = random row order; ib_seq/boff
+    [NU, NI] = per-row random cell order and batch offsets.
+    """
+    NU, row_len = u_loc.shape
+    S = row_len // NI
+    assert S % bs == 0
+    k = u_tab.shape[1]
+    mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
+    kernel = _make_kernel(bs, S // bs, k, bu, bi, NI, S, u_reg, i_reg,
+                          collision_norm, use_mask, mm_dtype)
+    n_items_pad = i_tab.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,   # row_of, ib_seq, boff, lr
+        grid=(NU,),
+        in_specs=[
+            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0)),
+            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0)),
+            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0)),
+            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0)),
+            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0)),
+            pl.BlockSpec((bu, k), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0)),
+            pl.BlockSpec((n_items_pad, k), lambda t, ro, ibs, bo, lr:
+                         (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bu, k), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0)),
+            pl.BlockSpec((n_items_pad, k), lambda t, ro, ibs, bo, lr:
+                         (0, 0)),
+        ],
+    )
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
+    u_out, i_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(u_tab.shape, u_tab.dtype),
+                   jax.ShapeDtypeStruct(i_tab.shape, i_tab.dtype)],
+        interpret=interpret,
+    )(row_of, ib_seq, boff, lr_arr,
+      u_loc, i_loc, vals, wts, lam, u_tab, i_tab)
+    return u_out, i_out

@@ -35,17 +35,21 @@ def main():
         noise=0.1, power_law=0.6, nonneg=True, test_pc=0.1, val_pc=0.1)
     print(f"config: {data} (ML-100K shape)", flush=True)
 
+    # NOTE on regs: SGD applies the L2 term PER OCCURRENCE
+    # (modelMF.cpp:92-105), so its effective per-entity lambda is
+    # freq * reg — the coordinate solvers' u_reg=0.05 corresponds to
+    # SGD regs ~50x smaller on this split (mean freq ~78). With that
+    # and collision_norm (solvers/sgd.py) the minibatched engine lands
+    # in the ALS basin: best val 0.1355 vs ALS 0.1359 (round-2 run).
     grids = [
-        dict(learn_rate=0.05, batch_size=2048),
-        dict(learn_rate=0.02, batch_size=2048),
-        dict(learn_rate=0.02, batch_size=512),
-        dict(learn_rate=0.01, batch_size=512),
-        dict(learn_rate=0.05, batch_size=8192),
+        dict(learn_rate=0.05, batch_size=2048, u_reg=0.005, i_reg=0.005),
+        dict(learn_rate=0.05, batch_size=2048, u_reg=0.001, i_reg=0.001),
+        dict(learn_rate=0.1, batch_size=2048, u_reg=0.005, i_reg=0.005),
     ]
     best = None
     for kw in grids:
         p = Params(fac_dim=10, max_iter=args.maxiter, seed=1,
-                   u_reg=0.05, i_reg=0.05, disp_iter=10 ** 6, **kw)
+                   disp_iter=10 ** 6, **kw)
         t0 = time.time()
         rep, model, ev, _ = train_model(data, p, mf_method="sgd",
                                         log_fn=lambda s: None)

@@ -1,0 +1,112 @@
+"""BlockSGDSolver / one-hot cell kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.synthetic import low_rank_ratings, synthetic_data
+from matfac_tpu.eval.metrics import Evaluator
+from matfac_tpu.models.base import ModelMF, init_state
+from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+from matfac_tpu.utils import freq
+
+
+def _mk(collision_norm, seed=5):
+    mat, _, _ = low_rank_ratings(30, 20, 3, density=0.4, seed=seed,
+                                 noise=0.05, nonneg=True)
+    params = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.05,
+                    seed=2)
+    iu, ii = freq.invalid_users_items(mat, 30, 20)
+    model = ModelMF(params, 30, 20)
+    sol = BlockSGDSolver(model, params, mat, iu, ii, batch_size=8,
+                         bu=8, bi=8, collision_norm=collision_norm,
+                         mm_bf16=False, interpret=True)
+    return mat, params, model, sol, iu, ii
+
+
+@pytest.mark.parametrize("collision_norm", [False, True])
+def test_block_sgd_matches_numpy_oracle(collision_norm):
+    """One kernel epoch == a literal numpy transcription of the cell
+    schedule (same staged stream, same per-batch stale-value update)."""
+    mat, params, model, sol, iu, ii = _mk(collision_norm)
+    # a twin solver consumes its schedule rng identically
+    _, _, _, twin, _, _ = _mk(collision_norm)
+    row_of, ib_seq, boff = [np.asarray(x) for x in twin._build_schedule()]
+
+    state = init_state(params, 30, 20, seed=3)
+    out = sol.epoch(state, params.learn_rate, None)
+
+    # ---- numpy oracle over the same staged arrays ----
+    u_tab = np.asarray(state.u_fac)[np.asarray(sol.u_perm_inv_dev)]
+    i_tab = np.asarray(state.i_fac)[np.asarray(sol.i_perm_inv_dev)]
+    u_loc = np.asarray(sol.u_loc)
+    i_loc = np.asarray(sol.i_loc)
+    vals = np.asarray(sol.vals)
+    wts = np.asarray(sol.wts)
+    bs, bu, bi, S = sol.bs, sol.bu, sol.bi, sol.S
+    n_steps = S // bs
+    lr, ur, ir = params.learn_rate, params.u_reg, params.i_reg
+    for t in range(sol.NU):
+        row = int(row_of[t])
+        U = u_tab[row * bu:(row + 1) * bu]
+        for j in range(sol.NI):
+            ib = int(ib_seq[t, j])
+            I = i_tab[ib * bi:(ib + 1) * bi]
+            for s in range(n_steps):
+                start = ib * S + ((s + int(boff[t, j])) % n_steps) * bs
+                sl = slice(start, start + bs)
+                u, i = u_loc[row, sl], i_loc[row, sl]
+                r, w = vals[row, sl], wts[row, sl]
+                pu, qi = U[u], I[i]
+                pred = (pu * qi).sum(1)
+                coeff = w * (r - pred)
+                vmask = (w > 0).astype(np.float32)
+                gu = (-2 * coeff[:, None] * qi
+                      + 2 * ur * vmask[:, None] * pu)
+                gi = (-2 * coeff[:, None] * pu
+                      + 2 * ir * vmask[:, None] * qi)
+                if collision_norm:
+                    cu = np.zeros(bu)
+                    np.add.at(cu, u, vmask)
+                    ci = np.zeros(bi)
+                    np.add.at(ci, i, vmask)
+                    gu = gu / np.maximum(cu[u], 1)[:, None]
+                    gi = gi / np.maximum(ci[i], 1)[:, None]
+                np.add.at(U, u, -lr * gu)
+                np.add.at(I, i, -lr * gi)
+    want_u = u_tab[np.asarray(sol.u_perm_dev)]
+    want_i = i_tab[np.asarray(sol.i_perm_dev)]
+    np.testing.assert_allclose(np.asarray(out.u_fac), want_u,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.i_fac), want_i,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_block_sgd_converges():
+    data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
+                                density=0.35, seed=8, noise=0.05,
+                                nonneg=True)
+    params = Params(fac_dim=6, u_reg=0.002, i_reg=0.002,
+                    learn_rate=0.05, seed=1)
+    iu, ii = freq.invalid_users_items(data.train_mat, 60, 40)
+    model = ModelMF(params, 60, 40)
+    sol = BlockSGDSolver(model, params, data.train_mat, iu, ii,
+                         batch_size=16, bu=16, bi=16, mm_bf16=False,
+                         interpret=True)
+    ev = Evaluator(data, iu, ii, params)
+    st = init_state(params, 60, 40)
+    for e in range(60):
+        st = sol.epoch(st, params.learn_rate, None)
+    val = ev.rmse(model.eval_view(st), "val")
+    assert val < 0.35, val
+
+
+def test_block_sgd_vmem_guard():
+    params = Params(fac_dim=128)
+    model = ModelMF(params, 1000, 300_000)
+    with pytest.raises(ValueError):
+        BlockSGDSolver(model, params, None, np.zeros(1000, bool),
+                       np.zeros(300_000, bool))
