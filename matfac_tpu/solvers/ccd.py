@@ -103,9 +103,11 @@ class CCDPPSolver:
             def inner(_, uv):
                 u_k, v_k = uv
                 vg = v_k[cols]
-                u_k = seg_u(res * vg) / (u_reg + seg_u(vg * vg))
+                su = seg_u(jnp.stack([res * vg, vg * vg], axis=1))
+                u_k = su[:, 0] / (u_reg + su[:, 1])
                 ug = u_k[rows]
-                v_k = seg_i(res * ug) / (i_reg + seg_i(ug * ug))
+                si = seg_i(jnp.stack([res * ug, ug * ug], axis=1))
+                v_k = si[:, 0] / (i_reg + si[:, 1])
                 return (u_k, v_k)
 
             u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
@@ -143,9 +145,13 @@ class CCDPPSolver:
                 def inner(_, uv):
                     u_k, v_k = uv
                     vg = v_k[cols]
-                    u_k = seg_u(res * vg) / (u_reg + seg_u(vg * vg))
+                    # one stacked segment pass per side (indexed-op
+                    # issue rate is the wall on TPU: ~25ns/row)
+                    su = seg_u(jnp.stack([res * vg, vg * vg], axis=1))
+                    u_k = su[:, 0] / (u_reg + su[:, 1])
                     ug = u_k[rows]
-                    v_k = seg_i(res * ug) / (i_reg + seg_i(ug * ug))
+                    si = seg_i(jnp.stack([res * ug, ug * ug], axis=1))
+                    v_k = si[:, 0] / (i_reg + si[:, 1])
                     return (u_k, v_k)
 
                 u_k, v_k = jax.lax.fori_loop(0, n_inner, inner,
@@ -194,9 +200,13 @@ class CCDPPSolver:
                 def inner(_, uv):
                     u_k, v_k = uv
                     vg = v_k[cols]
-                    u_k = seg_u(res * vg) / (u_reg + seg_u(vg * vg))
+                    # one stacked segment pass per side (indexed-op
+                    # issue rate is the wall on TPU: ~25ns/row)
+                    su = seg_u(jnp.stack([res * vg, vg * vg], axis=1))
+                    u_k = su[:, 0] / (u_reg + su[:, 1])
                     ug = u_k[rows]
-                    v_k = seg_i(res * ug) / (i_reg + seg_i(ug * ug))
+                    si = seg_i(jnp.stack([res * ug, ug * ug], axis=1))
+                    v_k = si[:, 0] / (i_reg + si[:, 1])
                     return (u_k, v_k)
 
                 u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
@@ -300,9 +310,9 @@ class CCDSolver(CCDPPSolver):
                 u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
                 v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
                 vg = v_k[cols]
-                num = seg_u((res + u_k[rows] * vg) * vg)
-                den = u_reg + seg_u(vg * vg)
-                new_u = num / den
+                su = seg_u(jnp.stack([(res + u_k[rows] * vg) * vg,
+                                      vg * vg], axis=1))
+                new_u = su[:, 0] / (u_reg + su[:, 1])
                 res = res - (new_u[rows] - u_k[rows]) * vg
                 return (_set_col(u_fac, kk, new_u), i_fac, res), None
 
@@ -311,9 +321,9 @@ class CCDSolver(CCDPPSolver):
                 u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
                 v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
                 ug = u_k[rows]
-                num = seg_i((res + ug * v_k[cols]) * ug)
-                den = i_reg + seg_i(ug * ug)
-                new_v = num / den
+                si = seg_i(jnp.stack([(res + ug * v_k[cols]) * ug,
+                                      ug * ug], axis=1))
+                new_v = si[:, 0] / (i_reg + si[:, 1])
                 res = res - ug * (new_v[cols] - v_k[cols])
                 return (u_fac, _set_col(i_fac, kk, new_v), res), None
 

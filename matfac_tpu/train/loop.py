@@ -282,8 +282,8 @@ class TrainLoopHR:
 # one-call front door
 # ----------------------------------------------------------------------
 
-_SOLVERS = ("sgd", "sgdpar", "sgdparsvd", "sgdu", "hogsgd", "als",
-            "ialspp", "alsdense", "ccd", "ccd++", "ccd++freqadap")
+_SOLVERS = ("sgd", "sgdpar", "sgdparsvd", "sgdu", "hogsgd", "blocksgd",
+            "als", "ialspp", "alsdense", "ccd", "ccd++", "ccd++freqadap")
 
 
 def train_model(data, params: Params, algo: str = "mf",
@@ -358,6 +358,13 @@ def train_model(data, params: Params, algo: str = "mf",
                                    inval_u, inval_i, mesh)
     elif m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
         solver = SGDSolver(model, params, data.train_mat, inval_u, inval_i)
+    elif m == "blocksgd":
+        # one-hot MXU cell engine (ops/block_sgd_kernel.py) — same
+        # update semantics as sgd, restructured for the TPU roofline
+        from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+        solver = BlockSGDSolver(model, params, data.train_mat, inval_u,
+                                inval_i,
+                                interpret=jax.default_backend() != "tpu")
     elif m == "sgdparsvd":
         # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
         # singular-value-weighted regularization + objectiveSing

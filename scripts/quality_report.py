@@ -37,8 +37,11 @@ def main():
     # iterative first-order solvers need more epochs than the
     # closed-form sweeps to reach the same floor
     configs = [
-        ("sgd", 5, dict(learn_rate=0.05, batch_size=2048, u_reg=0.05,
-                        i_reg=0.05)),
+        # SGD regs are per-occurrence (effective lambda = freq*reg) —
+        # 0.005 here corresponds to the coordinate solvers' 0.05; see
+        # scripts/sgd_parity.py
+        ("sgd", 5, dict(learn_rate=0.1, batch_size=2048, u_reg=0.005,
+                        i_reg=0.005)),
         ("sgdparsvd", 5, dict(learn_rate=0.05, batch_size=2048,
                               u_reg=0.1, i_reg=1.0)),
         ("als", 1, dict(u_reg=0.05, i_reg=0.05)),

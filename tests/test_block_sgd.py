@@ -110,3 +110,16 @@ def test_block_sgd_vmem_guard():
     with pytest.raises(ValueError):
         BlockSGDSolver(model, params, None, np.zeros(1000, bool),
                        np.zeros(300_000, bool))
+
+
+def test_block_sgd_via_train_model():
+    from matfac_tpu.train.loop import train_model
+
+    data, _, _ = synthetic_data(n_users=40, n_items=30, k=3,
+                                density=0.35, seed=4, noise=0.05,
+                                nonneg=True)
+    params = Params(fac_dim=4, u_reg=0.002, i_reg=0.002,
+                    learn_rate=0.05, max_iter=8, batch_size=16, seed=1)
+    rep, model, ev, _ = train_model(data, params, mf_method="blocksgd",
+                                    log_fn=lambda s: None)
+    assert np.isfinite(rep.best_metric)
