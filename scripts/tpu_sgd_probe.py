@@ -62,10 +62,7 @@ def main():
 
     for label, dtype, cn, bs in [
             ("f32+cn", "float32", True, 65_536),
-            ("f32", "float32", False, 65_536),
             ("bf16+cn", "bfloat16", True, 65_536),
-            ("bf16", "bfloat16", False, 65_536),
-            ("bf16+cn B=131072", "bfloat16", True, 131_072),
     ]:
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
                         learn_rate=0.005, seed=0, batch_size=bs,
@@ -84,7 +81,6 @@ def main():
     from matfac_tpu.eval.metrics import Evaluator  # noqa: F401
     from matfac_tpu.solvers.block_sgd import BlockSGDSolver
     for label, mm_bf16, cn in [("block bf16+cn", True, True),
-                               ("block bf16", True, False),
                                ("block f32+cn", False, True)]:
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
                         learn_rate=0.005, seed=0)
