@@ -29,8 +29,9 @@ def freq_rmse_sweep(view: EvalView, ev, data,
                     which: str = "test") -> Dict[float, tuple]:
     """{(top-percentile) -> (count, RMSE)} over entries whose ITEM is in
     the top-p fraction by train frequency."""
-    item_freq = np.resize(data.train_mat.col_degrees().astype(np.float64),
-                          data.n_items)
+    deg = data.train_mat.col_degrees().astype(np.float64)
+    item_freq = np.zeros(data.n_items)
+    item_freq[: len(deg)] = deg[: data.n_items]
     order = np.argsort(-item_freq, kind="stable")
     out = {}
     for p in percentiles:

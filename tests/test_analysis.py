@@ -451,3 +451,64 @@ def test_batch_sample_unrated_pools_validity():
         rated = set(mat.row(u)[0])
         for it in pools[p, 1:]:
             assert valid[it] and it != tis[p] and int(it) not in rated
+
+
+def test_conf_compat_named_surface():
+    """The named confCompute analogs (analysis.conf_compat) agree with
+    the generic machinery and with each other on a small grid."""
+    from matfac_tpu.analysis import conf_compat as cc
+    from matfac_tpu.ops.svd_init import svd_init
+
+    mat, uf, vf = low_rank_ratings(50, 40, 3, density=0.3, seed=7,
+                                   noise=0.05, nonneg=True)
+    iu, ii = freq.invalid_users_items(mat, 50, 40)
+
+    def view_of(u, v, scale=1.0):
+        return EvalView(jnp.asarray(u * scale), jnp.asarray(v),
+                        jnp.zeros(50), jnp.zeros(40), jnp.float32(0))
+
+    orig = view_of(uf, vf)
+    full = view_of(uf + 0.1 * np.random.default_rng(0).normal(
+        size=uf.shape), vf)
+    views = [view_of(uf, vf, s) for s in (0.9, 1.0, 1.1)]
+    eng = PPREngine(mfio.item_cosine_sim(mat, top_k=10))
+    item_freq = mat.col_degrees().astype(np.float64)
+
+    pairs = cc.get_test_pairs(mat, iu, ii, 200, seed=3)
+    assert len(pairs[0]) == 200
+
+    # observed / missing / pair-list curve families all run and return
+    # n_buckets finite-or-nan curves
+    r1, c1 = cc.compute_mod_conf(mat, views, iu, ii, orig, full, 5)
+    assert len(r1) == 5 and len(c1) == 5
+    r2, _ = cc.compute_gpr_conf(mat, eng, iu, ii, 0.85, orig, full, 5)
+    r3, _ = cc.compute_missing_mod_conf(mat, views, iu, ii, orig, full,
+                                        5, n_pairs=500)
+    assert np.isfinite(r2).all() and np.isfinite(r3).all()
+
+    opt = cc.gen_opt_conf_rmse_curve(pairs, orig, full, 5)
+    itm = cc.gen_item_conf_rmse_curve(pairs, orig, full, item_freq, 5)
+    usr = cc.gen_user_conf_rmse_curve(
+        pairs, orig, full, mat.row_degrees().astype(np.float64), 5)
+    gpr = cc.gen_gpr_conf_rmse_curve(pairs, orig, full, eng)
+    mdl = cc.gen_model_conf_rmse_curve(pairs, orig, full, views, 5)
+    # oracle ordering is (weakly) increasing-error by construction
+    assert opt[0] <= opt[-1] + 1e-9
+    for cur in (itm, usr, mdl):
+        assert len(cur) == 5 and np.isfinite(cur).all()
+    assert len(gpr) == 10
+
+    # per-user-sorted families
+    b1 = cc.conf_bucket_rmses(orig, full, views, 50, 40, 4, iu, ii)
+    b2 = cc.gpr_bucket_rmses(orig, full, eng, 50, 40, n_buckets=4,
+                             invalid_users=iu, invalid_items=ii)
+    b3 = cc.ppr_bucket_rmses(orig, full, eng, mat, 50, 40, n_buckets=4,
+                             invalid_users=iu, invalid_items=ii,
+                             n_samp_users=10)
+    b4 = cc.conf_opt_bucket_rmses(orig, full, 50, 40, 4, iu, ii)
+    b5 = cc.item_freq_bucket_rmses(orig, full, item_freq, 50, 40, 4,
+                                   iu, ii)
+    for b in (b1, b2, b3, b4, b5):
+        assert np.isfinite(b).all()
+    # oracle per-user buckets are monotone nondecreasing
+    assert (np.diff(b4) >= -1e-6).all()
