@@ -71,10 +71,10 @@ def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
                 U, I = carry
                 start = base + ((s + boff) % n_steps) * bs
                 sl = pl.ds(start, bs)
-                u = u_loc_ref[0, sl]
-                i = i_loc_ref[0, sl]
-                r = vals_ref[0, sl]
-                w = wts_ref[0, sl]
+                u = u_loc_ref[0, 0, sl]
+                i = i_loc_ref[0, 0, sl]
+                r = vals_ref[0, 0, sl]
+                w = wts_ref[0, 0, sl]
                 oh_u = (u[:, None] == iota_u).astype(mm_dtype)
                 oh_i = (i[:, None] == iota_i).astype(mm_dtype)
                 pu = jnp.dot(oh_u, U.astype(mm_dtype),
@@ -82,7 +82,7 @@ def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
                 qi = jnp.dot(oh_i, I.astype(mm_dtype),
                              preferred_element_type=jnp.float32)
                 if use_mask:
-                    lam = lam_ref[0, sl]
+                    lam = lam_ref[0, 0, sl]
                     m = (iota_k < lam[:, None]).astype(jnp.float32)
                     pred = jnp.sum(pu * m * qi, axis=1)
                 else:
@@ -161,20 +161,24 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
     kernel = _make_kernel(bs, S // bs, k, bu, bi, NI, S, u_reg, i_reg,
                           collision_norm, use_mask, mm_dtype)
     n_items_pad = i_tab.shape[0]
+    # stream arrays ride as [NU, 1, row_len] so the last-two block dims
+    # (1, row_len) EQUAL the array dims — Mosaic requires last-two block
+    # dims divisible by (8, 128) or exactly equal (observed lowering
+    # error with 2-D (1, row_len) blocks over a [NU, row_len] array)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,   # row_of, ib_seq, boff, lr
         grid=(NU,),
         in_specs=[
-            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
-                         (ro[t], 0)),
-            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
-                         (ro[t], 0)),
-            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
-                         (ro[t], 0)),
-            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
-                         (ro[t], 0)),
-            pl.BlockSpec((1, row_len), lambda t, ro, ibs, bo, lr:
-                         (ro[t], 0)),
+            pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0, 0)),
+            pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0, 0)),
+            pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0, 0)),
+            pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0, 0)),
+            pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0, 0)),
             pl.BlockSpec((bu, k), lambda t, ro, ibs, bo, lr:
                          (ro[t], 0)),
             pl.BlockSpec((n_items_pad, k), lambda t, ro, ibs, bo, lr:
@@ -188,6 +192,7 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
         ],
     )
     lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
+    s3 = (NU, 1, row_len)
     u_out, i_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -195,5 +200,6 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
                    jax.ShapeDtypeStruct(i_tab.shape, i_tab.dtype)],
         interpret=interpret,
     )(row_of, ib_seq, boff, lr_arr,
-      u_loc, i_loc, vals, wts, lam, u_tab, i_tab)
+      u_loc.reshape(s3), i_loc.reshape(s3), vals.reshape(s3),
+      wts.reshape(s3), lam.reshape(s3), u_tab, i_tab)
     return u_out, i_out

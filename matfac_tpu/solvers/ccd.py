@@ -40,6 +40,114 @@ def _stage_coo(train_mat, invalid_users, invalid_items):
             jnp.asarray(v[keep].astype(np.float32)))
 
 
+def _make_sweep_core(n_users, n_items, u_reg, i_reg, n_inner,
+                     item_dim_ok, nc, chunk):
+    """Build dim_sweep(u_fac, i_fac, res, rows, cols, kk) -> (u, i, res).
+
+    nc == 0: monolithic segment ops over the full nnz stream.
+    nc > 0: rows/cols/res are padded to nc*chunk (pad rows/cols point at
+    the sentinel entity n_users/n_items) and every nnz-sized gather /
+    scatter runs as nc chunked passes with fori_loop accumulation — the
+    axon TPU backend kernel-faults on single indexed ops beyond ~4M
+    elements (observed round 1/2 probes; 2M is proven safe), so the
+    monolithic program cannot run at ML-10M scale.
+    """
+
+    def plain(u_fac, i_fac, res, rows, cols, kk):
+        def seg_u(x):
+            return jax.ops.segment_sum(x, rows, n_users)
+
+        def seg_i(x):
+            return jax.ops.segment_sum(x, cols, n_items)
+
+        u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+        v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+        # add back this dim's contribution (no-op on first epoch where
+        # u_fac == 0, matching the iter>0 gate at modelMF.cpp:1036)
+        res = res + u_k[rows] * v_k[cols]
+
+        def inner(_, uv):
+            u_k, v_k = uv
+            vg = v_k[cols]
+            # one stacked segment pass per side (indexed-op issue rate
+            # is the wall on TPU: ~25ns/row)
+            su = seg_u(jnp.stack([res * vg, vg * vg], axis=1))
+            u_k = su[:, 0] / (u_reg + su[:, 1])
+            ug = u_k[rows]
+            si = seg_i(jnp.stack([res * ug, ug * ug], axis=1))
+            v_k = si[:, 0] / (i_reg + si[:, 1])
+            return (u_k, v_k)
+
+        u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
+        if item_dim_ok is not None:
+            # dims > 0 are truncated for infrequent items
+            v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
+        res = res - u_k[rows] * v_k[cols]
+        return _set_col(u_fac, kk, u_k), _set_col(i_fac, kk, v_k), res
+
+    if nc == 0:
+        return plain
+
+    def _pad1(x):
+        return jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+
+    def _sl(x, off):
+        return jax.lax.dynamic_slice(x, (off,), (chunk,))
+
+    def chunked(u_fac, i_fac, res, rows, cols, kk):
+        u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+        v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+
+        def res_delta(res, u_k, v_k, sign):
+            u_p, v_p = _pad1(u_k), _pad1(v_k)
+
+            def body(c, res):
+                off = c * chunk
+                r_c, c_c = _sl(rows, off), _sl(cols, off)
+                res_c = _sl(res, off) + sign * u_p[r_c] * v_p[c_c]
+                return jax.lax.dynamic_update_slice(res, res_c, (off,))
+
+            return jax.lax.fori_loop(0, nc, body, res)
+
+        res = res_delta(res, u_k, v_k, 1.0)
+
+        def inner(_, uv):
+            u_k, v_k = uv
+            v_p = _pad1(v_k)
+
+            def acc_u(c, su):
+                off = c * chunk
+                vg = v_p[_sl(cols, off)]
+                return su + jax.ops.segment_sum(
+                    jnp.stack([_sl(res, off) * vg, vg * vg], axis=1),
+                    _sl(rows, off), n_users + 1)
+
+            su = jax.lax.fori_loop(
+                0, nc, acc_u, jnp.zeros((n_users + 1, 2), res.dtype))
+            u_k = su[:n_users, 0] / (u_reg + su[:n_users, 1])
+            u_p = _pad1(u_k)
+
+            def acc_i(c, si):
+                off = c * chunk
+                ug = u_p[_sl(rows, off)]
+                return si + jax.ops.segment_sum(
+                    jnp.stack([_sl(res, off) * ug, ug * ug], axis=1),
+                    _sl(cols, off), n_items + 1)
+
+            si = jax.lax.fori_loop(
+                0, nc, acc_i, jnp.zeros((n_items + 1, 2), res.dtype))
+            v_k = si[:n_items, 0] / (i_reg + si[:n_items, 1])
+            return (u_k, v_k)
+
+        u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
+        if item_dim_ok is not None:
+            v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
+        res = res_delta(res, u_k, v_k, -1.0)
+        return _set_col(u_fac, kk, u_k), _set_col(i_fac, kk, v_k), res
+
+    return chunked
+
+
 class CCDPPSolver:
     """Rank-1 coordinate-descent sweeps. State extra: the residual vector,
     carried across epochs (reference carries `res` across epochs too)."""
@@ -48,13 +156,18 @@ class CCDPPSolver:
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  n_inner: int = 5, freq_adaptive: bool = False,
                  freq_thresh: float = 75.0, item_freq=None,
-                 sweep_mode: str = "scan", dim_chunk: int = 8, **_):
+                 sweep_mode: str = "scan", dim_chunk: int = 8,
+                 nnz_chunk: Optional[int] = None, **_):
         """``sweep_mode``: "scan" = whole epoch as one lax.scan over
         dims (fastest dispatch); "per_dim" = one jitted call per dim;
-        "chunked" = one jitted scan per ``dim_chunk`` dims — the
-        fallbacks for backends where the monolithic scan program
-        miscompiles (a TPU worker kernel-fault was observed at
-        100k-user scale on the axon backend, round 1)."""
+        "chunked" = one jitted scan per ``dim_chunk`` dims.
+
+        ``nnz_chunk``: split every nnz-sized gather/segment op into
+        passes of at most this many elements (None = auto: chunking
+        kicks in above 3M nnz with 2M chunks; 0 = never). The axon TPU
+        backend kernel-faults on indexed ops beyond ~4M elements, so
+        the monolithic program cannot run at ML-10M scale — chunked
+        passes are the fix (round-2 probes: 2M proven safe)."""
         self.model = model
         self.params = params
         self.sweep_mode = sweep_mode
@@ -63,6 +176,24 @@ class CCDPPSolver:
         self.n_users = int(model.n_users)
         self.n_items = int(model.n_items)
         self.n_inner = n_inner
+        nnz = int(self.rows.shape[0])
+        if nnz_chunk is None:
+            nnz_chunk = 2_000_000 if nnz > 3_000_000 else 0
+        if nnz_chunk and nnz > nnz_chunk:
+            self.nc = -(-nnz // nnz_chunk)
+            self.chunk = nnz_chunk
+            pad = self.nc * nnz_chunk - nnz
+            # pad indices hit the sentinel row/col (gathers read the
+            # appended zero; scatter bin is sliced off)
+            self.rows = jnp.concatenate(
+                [self.rows, jnp.full((pad,), self.n_users, jnp.int32)])
+            self.cols = jnp.concatenate(
+                [self.cols, jnp.full((pad,), self.n_items, jnp.int32)])
+            self.vals = jnp.concatenate(
+                [self.vals, jnp.zeros((pad,), jnp.float32)])
+        else:
+            self.nc = 0
+            self.chunk = 0
         self.res: Optional[jax.Array] = None
         if freq_adaptive:
             if item_freq is None:
@@ -79,88 +210,33 @@ class CCDPPSolver:
         self._chunk_sweep = self._build_chunk_sweep()
         self._initialized = False
 
+    def _sweep_core(self):
+        return _make_sweep_core(
+            self.n_users, self.n_items, float(self.params.u_reg),
+            float(self.params.i_reg), self.n_inner, self.item_dim_ok,
+            self.nc, self.chunk)
+
     def _build_dim_sweep(self):
         """Single-dim sweep for sweep_mode="per_dim" (same math as one
         scan step of _build_epoch)."""
-        n_users, n_items = self.n_users, self.n_items
-        u_reg = float(self.params.u_reg)
-        i_reg = float(self.params.i_reg)
-        n_inner = self.n_inner
-        item_dim_ok = self.item_dim_ok
+        core = self._sweep_core()
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def dim_sweep(u_fac, i_fac, res, rows, cols, kk):
-            def seg_u(x):
-                return jax.ops.segment_sum(x, rows, n_users)
-
-            def seg_i(x):
-                return jax.ops.segment_sum(x, cols, n_items)
-
-            u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
-            v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
-            res = res + u_k[rows] * v_k[cols]
-
-            def inner(_, uv):
-                u_k, v_k = uv
-                vg = v_k[cols]
-                su = seg_u(jnp.stack([res * vg, vg * vg], axis=1))
-                u_k = su[:, 0] / (u_reg + su[:, 1])
-                ug = u_k[rows]
-                si = seg_i(jnp.stack([res * ug, ug * ug], axis=1))
-                v_k = si[:, 0] / (i_reg + si[:, 1])
-                return (u_k, v_k)
-
-            u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
-            if item_dim_ok is not None:
-                v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
-            res = res - u_k[rows] * v_k[cols]
-            return (_set_col(u_fac, kk, u_k), _set_col(i_fac, kk, v_k),
-                    res)
+            return core(u_fac, i_fac, res, rows, cols, kk)
 
         return dim_sweep
 
     def _build_chunk_sweep(self):
         """Scan over an explicit chunk of dims (sweep_mode="chunked"):
         same math as _build_epoch's scan body, host-driven chunking."""
-        n_users, n_items = self.n_users, self.n_items
-        u_reg = float(self.params.u_reg)
-        i_reg = float(self.params.i_reg)
-        n_inner = self.n_inner
-        item_dim_ok = self.item_dim_ok
+        core = self._sweep_core()
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def chunk_sweep(u_fac, i_fac, res, rows, cols, dims):
-            def seg_u(x):
-                return jax.ops.segment_sum(x, rows, n_users)
-
-            def seg_i(x):
-                return jax.ops.segment_sum(x, cols, n_items)
-
             def dim_sweep(carry, kk):
                 u_fac, i_fac, res = carry
-                u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
-                v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
-                res = res + u_k[rows] * v_k[cols]
-
-                def inner(_, uv):
-                    u_k, v_k = uv
-                    vg = v_k[cols]
-                    # one stacked segment pass per side (indexed-op
-                    # issue rate is the wall on TPU: ~25ns/row)
-                    su = seg_u(jnp.stack([res * vg, vg * vg], axis=1))
-                    u_k = su[:, 0] / (u_reg + su[:, 1])
-                    ug = u_k[rows]
-                    si = seg_i(jnp.stack([res * ug, ug * ug], axis=1))
-                    v_k = si[:, 0] / (i_reg + si[:, 1])
-                    return (u_k, v_k)
-
-                u_k, v_k = jax.lax.fori_loop(0, n_inner, inner,
-                                             (u_k, v_k))
-                if item_dim_ok is not None:
-                    v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
-                res = res - u_k[rows] * v_k[cols]
-                return (_set_col(u_fac, kk, u_k),
-                        _set_col(i_fac, kk, v_k), res), None
+                return core(u_fac, i_fac, res, rows, cols, kk), None
 
             (u_fac, i_fac, res), _ = jax.lax.scan(
                 dim_sweep, (u_fac, i_fac, res), dims)
@@ -169,54 +245,17 @@ class CCDPPSolver:
         return chunk_sweep
 
     def _build_epoch(self):
-        n_users, n_items = self.n_users, self.n_items
-        u_reg = float(self.params.u_reg)
-        i_reg = float(self.params.i_reg)
-        n_inner = self.n_inner
-        item_dim_ok = self.item_dim_ok
+        core = self._sweep_core()
 
         # staged arrays are jit ARGUMENTS (closure constants make XLA
         # compile time explode at nnz scale — see solvers/sgd.py)
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch(state: MFState, res, rows, cols, key):
-            def seg_u(x):
-                return jax.ops.segment_sum(x, rows, n_users)
-
-            def seg_i(x):
-                return jax.ops.segment_sum(x, cols, n_items)
-
             dims = jax.random.permutation(key, state.u_fac.shape[1])
 
             def dim_sweep(carry, kk):
                 u_fac, i_fac, res = carry
-                u_k = jax.lax.dynamic_index_in_dim(
-                    u_fac, kk, axis=1, keepdims=False)
-                v_k = jax.lax.dynamic_index_in_dim(
-                    i_fac, kk, axis=1, keepdims=False)
-                # add back this dim's contribution (no-op on first epoch
-                # where u_fac == 0, matching the iter>0 gate at :1036)
-                res = res + u_k[rows] * v_k[cols]
-
-                def inner(_, uv):
-                    u_k, v_k = uv
-                    vg = v_k[cols]
-                    # one stacked segment pass per side (indexed-op
-                    # issue rate is the wall on TPU: ~25ns/row)
-                    su = seg_u(jnp.stack([res * vg, vg * vg], axis=1))
-                    u_k = su[:, 0] / (u_reg + su[:, 1])
-                    ug = u_k[rows]
-                    si = seg_i(jnp.stack([res * ug, ug * ug], axis=1))
-                    v_k = si[:, 0] / (i_reg + si[:, 1])
-                    return (u_k, v_k)
-
-                u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
-                if item_dim_ok is not None:
-                    # dims > 0 are truncated for infrequent items
-                    v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
-                res = res - u_k[rows] * v_k[cols]
-                u_fac = _set_col(u_fac, kk, u_k)
-                i_fac = _set_col(i_fac, kk, v_k)
-                return (u_fac, i_fac, res), None
+                return core(u_fac, i_fac, res, rows, cols, kk), None
 
             (u_fac, i_fac, res), _ = jax.lax.scan(
                 dim_sweep, (state.u_fac, state.i_fac, res), dims)
@@ -277,7 +316,14 @@ class CCDPPSolver:
 
     def set_internal_state(self, d: dict) -> None:
         if "res" in d:
-            self.res = jnp.asarray(d["res"])
+            res = jnp.asarray(d["res"])
+            n = int(self.vals.shape[0])  # staged (possibly padded) len
+            if res.shape[0] < n:
+                res = jnp.concatenate(
+                    [res, jnp.zeros((n - res.shape[0],), res.dtype)])
+            elif res.shape[0] > n:
+                res = res[:n]
+            self.res = res
             self._initialized = True
 
 
@@ -294,38 +340,103 @@ class CCDSolver(CCDPPSolver):
         n_users, n_items = self.n_users, self.n_items
         u_reg = float(self.params.u_reg)
         i_reg = float(self.params.i_reg)
+        nc, chunk = self.nc, self.chunk
+
+        def _pad1(x):
+            return jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch(state: MFState, res, rows, cols, key):
-            def seg_u(x):
-                return jax.ops.segment_sum(x, rows, n_users)
-
-            def seg_i(x):
-                return jax.ops.segment_sum(x, cols, n_items)
-
             k_u, k_i = jax.random.split(key)
 
-            def user_dim(carry, kk):
-                u_fac, i_fac, res = carry
-                u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
-                v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
-                vg = v_k[cols]
-                su = seg_u(jnp.stack([(res + u_k[rows] * vg) * vg,
-                                      vg * vg], axis=1))
-                new_u = su[:, 0] / (u_reg + su[:, 1])
-                res = res - (new_u[rows] - u_k[rows]) * vg
-                return (_set_col(u_fac, kk, new_u), i_fac, res), None
+            if nc == 0:
+                def user_dim(carry, kk):
+                    u_fac, i_fac, res = carry
+                    u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+                    v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+                    vg = v_k[cols]
+                    su = jax.ops.segment_sum(
+                        jnp.stack([(res + u_k[rows] * vg) * vg,
+                                   vg * vg], axis=1), rows, n_users)
+                    new_u = su[:, 0] / (u_reg + su[:, 1])
+                    res = res - (new_u[rows] - u_k[rows]) * vg
+                    return (_set_col(u_fac, kk, new_u), i_fac, res), None
 
-            def item_dim(carry, kk):
-                u_fac, i_fac, res = carry
-                u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
-                v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
-                ug = u_k[rows]
-                si = seg_i(jnp.stack([(res + ug * v_k[cols]) * ug,
-                                      ug * ug], axis=1))
-                new_v = si[:, 0] / (i_reg + si[:, 1])
-                res = res - ug * (new_v[cols] - v_k[cols])
-                return (u_fac, _set_col(i_fac, kk, new_v), res), None
+                def item_dim(carry, kk):
+                    u_fac, i_fac, res = carry
+                    u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+                    v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+                    ug = u_k[rows]
+                    si = jax.ops.segment_sum(
+                        jnp.stack([(res + ug * v_k[cols]) * ug,
+                                   ug * ug], axis=1), cols, n_items)
+                    new_v = si[:, 0] / (i_reg + si[:, 1])
+                    res = res - ug * (new_v[cols] - v_k[cols])
+                    return (u_fac, _set_col(i_fac, kk, new_v), res), None
+            else:
+                def _sl(x, off):
+                    return jax.lax.dynamic_slice(x, (off,), (chunk,))
+
+                def user_dim(carry, kk):
+                    u_fac, i_fac, res = carry
+                    u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+                    v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+                    u_p, v_p = _pad1(u_k), _pad1(v_k)
+
+                    def acc(c, su):
+                        off = c * chunk
+                        vg = v_p[_sl(cols, off)]
+                        r_c = _sl(rows, off)
+                        return su + jax.ops.segment_sum(
+                            jnp.stack([(_sl(res, off) + u_p[r_c] * vg)
+                                       * vg, vg * vg], axis=1),
+                            r_c, n_users + 1)
+
+                    su = jax.lax.fori_loop(
+                        0, nc, acc, jnp.zeros((n_users + 1, 2), res.dtype))
+                    new_u = su[:n_users, 0] / (u_reg + su[:n_users, 1])
+                    d_p = _pad1(new_u - u_k)
+
+                    def upd(c, res):
+                        off = c * chunk
+                        vg = v_p[_sl(cols, off)]
+                        res_c = _sl(res, off) - d_p[_sl(rows, off)] * vg
+                        return jax.lax.dynamic_update_slice(
+                            res, res_c, (off,))
+
+                    res = jax.lax.fori_loop(0, nc, upd, res)
+                    return (_set_col(u_fac, kk, new_u), i_fac, res), None
+
+                def item_dim(carry, kk):
+                    u_fac, i_fac, res = carry
+                    u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+                    v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+                    u_p, v_p = _pad1(u_k), _pad1(v_k)
+
+                    def acc(c, si):
+                        off = c * chunk
+                        ug = u_p[_sl(rows, off)]
+                        c_c = _sl(cols, off)
+                        return si + jax.ops.segment_sum(
+                            jnp.stack([(_sl(res, off) + ug * v_p[c_c])
+                                       * ug, ug * ug], axis=1),
+                            c_c, n_items + 1)
+
+                    si = jax.lax.fori_loop(
+                        0, nc, acc, jnp.zeros((n_items + 1, 2), res.dtype))
+                    new_v = si[:n_items, 0] / (i_reg + si[:n_items, 1])
+                    d_p = _pad1(new_v - v_k)
+
+                    def upd(c, res):
+                        off = c * chunk
+                        ug = u_p[_sl(rows, off)]
+                        res_c = (_sl(res, off)
+                                 - ug * d_p[_sl(cols, off)])
+                        return jax.lax.dynamic_update_slice(
+                            res, res_c, (off,))
+
+                    res = jax.lax.fori_loop(0, nc, upd, res)
+                    return (u_fac, _set_col(i_fac, kk, new_v), res), None
 
             k = state.u_fac.shape[1]
             carry = (state.u_fac, state.i_fac, res)

@@ -16,7 +16,7 @@ import numpy as np
 
 
 def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
-              dim_chunk=8):
+              dim_chunk=8, nnz_chunk=None):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,8 @@ def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
     iu = np.zeros(n_users, bool)
     ii = np.zeros(n_items, bool)
     solver = CCDPPSolver(model, params, mat, iu, ii, sweep_mode=mode,
-                         dim_chunk=dim_chunk)
+                         dim_chunk=dim_chunk, nnz_chunk=nnz_chunk)
+    print(f"  nnz_chunk: nc={solver.nc} chunk={solver.chunk}", flush=True)
     st = init_state(params, n_users, n_items)
     key = jax.random.PRNGKey(0)
     t0 = time.time()
@@ -61,19 +62,15 @@ def main():
     import jax
     print("devices:", jax.devices(), flush=True)
     k = 64
+    # round 2: auto nnz_chunk (2M passes) is the kernel-fault fix; run
+    # the headline ML-10M shape directly
     stages = [
-        # ramp the scan mode first: find where it faults
-        (20_000, 5_000, 2_000_000, "scan"),
-        (50_000, 10_000, 5_000_000, "scan"),
         (100_000, 20_000, 9_900_000, "scan"),
-        # fallbacks at full scale
-        (100_000, 20_000, 9_900_000, "chunked"),
-        (100_000, 20_000, 9_900_000, "per_dim"),
     ]
     for n_users, n_items, nnz, mode in stages:
         print(f"--- stage {mode} nnz={nnz}", flush=True)
         try:
-            run_stage(n_users, n_items, nnz, k, mode)
+            run_stage(n_users, n_items, nnz, k, mode, n_epochs=2)
         except Exception as e:  # noqa: BLE001 — log and continue ramp
             print(f"FAIL {mode} nnz={nnz}: {type(e).__name__}: {e}",
                   flush=True)

@@ -342,3 +342,49 @@ def test_ccdpp_chunked_matches_scan(setup_pos):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(sb.i_fac), np.asarray(sa.i_fac),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ccdpp_nnz_chunked_matches(setup_reg):
+    """nnz_chunk splits every indexed op into bounded passes (the
+    ML-10M-scale kernel-fault fix); math is identical up to fp
+    accumulation order."""
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    a = CCDPPSolver(model, params, data.train_mat, iu, ii)
+    b = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                    nnz_chunk=257)  # odd size -> exercises padding
+    assert b.nc > 1
+    s1 = init_state(params, model.n_users, model.n_items)
+    s2 = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(5)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        s1 = a.epoch(s1, 0, k)
+        s2 = b.epoch(s2, 0, k)
+    np.testing.assert_allclose(np.asarray(s1.u_fac),
+                               np.asarray(s2.u_fac), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.i_fac),
+                               np.asarray(s2.i_fac), rtol=1e-4, atol=1e-4)
+
+
+def test_ccd_nnz_chunked_matches(setup_reg):
+    """Per-entity CCD epoch under nnz chunking matches the monolithic
+    epoch."""
+    from matfac_tpu.solvers.ccd import CCDSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    a = CCDSolver(model, params, data.train_mat, iu, ii)
+    b = CCDSolver(model, params, data.train_mat, iu, ii, nnz_chunk=311)
+    assert b.nc > 1
+    s1 = init_state(params, model.n_users, model.n_items)
+    s2 = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(7)
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        s1 = a.epoch(s1, 0, k)
+        s2 = b.epoch(s2, 0, k)
+    np.testing.assert_allclose(np.asarray(s1.u_fac),
+                               np.asarray(s2.u_fac), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.i_fac),
+                               np.asarray(s2.i_fac), rtol=1e-4, atol=1e-4)
