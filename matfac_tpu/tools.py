@@ -16,13 +16,23 @@ Covered here:
     pairwise_overlap_stats         — compOverlapFreq.py
   * write_filtered_min_rating      — writeTestFiltMaxRat.py
 
-The remaining scripts are trivial log/column mungers (avg*.py,
-cumSum.py, averageCol.py, compcoldiff.py — one-line numpy ops over
-whitespace files), plotting (plotProbRMSE.py), or are subsumed by
-framework modules (compareGPRPPR.py -> analysis.drivers.compare_ppr_gpr,
-pprItemBucketsRMSE.py -> analysis.confidence bucket curves,
-toQMFTriplet.py -> io.write_triplets, extractDenseMat.py ->
-csr.RatingMatrix.toarray, compTestCSRItemDist.py -> utils.freq).
+  * mean_of_stream / average_columns / cumulative_sum / column_diff
+                        — avg.py, averageCol.py, avgLines.py, cumSum.py,
+                          compcoldiff.py
+  * average_metric_files           — avgTop.py
+  * average_tagged_freq_lines      — avgFiltPc.py / avgMaxFreq.py
+  * average_freq_var_lines         — avgVarLog.py
+  * prediction_abs_diff            — compllormadiff.py
+  * extract_dense_items            — extractDenseMat.py
+  * write_bpr_triplets             — toQMFTriplet.py
+  * ppr_item_buckets_rmse          — pprItemBucketsRMSE.py (vectorized)
+  * analyze_output_files           — analyzOpFiles.py
+
+Not ported: plotProbRMSE.py (matplotlib plotting of the curves the
+analysis layer already computes), incompJobs.py (PBS job-queue glue,
+subsumed by gen_sweep_jobs), compTestCSRItemDist.py (an empty stub in
+the reference — it opens the file and does nothing, :1-8), and
+compareGPRPPR.py -> analysis.drivers.compare_ppr_gpr.
 
 Dataset converters (triplets/QMF: io.write_triplets; MovieLens:
 data.movielens) and synthetic factors (genLatFacs: data.synthetic) live
@@ -254,3 +264,213 @@ def write_filtered_min_rating(mat: RatingMatrix, out_path: str,
                 kept += 1
             g.write(" ".join(parts) + "\n")
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Log/column mungers — the remaining python/ script family, vectorized.
+# ---------------------------------------------------------------------------
+
+def mean_of_stream(values: Sequence[float]) -> float:
+    """avg.py (:1-10): mean of a float stream."""
+    v = np.asarray(list(values), np.float64)
+    return float(v.mean())
+
+
+def average_columns(lines: Iterable[str]) -> np.ndarray:
+    """averageCol.py / avgLines.py (:1-29): per-column mean over
+    whitespace-separated numeric rows (empty rows skipped)."""
+    rows = [list(map(float, ln.split())) for ln in lines if ln.split()]
+    return np.asarray(rows, np.float64).mean(axis=0)
+
+
+def cumulative_sum(values: Sequence[float]) -> np.ndarray:
+    """cumSum.py (:1-15): running sum of a float stream (the reference
+    prints 100x selected entries as a LaTeX row; we return the sums)."""
+    return np.cumsum(np.asarray(list(values), np.float64))
+
+
+def column_diff(lines: Iterable[str], col1: int, col2: int) -> List[float]:
+    """compcoldiff.py (:1-12): per-line cols[col1] - cols[col2]."""
+    out = []
+    for ln in lines:
+        cols = ln.split()
+        if cols:
+            out.append(float(cols[col1]) - float(cols[col2]))
+    return out
+
+
+def average_metric_files(paths: Sequence[str]) -> Dict[str, np.ndarray]:
+    """avgTop.py (:5-56): average ``key: v1,v2,...`` metric lines (NaN
+    entries zeroed, reference :17-20) and ``k1: v1 k2: v2`` scalar pairs
+    across run-output files; returns key -> averaged value(s)."""
+    sums: Dict[str, list] = {}
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if ":" not in line:
+                    continue
+                if line.count(":") == 1:
+                    key, rest = line.split(":", 1)
+                    cols = rest.strip().strip(",").split(",")
+                    try:
+                        vals = np.array(
+                            [0.0 if "nan" in c.lower() else float(c)
+                             for c in cols])
+                    except ValueError:
+                        continue
+                    if key not in sums:
+                        sums[key] = [np.zeros(len(vals)), 0]
+                    if len(vals) == len(sums[key][0]):
+                        sums[key][0] += vals
+                        sums[key][1] += 1
+                else:
+                    kvs = line.split()
+                    if len(kvs) % 2:
+                        continue
+                    try:
+                        for i in range(0, len(kvs), 2):
+                            k = kvs[i].rstrip(":")
+                            v = float(kvs[i + 1])
+                            if k not in sums:
+                                sums[k] = [np.zeros(1), 0]
+                            sums[k][0] += v
+                            sums[k][1] += 1
+                    except ValueError:
+                        continue
+    return {k: v[0] / max(v[1], 1) for k, v in sums.items()}
+
+
+def average_tagged_freq_lines(paths: Sequence[str], tag: str = "FiltPc"
+                              ) -> Dict[int, np.ndarray]:
+    """avgFiltPc.py / avgMaxFreq.py (:1-49, tag "FiltPc"/"MaxFreq"):
+    average the (count, rmse, in-count, in-rmse) columns of tagged
+    report lines across files, keyed by the frequency column."""
+    sums: Dict[int, np.ndarray] = {}
+    n = max(len(paths), 1)
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                if not line.startswith(tag):
+                    continue
+                cols = line.split()
+                freq = int(cols[1])
+                vals = np.array(list(map(float, cols[2:6])))
+                sums.setdefault(freq, np.zeros(4))
+                sums[freq] += vals
+    return {k: v / n for k, v in sorted(sums.items())}
+
+
+def average_freq_var_lines(paths: Sequence[str]
+                           ) -> Dict[str, np.ndarray]:
+    """avgVarLog.py (:1-54): average FreqVar report lines keyed by
+    (variance, max-freq); value = (count, rmse, in-count, in-rmse, var)."""
+    sums: Dict[str, np.ndarray] = {}
+    n = max(len(paths), 1)
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                if not line.startswith("FreqVar"):
+                    continue
+                cols = line.split()
+                key = cols[1] + "_" + cols[3]
+                vals = np.array(list(map(float, cols[4:9])))
+                sums.setdefault(key, np.zeros(5))
+                sums[key] += vals
+    return {k: v / n for k, v in sums.items()}
+
+
+def prediction_abs_diff(pred_csv: str, test_triplets: str,
+                        out_path: Optional[str] = None
+                        ) -> List[tuple]:
+    """compllormadiff.py (:1-31): |test - predicted| per (user, item)
+    pair; predictions come as ``u,i,rating`` CSV, test as space
+    triplets."""
+    pred: Dict[tuple, float] = {}
+    with open(pred_csv) as f:
+        for line in f:
+            cols = line.strip().split(",")
+            if len(cols) >= 3:
+                pred[(cols[0], cols[1])] = float(cols[2])
+    out = []
+    for line in open(test_triplets):
+        cols = line.split()
+        if len(cols) >= 3:
+            u, i, r = cols[0], cols[1], float(cols[2])
+            out.append((u, i, abs(r - pred[(u, i)])))
+    if out_path:
+        with open(out_path, "w") as g:
+            for u, i, d in out:
+                g.write(f"{u} {i} {d}\n")
+    return out
+
+
+def extract_dense_items(mat: RatingMatrix, min_ratings: int,
+                        filter_users: bool = False) -> RatingMatrix:
+    """extractDenseMat.py (:24-45): drop entries whose item (and, with
+    filter_users, whose user) has <= min_ratings ratings; row count is
+    preserved (the reference writes empty lines for dropped users)."""
+    r, c, v = mat.to_coo()
+    i_cnt = np.bincount(c, minlength=mat.ncols)
+    keep = i_cnt[c] > min_ratings
+    if filter_users:
+        u_cnt = np.bincount(r, minlength=mat.nrows)
+        keep &= u_cnt[r] > min_ratings
+    return RatingMatrix.from_coo(r[keep], c[keep], v[keep],
+                                 mat.nrows, mat.ncols)
+
+
+def write_bpr_triplets(mat: RatingMatrix, out_path: str,
+                       pos_value: float = 1.0) -> int:
+    """toQMFTriplet.py (:6-16): emit ``u i 1`` triplets for entries
+    whose value equals pos_value; returns the positive count."""
+    r, c, v = mat.to_coo()
+    keep = v == pos_value
+    with open(out_path, "w") as g:
+        for u, i in zip(r[keep], c[keep]):
+            g.write(f"{u} {i} 1\n")
+    return int(keep.sum())
+
+
+def ppr_item_buckets_rmse(item_order: np.ndarray, u_fac: np.ndarray,
+                          i_fac: np.ndarray, orig_u: np.ndarray,
+                          orig_i: np.ndarray, n_buckets: int):
+    """pprItemBucketsRMSE.py computeBucketsRMSE4mGlobal (:84-125):
+    full-matrix per-item RMSE of est vs original factors, bucketed by a
+    global item ordering (e.g. descending PPR). Vectorized: the per-item
+    SE over all users is ||origU @ origI_i - U @ I_i||^2 computed as
+    blocked matmuls. Returns (per-item RMSE in order, bucket RMSEs)."""
+    n_users = u_fac.shape[0]
+    item_order = np.asarray(item_order, np.int64)
+    ses = np.empty(len(item_order), np.float64)
+    B = 2048
+    for s in range(0, len(item_order), B):
+        idx = item_order[s:s + B]
+        d = orig_u @ orig_i[idx].T - u_fac @ i_fac[idx].T
+        ses[s:s + B] = np.sum(d * d, axis=0)
+    rmses = np.sqrt(ses / n_users)
+    per_bucket = max(len(item_order) // n_buckets, 1)
+    buckets = []
+    for s in range(0, len(item_order), per_bucket):
+        chunk = ses[s:s + per_bucket]
+        buckets.append(float(np.sqrt(chunk.sum()
+                                     / (n_users * len(chunk)))))
+    return rmses, buckets
+
+
+def analyze_output_files(paths: Sequence[str]) -> Dict[str, float]:
+    """analyzOpFiles.py getRMSEs (:39-141): average the final ``RE
+    Train/Test/Val RMSE`` lines across run-output files (our CLI's
+    protocol, eval/quartile.py)."""
+    sums: Dict[str, list] = {}
+    pat = re.compile(r"^RE (Train|Test|Val) RMSE:\s+([0-9.eE+-]+)")
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                m = pat.match(line.strip())
+                if m:
+                    k = m.group(1).lower() + "_rmse"
+                    sums.setdefault(k, [0.0, 0])
+                    sums[k][0] += float(m.group(2))
+                    sums[k][1] += 1
+    return {k: v[0] / v[1] for k, v in sums.items() if v[1]}

@@ -175,3 +175,94 @@ def test_write_filtered_min_rating(tmp_path):
     out = read_csr(p, ncols=3)
     assert out.nnz == 2
     np.testing.assert_array_equal(out.indices, [0, 1])
+
+
+def test_log_munger_family(tmp_path):
+    from matfac_tpu.tools import (mean_of_stream, average_columns,
+                                  cumulative_sum, column_diff,
+                                  average_metric_files,
+                                  average_tagged_freq_lines,
+                                  average_freq_var_lines)
+
+    assert mean_of_stream([1.0, 2.0, 3.0]) == 2.0
+    np.testing.assert_allclose(average_columns(["1 2", "", "3 4"]),
+                               [2.0, 3.0])
+    np.testing.assert_allclose(cumulative_sum([1, 2, 3]), [1, 3, 6])
+    assert column_diff(["5 2 1"], 0, 2) == [4.0]
+
+    p1 = tmp_path / "a.txt"
+    p1.write_text("hr: 0.5,0.6,nan\nk1: 1.0 k2: 3.0\n")
+    p2 = tmp_path / "b.txt"
+    p2.write_text("hr: 0.7,0.8,0.9\nk1: 2.0 k2: 5.0\n")
+    avg = average_metric_files([str(p1), str(p2)])
+    np.testing.assert_allclose(avg["hr"], [0.6, 0.7, 0.45])
+    np.testing.assert_allclose(avg["k1"], [1.5])
+
+    p3 = tmp_path / "f.txt"
+    p3.write_text("FiltPc 10 2 0.5 4 0.25\nFiltPc 20 6 0.1 2 0.7\n")
+    tg = average_tagged_freq_lines([str(p3)], "FiltPc")
+    np.testing.assert_allclose(tg[10], [2, 0.5, 4, 0.25])
+
+    p4 = tmp_path / "v.txt"
+    p4.write_text("FreqVar 0.5 x 100 1 0.2 3 0.4 0.9\n")
+    fv = average_freq_var_lines([str(p4)])
+    np.testing.assert_allclose(fv["0.5_100"], [1, 0.2, 3, 0.4, 0.9])
+
+
+def test_prediction_abs_diff(tmp_path):
+    from matfac_tpu.tools import prediction_abs_diff
+
+    pc = tmp_path / "pred.csv"
+    pc.write_text("0,1,3.5\n2,4,1.0\n")
+    tt = tmp_path / "test.txt"
+    tt.write_text("0 1 4.0\n2 4 0.5\n")
+    out = prediction_abs_diff(str(pc), str(tt),
+                              str(tmp_path / "diff.txt"))
+    assert out == [("0", "1", 0.5), ("2", "4", 0.5)]
+
+
+def test_extract_dense_items_and_bpr_triplets(tmp_path):
+    from matfac_tpu.data.csr import RatingMatrix
+    from matfac_tpu.tools import extract_dense_items, write_bpr_triplets
+
+    r = np.array([0, 0, 1, 2, 2, 2])
+    c = np.array([0, 1, 0, 0, 2, 2 % 3])
+    v = np.array([1.0, 2.0, 1.0, 3.0, 1.0, 1.0])
+    m = RatingMatrix.from_coo(r, c, v, 3, 3)
+    d = extract_dense_items(m, min_ratings=2)  # keep items w/ >2 ratings
+    rr, cc, _ = d.to_coo()
+    assert set(cc) == {0}   # only item 0 has 3 > 2 ratings
+    assert d.nrows == 3
+
+    n = write_bpr_triplets(m, str(tmp_path / "t.txt"), pos_value=1.0)
+    assert n == 4
+    lines = (tmp_path / "t.txt").read_text().strip().split("\n")
+    assert len(lines) == 4 and lines[0].endswith(" 1")
+
+
+def test_ppr_item_buckets_rmse():
+    from matfac_tpu.tools import ppr_item_buckets_rmse
+
+    rng = np.random.default_rng(0)
+    ou, oi = rng.normal(size=(50, 4)), rng.normal(size=(30, 4))
+    uf, vf = ou + 0.1, oi.copy()
+    order = np.arange(30)
+    rmses, buckets = ppr_item_buckets_rmse(order, uf, vf, ou, oi, 3)
+    assert rmses.shape == (30,)
+    assert len(buckets) == 3
+    # oracle for item 0
+    d = ou @ oi[0] - uf @ vf[0]
+    np.testing.assert_allclose(rmses[0], np.sqrt(np.mean(d * d)),
+                               rtol=1e-9)
+
+
+def test_analyze_output_files(tmp_path):
+    from matfac_tpu.tools import analyze_output_files
+
+    p1 = tmp_path / "r1.txt"
+    p1.write_text("junk\nRE Train RMSE: 0.5\nRE Val RMSE: 0.7\n")
+    p2 = tmp_path / "r2.txt"
+    p2.write_text("RE Train RMSE: 0.7\nRE Val RMSE: 0.9\n")
+    out = analyze_output_files([str(p1), str(p2)])
+    np.testing.assert_allclose(out["train_rmse"], 0.6)
+    np.testing.assert_allclose(out["val_rmse"], 0.8)
