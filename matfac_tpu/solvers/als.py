@@ -284,6 +284,18 @@ def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
                 target_fac, s * blk, blk).astype(jnp.float32)
             return _, solve_spd_cg(gram, b, x0, cg_iters)
         chol = jax.lax.linalg.cholesky(gram)
+        if mm_dtype == jnp.bfloat16:
+            # bf16 Gram accumulation carries ~2^-8 relative error; once
+            # factor magnitudes grow the masked Gram can turn (slightly)
+            # indefinite and Cholesky emits NaN. Retry the failed
+            # matrices with a diagonal ridge scaled to their trace —
+            # only bf16-mode needs this (f32 Grams are exact-PSD+reg).
+            bad = ~jnp.isfinite(chol).all(axis=(1, 2))
+            ridge = 8e-3 * jnp.trace(gram, axis1=1, axis2=2) / k + 1e-6
+            gram_j = gram + (jnp.where(bad, ridge, 0.0)[:, None, None]
+                             * jnp.eye(k, dtype=jnp.float32)[None])
+            chol = jnp.where(bad[:, None, None],
+                             jax.lax.linalg.cholesky(gram_j), chol)
         sol = jax.lax.linalg.triangular_solve(
             chol, b[..., None], left_side=True, lower=True)
         sol = jax.lax.linalg.triangular_solve(

@@ -61,7 +61,6 @@ def main():
     print(f"nnz={mat.nnz}", flush=True)
 
     for label, dtype, cn, bs in [
-            ("f32+cn", "float32", True, 65_536),
             ("bf16+cn", "bfloat16", True, 65_536),
     ]:
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
@@ -80,14 +79,15 @@ def main():
     # ---- stage 2.5: one-hot block kernel at full scale ----
     from matfac_tpu.eval.metrics import Evaluator  # noqa: F401
     from matfac_tpu.solvers.block_sgd import BlockSGDSolver
-    for label, mm_bf16, cn in [("block bf16+cn", True, True),
-                               ("block f32+cn", False, True)]:
+    for label, mm_bf16, cn, bsz in [("block bf16+cn b256", True, True, 256),
+                                    ("block bf16+cn b1024", True, True, 1024),
+                                    ("block f32+cn b256", False, True, 256)]:
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
                         learn_rate=0.005, seed=0)
         model = ModelMF(params, n_users, n_items)
         try:
             s = BlockSGDSolver(model, params, mat, iu, ii,
-                               batch_size=256, bu=1024, bi=1024,
+                               batch_size=bsz, bu=1024, bi=1024,
                                collision_norm=cn, mm_bf16=mm_bf16)
             print(f"{label}: S={s.S} pad_frac={s.pad_frac:.2f}",
                   flush=True)

@@ -388,3 +388,23 @@ def test_ccd_nnz_chunked_matches(setup_reg):
                                np.asarray(s2.u_fac), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s1.i_fac),
                                np.asarray(s2.i_fac), rtol=1e-4, atol=1e-4)
+
+
+def test_dense_als_bf16_survives_indefinite_grams(setup_pos):
+    """bf16 Gram rounding can make a masked Gram slightly indefinite
+    once factors grow; the Cholesky NaN-ridge retry must keep the sweep
+    finite (round-2 regression: alsdense diverged at epoch 1)."""
+    import jax.numpy as jnp
+    from matfac_tpu.solvers.als import DenseALSSolver
+
+    data, params, ev, model, iu, ii = setup_pos
+    s = DenseALSSolver(model, params, data.train_mat, iu, ii,
+                       dense_dtype=jnp.bfloat16)
+    st = init_state(params, model.n_users, model.n_items)
+    vals = []
+    for e in range(6):
+        st = s.epoch(st, 0, None)
+        assert bool(jnp.isfinite(st.u_fac).all()), f"NaN at epoch {e}"
+        assert bool(jnp.isfinite(st.i_fac).all()), f"NaN at epoch {e}"
+        vals.append(ev.rmse(model.eval_view(st), "val"))
+    assert vals[-1] < vals[0]
