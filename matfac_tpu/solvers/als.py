@@ -322,15 +322,24 @@ class DenseALSSolver:
 
     def __init__(self, model, params: Params, train_mat,
                  invalid_users, invalid_items, row_block: int = 2048,
-                 dense_dtype=jnp.bfloat16, cg_iters: int = 0, **_):
+                 dense_dtype=None, cg_iters: int = 0, **_):
         """cg_iters > 0: warm-started CG solves instead of Cholesky
         (see solve_spd_cg); 0 (default) = exact normal-equation solves,
         matching the reference's ldlt (modelMF.cpp:836,874). Perf paths
-        (bench.py) opt into CG explicitly."""
+        (bench.py) opt into CG explicitly.
+
+        dense_dtype None = auto: f32 storage (exact parity) when the
+        dense matrix fits in 2 GiB, else bf16 (HBM scale mode; ~2^-8
+        rating rounding — quality floor measured ~0.15 vs 0.136 on the
+        ML-100K-shape parity run)."""
         self.model = model
         self.params = params
         self.cg_iters = cg_iters
         n_users, n_items = model.n_users, model.n_items
+        if dense_dtype is None:
+            dense_dtype = (jnp.float32
+                           if n_users * n_items * 4 <= 2 * 1024 ** 3
+                           else jnp.bfloat16)
         self.row_block = row_block
         need = n_users * n_items * jnp.dtype(dense_dtype).itemsize
         if need > self.MAX_DENSE_BYTES:

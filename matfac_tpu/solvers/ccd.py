@@ -156,21 +156,25 @@ class CCDPPSolver:
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  n_inner: int = 5, freq_adaptive: bool = False,
                  freq_thresh: float = 75.0, item_freq=None,
-                 sweep_mode: str = "scan", dim_chunk: int = 8,
+                 sweep_mode: Optional[str] = None, dim_chunk: int = 8,
                  nnz_chunk: Optional[int] = None, **_):
         """``sweep_mode``: "scan" = whole epoch as one lax.scan over
         dims (fastest dispatch); "per_dim" = one jitted call per dim;
-        "chunked" = one jitted scan per ``dim_chunk`` dims.
+        "chunked" = one jitted scan per ``dim_chunk`` dims; None =
+        auto ("scan" below 3M nnz, "chunked" above — see below).
 
         ``nnz_chunk``: split every nnz-sized gather/segment op into
         passes of at most this many elements (None = auto: chunking
-        kicks in above 3M nnz with 2M chunks; 0 = never). The axon TPU
-        backend kernel-faults on indexed ops beyond ~4M elements, so
-        the monolithic program cannot run at ML-10M scale — chunked
-        passes are the fix (round-2 probes: 2M proven safe)."""
+        kicks in above 3M nnz with 2M chunks; 0 = never).
+
+        Scale defaults (round-2 TPU bisect, scripts/tpu_ccdbisect.py):
+        on the axon backend the MONOLITHIC 64-dim scan program
+        kernel-faults at ML-10M scale even with chunked passes, while a
+        single chunked dim-sweep (2.14 s) and a 4-dim chunked scan both
+        run clean — so at scale the auto mode is "chunked" dim-scans
+        over nnz-chunked segment passes."""
         self.model = model
         self.params = params
-        self.sweep_mode = sweep_mode
         self.rows, self.cols, self.vals = _stage_coo(
             train_mat, invalid_users, invalid_items)
         self.n_users = int(model.n_users)
@@ -179,6 +183,9 @@ class CCDPPSolver:
         nnz = int(self.rows.shape[0])
         if nnz_chunk is None:
             nnz_chunk = 2_000_000 if nnz > 3_000_000 else 0
+        if sweep_mode is None:
+            sweep_mode = "chunked" if nnz > 3_000_000 else "scan"
+        self.sweep_mode = sweep_mode
         if nnz_chunk and nnz > nnz_chunk:
             self.nc = -(-nnz // nnz_chunk)
             self.chunk = nnz_chunk

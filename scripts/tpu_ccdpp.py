@@ -65,7 +65,7 @@ def main():
     # round 2: auto nnz_chunk (2M passes) is the kernel-fault fix; run
     # the headline ML-10M shape directly
     stages = [
-        (100_000, 20_000, 9_900_000, "scan"),
+        (100_000, 20_000, 9_900_000, None),   # auto: chunked+nnz_chunk
     ]
     for n_users, n_items, nnz, mode in stages:
         print(f"--- stage {mode} nnz={nnz}", flush=True)
