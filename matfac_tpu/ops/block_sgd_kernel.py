@@ -43,6 +43,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _batch_update(U, I, u, i, r, w, lam, lr, k, bu, bi, u_reg, i_reg,
+                  collision_norm, use_mask, mm_dtype):
+    """One minibatch of one-hot-matmul SGD on factor blocks U [bu,k],
+    I [bi,k]. Shared by the Pallas kernel (on VMEM-loaded blocks) and
+    the XLA engine (on dynamic-sliced blocks) — identical math, so the
+    two engines agree bitwise at f32."""
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], bu), 1)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], bi), 1)
+    oh_u = (u[:, None] == iota_u).astype(mm_dtype)
+    oh_i = (i[:, None] == iota_i).astype(mm_dtype)
+    pu = jnp.dot(oh_u, U.astype(mm_dtype),
+                 preferred_element_type=jnp.float32)
+    qi = jnp.dot(oh_i, I.astype(mm_dtype),
+                 preferred_element_type=jnp.float32)
+    if use_mask:
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], k), 1)
+        m = (iota_k < lam[:, None]).astype(jnp.float32)
+        pred = jnp.sum(pu * m * qi, axis=1)
+    else:
+        m = None
+        pred = jnp.sum(pu * qi, axis=1)
+    coeff = w * (r - pred)
+    vmask = (w > 0).astype(jnp.float32)
+    gu = -2.0 * coeff[:, None] * qi + 2.0 * u_reg * vmask[:, None] * pu
+    gi = -2.0 * coeff[:, None] * pu + 2.0 * i_reg * vmask[:, None] * qi
+    if use_mask:
+        gu = gu * m
+        gi = gi * m
+    if collision_norm:
+        ones = vmask.astype(mm_dtype)
+        cnt_u = jnp.dot(ones[None, :], oh_u,
+                        preferred_element_type=jnp.float32)[0]
+        cnt_i = jnp.dot(ones[None, :], oh_i,
+                        preferred_element_type=jnp.float32)[0]
+        n_u = jnp.dot(oh_u, cnt_u[:, None].astype(mm_dtype),
+                      preferred_element_type=jnp.float32)[:, 0]
+        n_i = jnp.dot(oh_i, cnt_i[:, None].astype(mm_dtype),
+                      preferred_element_type=jnp.float32)[:, 0]
+        gu = gu / jnp.maximum(n_u, 1.0)[:, None]
+        gi = gi / jnp.maximum(n_i, 1.0)[:, None]
+    U = U + jnp.dot(oh_u.T, (-lr * gu).astype(mm_dtype),
+                    preferred_element_type=jnp.float32).astype(U.dtype)
+    I = I + jnp.dot(oh_i.T, (-lr * gi).astype(mm_dtype),
+                    preferred_element_type=jnp.float32).astype(I.dtype)
+    return U, I
+
+
 def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
                  NI: int, S: int, u_reg: float, i_reg: float,
                  collision_norm: bool, use_mask: bool, mm_dtype):
@@ -57,9 +104,6 @@ def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
 
         u_out[:, :] = u_tab_in[:, :]
         lr = lr_ref[0]
-        iota_u = jax.lax.broadcasted_iota(jnp.int32, (bs, bu), 1)
-        iota_i = jax.lax.broadcasted_iota(jnp.int32, (bs, bi), 1)
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (bs, k), 1)
 
         def one_cell(j, U):
             ib = ib_seq_ref[t, j]
@@ -71,55 +115,12 @@ def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
                 U, I = carry
                 start = base + ((s + boff) % n_steps) * bs
                 sl = pl.ds(start, bs)
-                u = u_loc_ref[0, 0, sl]
-                i = i_loc_ref[0, 0, sl]
-                r = vals_ref[0, 0, sl]
-                w = wts_ref[0, 0, sl]
-                oh_u = (u[:, None] == iota_u).astype(mm_dtype)
-                oh_i = (i[:, None] == iota_i).astype(mm_dtype)
-                pu = jnp.dot(oh_u, U.astype(mm_dtype),
-                             preferred_element_type=jnp.float32)
-                qi = jnp.dot(oh_i, I.astype(mm_dtype),
-                             preferred_element_type=jnp.float32)
-                if use_mask:
-                    lam = lam_ref[0, 0, sl]
-                    m = (iota_k < lam[:, None]).astype(jnp.float32)
-                    pred = jnp.sum(pu * m * qi, axis=1)
-                else:
-                    m = None
-                    pred = jnp.sum(pu * qi, axis=1)
-                coeff = w * (r - pred)
-                vmask = (w > 0).astype(jnp.float32)
-                gu = (-2.0 * coeff[:, None] * qi
-                      + 2.0 * u_reg * vmask[:, None] * pu)
-                gi = (-2.0 * coeff[:, None] * pu
-                      + 2.0 * i_reg * vmask[:, None] * qi)
-                if use_mask:
-                    gu = gu * m
-                    gi = gi * m
-                if collision_norm:
-                    ones = vmask.astype(mm_dtype)
-                    cnt_u = jnp.dot(ones[None, :], oh_u,
-                                    preferred_element_type=jnp.float32)[0]
-                    cnt_i = jnp.dot(ones[None, :], oh_i,
-                                    preferred_element_type=jnp.float32)[0]
-                    n_u = jnp.dot(oh_u,
-                                  cnt_u[:, None].astype(mm_dtype),
-                                  preferred_element_type=jnp.float32
-                                  )[:, 0]
-                    n_i = jnp.dot(oh_i,
-                                  cnt_i[:, None].astype(mm_dtype),
-                                  preferred_element_type=jnp.float32
-                                  )[:, 0]
-                    gu = gu / jnp.maximum(n_u, 1.0)[:, None]
-                    gi = gi / jnp.maximum(n_i, 1.0)[:, None]
-                U = U + jnp.dot(oh_u.T, (-lr * gu).astype(mm_dtype),
-                                preferred_element_type=jnp.float32
-                                ).astype(U.dtype)
-                I = I + jnp.dot(oh_i.T, (-lr * gi).astype(mm_dtype),
-                                preferred_element_type=jnp.float32
-                                ).astype(I.dtype)
-                return (U, I)
+                lam = lam_ref[0, 0, sl] if use_mask else None
+                return _batch_update(
+                    U, I, u_loc_ref[0, 0, sl], i_loc_ref[0, 0, sl],
+                    vals_ref[0, 0, sl], wts_ref[0, 0, sl], lam, lr,
+                    k, bu, bi, u_reg, i_reg, collision_norm, use_mask,
+                    mm_dtype)
 
             U, I = jax.lax.fori_loop(0, n_steps, step, (U, I))
             i_out[pl.ds(ib * bi, bi), :] = I
@@ -203,3 +204,70 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
       u_loc.reshape(s3), i_loc.reshape(s3), vals.reshape(s3),
       wts.reshape(s3), lam.reshape(s3), u_tab, i_tab)
     return u_out, i_out
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
+                     "collision_norm", "use_mask", "mm_bf16"))
+def block_sgd_epoch_xla(u_tab: jax.Array, i_tab: jax.Array,
+                        row_of: jax.Array, ib_seq: jax.Array,
+                        boff: jax.Array, lr,
+                        u_loc: jax.Array, i_loc: jax.Array,
+                        vals: jax.Array, wts: jax.Array, lam: jax.Array,
+                        bs: int, bu: int, bi: int, NI: int,
+                        u_reg: float, i_reg: float,
+                        collision_norm: bool, use_mask: bool,
+                        mm_bf16: bool = True
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Pure-XLA twin of block_sgd_epoch: same schedule, same
+    _batch_update math (bitwise-equal at f32), factor blocks moved by
+    dynamic_slice/update instead of Pallas VMEM residency. Exists
+    because Mosaic crashes the remote TPU compile helper on the Pallas
+    program (BASELINE.md round-2 notes); XLA keeps the one-hot MXU
+    formulation, paying only HBM block round-trips per cell
+    (~bi*k*8B per cell — negligible vs the matmul work)."""
+    NU, row_len = u_loc.shape
+    S = row_len // NI
+    n_steps = S // bs
+    k = u_tab.shape[1]
+    mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
+    lr_f = jnp.asarray(lr, jnp.float32)
+
+    def row_body(t, tabs):
+        u_tab, i_tab = tabs
+        ro = row_of[t]
+        U = jax.lax.dynamic_slice(u_tab, (ro * bu, 0), (bu, k))
+        row = [jax.lax.dynamic_slice(x, (ro, 0), (1, row_len))[0]
+               for x in (u_loc, i_loc, vals, wts, lam)]
+        su_, si_, sv_, sw_, sl_ = row
+
+        def cell_body(j, carry):
+            U, i_tab = carry
+            ib = ib_seq[t, j]
+            bo = boff[t, j]
+            I = jax.lax.dynamic_slice(i_tab, (ib * bi, 0), (bi, k))
+            base = ib * S
+
+            def step(s, UI):
+                U, I = UI
+                start = base + ((s + bo) % n_steps) * bs
+
+                def sl(x):
+                    return jax.lax.dynamic_slice(x, (start,), (bs,))
+
+                lam_b = sl(sl_) if use_mask else None
+                return _batch_update(
+                    U, I, sl(su_), sl(si_), sl(sv_), sl(sw_), lam_b,
+                    lr_f, k, bu, bi, u_reg, i_reg, collision_norm,
+                    use_mask, mm_dtype)
+
+            U, I = jax.lax.fori_loop(0, n_steps, step, (U, I))
+            i_tab = jax.lax.dynamic_update_slice(i_tab, I, (ib * bi, 0))
+            return (U, i_tab)
+
+        U, i_tab = jax.lax.fori_loop(0, NI, cell_body, (U, i_tab))
+        u_tab = jax.lax.dynamic_update_slice(u_tab, U, (ro * bu, 0))
+        return (u_tab, i_tab)
+
+    return jax.lax.fori_loop(0, NU, row_body, (u_tab, i_tab))

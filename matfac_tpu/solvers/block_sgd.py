@@ -29,7 +29,8 @@ import numpy as np
 
 from matfac_tpu.config import Params
 from matfac_tpu.models.base import MFState
-from matfac_tpu.ops.block_sgd_kernel import block_sgd_epoch
+from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
+                                             block_sgd_epoch_xla)
 
 
 def _cdiv(a, b):
@@ -54,7 +55,13 @@ class BlockSGDSolver:
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  batch_size: int = 256, bu: int = 1024, bi: int = 1024,
                  collision_norm: Optional[bool] = None,
-                 mm_bf16: bool = True, interpret: bool = False):
+                 mm_bf16: bool = True, interpret: bool = False,
+                 engine: str = "xla"):
+        """``engine``: "xla" (default — pure-XLA one-hot MXU epoch,
+        works on every backend) or "pallas" (VMEM-resident tables;
+        currently crashes the axon remote Mosaic compile at any scale,
+        kept for when the toolchain recovers + interpret-mode parity
+        tests)."""
         if model.use_bias or not model.use_factors:
             raise ValueError("BlockSGDSolver is factor-only")
         if getattr(model, "name", "") == "tmf_dropout":
@@ -62,6 +69,7 @@ class BlockSGDSolver:
         self.model = model
         self.params = params
         self.interpret = interpret
+        self.engine = engine
         self.mm_bf16 = mm_bf16
         self.collision_norm = (params.sgd_collision_norm
                                if collision_norm is None
@@ -74,12 +82,14 @@ class BlockSGDSolver:
         self.n_users_pad = self.NU * bu
         self.n_items_pad = self.NI * bi
 
-        # VMEM ceiling: the whole padded item table lives on-chip
+        # VMEM ceiling (pallas engine only): the whole padded item
+        # table lives on-chip. The XLA engine keeps tables in HBM and
+        # has no such limit.
         vmem_need = self.n_items_pad * k * 4
-        if vmem_need > 11 * 1024 * 1024:
+        if engine == "pallas" and vmem_need > 11 * 1024 * 1024:
             raise ValueError(
                 f"item table {vmem_need/2**20:.1f} MiB exceeds the VMEM "
-                "budget of the block kernel; use SGDSolver/DSGD")
+                "budget of the block kernel; use engine='xla'")
 
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]
@@ -190,15 +200,22 @@ class BlockSGDSolver:
         else:
             u_tab, i_tab = self._stage_factors(state)
         row_of, ib_seq, boff = self._build_schedule()
-        u_tab, i_tab = block_sgd_epoch(
-            u_tab, i_tab, row_of, ib_seq, boff, jnp.float32(lr),
-            self.u_loc, self.i_loc, self.vals, self.wts, self.lams,
+        common = dict(
             bs=self.bs, bu=self.bu, bi=self.bi, NI=self.NI,
             u_reg=float(self.params.u_reg),
             i_reg=float(self.params.i_reg),
             collision_norm=self.collision_norm,
-            use_mask=self.use_mask, mm_bf16=self.mm_bf16,
-            interpret=self.interpret)
+            use_mask=self.use_mask, mm_bf16=self.mm_bf16)
+        if self.engine == "xla":
+            u_tab, i_tab = block_sgd_epoch_xla(
+                u_tab, i_tab, row_of, ib_seq, boff, jnp.float32(lr),
+                self.u_loc, self.i_loc, self.vals, self.wts,
+                self.lams, **common)
+        else:
+            u_tab, i_tab = block_sgd_epoch(
+                u_tab, i_tab, row_of, ib_seq, boff, jnp.float32(lr),
+                self.u_loc, self.i_loc, self.vals, self.wts,
+                self.lams, interpret=self.interpret, **common)
         self._resident = (u_tab, i_tab)
         # logical[old] = staged[perm[old]] (perm values span the padded
         # space, so gather BEFORE any truncation)

@@ -104,12 +104,29 @@ def test_block_sgd_converges():
     assert val < 0.35, val
 
 
+def test_block_sgd_engines_agree():
+    """engine="xla" and engine="pallas" (interpret) share _batch_update
+    and the staged schedule — outputs must agree to f32 roundoff."""
+    mat, params, model, sol_x, iu, ii = _mk(False)
+    _, _, _, sol_p, _, _ = _mk(False)
+    sol_p.engine = "pallas"
+    state = init_state(params, 30, 20, seed=3)
+    out_x = sol_x.epoch(state, params.learn_rate, None)
+    out_p = sol_p.epoch(state, params.learn_rate, None)
+    np.testing.assert_allclose(np.asarray(out_x.u_fac),
+                               np.asarray(out_p.u_fac),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_x.i_fac),
+                               np.asarray(out_p.i_fac),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_block_sgd_vmem_guard():
     params = Params(fac_dim=128)
     model = ModelMF(params, 1000, 300_000)
     with pytest.raises(ValueError):
         BlockSGDSolver(model, params, None, np.zeros(1000, bool),
-                       np.zeros(300_000, bool))
+                       np.zeros(300_000, bool), engine="pallas")
 
 
 def test_block_sgd_via_train_model():
