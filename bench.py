@@ -82,23 +82,39 @@ def main():
     sgd_epoch_s = time_epochs(sgd, TIMED_EPOCHS)
     sgd_rps = sgd.nnz / sgd_epoch_s
 
+    # one-hot MXU cell engine (round 2): same SGD update semantics
+    # (minibatched, collision-normalized; quality table in BASELINE.md),
+    # restructured so gathers/scatters ride the MXU as one-hot matmuls.
+    # This is the headline SGD number; the scatter engine rides in extra.
+    from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+    blk = BlockSGDSolver(model, params, mat, inval_u, inval_i,
+                         batch_size=2048, bu=1024, bi=1024,
+                         collision_norm=True, engine="xla")
+    blk_epoch_s = time_epochs(blk, TIMED_EPOCHS)
+    blk_rps = blk.nnz / blk_epoch_s
+
     # warm-started CG solves: the ALS perf path (exact-solve parity is
     # a solver option; see solvers/als.py solve_spd_cg)
     als = ALSSolver(model, params, mat, inval_u, inval_i, cg_iters=6)
     als_epoch_s = time_epochs(als, TIMED_EPOCHS)
     als_rps = mat.nnz / als_epoch_s
 
-    baseline = BENCH_BASELINE or sgd_rps
+    best_rps = max(sgd_rps, blk_rps)
+    baseline = BENCH_BASELINE or best_rps
     result = {
         "metric": "sgd_ratings_per_sec_per_chip",
-        "value": round(sgd_rps, 1),
+        "value": round(best_rps, 1),
         "unit": "ratings/s/chip",
-        "vs_baseline": round(sgd_rps / baseline, 3),
+        "vs_baseline": round(best_rps / baseline, 3),
         "extra": {
             "device": str(jax.devices()[0]),
             "nnz": int(mat.nnz),
             "fac_dim": k,
+            "engine": "blocksgd" if blk_rps >= sgd_rps else "sgd",
+            "blocksgd_epoch_s": round(blk_epoch_s, 4),
+            "blocksgd_ratings_per_sec": round(blk_rps, 1),
             "sgd_epoch_s": round(sgd_epoch_s, 4),
+            "sgd_ratings_per_sec": round(sgd_rps, 1),
             "als_epoch_s": round(als_epoch_s, 4),
             "als_ratings_per_sec": round(als_rps, 1),
         },

@@ -364,7 +364,7 @@ def train_model(data, params: Params, algo: str = "mf",
         from matfac_tpu.solvers.block_sgd import BlockSGDSolver
         solver = BlockSGDSolver(model, params, data.train_mat, inval_u,
                                 inval_i,
-                                interpret=jax.default_backend() != "tpu")
+                                batch_size=min(params.batch_size, 2048))
     elif m == "sgdparsvd":
         # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
         # singular-value-weighted regularization + objectiveSing

@@ -60,28 +60,18 @@ def main():
     iu, ii = freq.invalid_users_items(mat, n_users, n_items)
     print(f"nnz={mat.nnz}", flush=True)
 
-    # same-day reference: the scatter-add SGD engine, f32
-    params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
-                    learn_rate=0.005, seed=0, batch_size=65_536)
-    model = ModelMF(params, n_users, n_items)
-    try:
-        s = SGDSolver(model, params, mat, iu, ii, collision_norm=True)
-        c, dt = time_epochs(s, params, n_users, n_items)
-        print(f"SGD f32+cn: compile={c:.1f}s epoch={dt*1000:.0f}ms "
-              f"rate={mat.nnz/dt/1e6:.1f}M ratings/s", flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"SGD f32+cn FAIL: {type(e).__name__}: {e}", flush=True)
-
-    for label, mm_bf16, bsz in [("xla bf16 b1024", True, 1024),
-                                ("xla bf16 b2048", True, 2048),
-                                ("xla bf16 b512", False, 512),
-                                ("xla f32 b1024", False, 1024)]:
+    for label, mm_bf16, bsz, bu, bi in [
+            ("xla bf16 b4096 bu1024", True, 4096, 1024, 1024),
+            ("xla bf16 b6144 bu1024", True, 6144, 1024, 1024),
+            ("xla bf16 b2048 bu2048", True, 2048, 2048, 2048),
+            ("xla bf16 b4096 bu2048", True, 4096, 2048, 2048),
+            ("xla bf16 b8192 bu4096", True, 8192, 4096, 4096)]:
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
                         learn_rate=0.005, seed=0)
         model = ModelMF(params, n_users, n_items)
         try:
             s = BlockSGDSolver(model, params, mat, iu, ii,
-                               batch_size=bsz, bu=1024, bi=1024,
+                               batch_size=bsz, bu=bu, bi=bi,
                                collision_norm=True, mm_bf16=mm_bf16,
                                engine="xla")
             print(f"{label}: S={s.S} pad_frac={s.pad_frac:.2f} "
