@@ -83,6 +83,32 @@ class SGDSolver:
         self.batch_size = b.batch_size
         self.n_batches = b.n_batches
         self.nnz = b.nnz
+        if self.collision_norm:
+            # Batch CONTENTS are static (fixed contiguous slices; only
+            # the batch order is random), so the within-batch collision
+            # counts are static too — precompute 1/count per element on
+            # the host. The first implementation counted on-device
+            # (zeros(n).at[u].add(v)[u] twice per batch) and doubled
+            # the epoch's indexed-op traffic: 258 -> 543 ms at 9.9M nnz.
+            rn, cn, vn = b.rows[sperm], b.cols[sperm], b.valid[sperm]
+            inv_u = np.zeros(len(rn), np.float32)
+            inv_i = np.zeros(len(rn), np.float32)
+            B = b.batch_size
+            for s in range(0, len(rn), B):
+                sl = slice(s, s + B)
+                vv = vn[sl].astype(np.float64)
+                for idx, out in ((rn[sl], inv_u), (cn[sl], inv_i)):
+                    uq, inv_map = np.unique(idx, return_inverse=True)
+                    c = np.bincount(inv_map, weights=vv)[inv_map]
+                    # same formula as the on-device version: elements
+                    # whose entity has no valid occurrence get 0
+                    out[sl] = np.where(c > 0,
+                                       1.0 / np.maximum(c, 1.0), 0.0)
+            self.inv_nu = jnp.asarray(inv_u)
+            self.inv_ni = jnp.asarray(inv_i)
+        else:
+            self.inv_nu = jnp.zeros((1,), jnp.float32)
+            self.inv_ni = jnp.zeros((1,), jnp.float32)
         self._epoch = self._build_epoch()
 
     # ------------------------------------------------------------------
@@ -99,8 +125,6 @@ class SGDSolver:
         n_batches = self.n_batches
         B = self.batch_size
         collision_norm = self.collision_norm
-        n_users = int(model.n_users)
-        n_items = int(model.n_items)
 
         n_total = self.rows.shape[0]
 
@@ -109,8 +133,8 @@ class SGDSolver:
         # constants and a 10M-element constant makes (remote) XLA
         # compilation take minutes instead of seconds.
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def epoch(state: MFState, rows, cols, vals, valid, lr,
-                  key) -> MFState:
+        def epoch(state: MFState, rows, cols, vals, valid, inv_nu_s,
+                  inv_ni_s, lr, key) -> MFState:
             k_ord, mask_key = jax.random.split(key)
             border = jax.random.permutation(k_ord, n_batches)
 
@@ -132,12 +156,9 @@ class SGDSolver:
                 w = model.example_weight(u, i) * v
                 m = model.update_rank_mask(k_b, u, i)
                 if collision_norm:
-                    nu = jnp.zeros(n_users, jnp.float32).at[u].add(v)[u]
-                    ni = jnp.zeros(n_items, jnp.float32).at[i].add(v)[i]
-                    inv_nu = jnp.where(nu > 0, 1.0 / jnp.maximum(nu, 1.0),
-                                       0.0)
-                    inv_ni = jnp.where(ni > 0, 1.0 / jnp.maximum(ni, 1.0),
-                                       0.0)
+                    # host-precomputed static per-element 1/counts
+                    inv_nu = sl(inv_nu_s)
+                    inv_ni = sl(inv_ni_s)
                 else:
                     inv_nu = inv_ni = None
                 pu = st.u_fac[u]
@@ -190,4 +211,5 @@ class SGDSolver:
     # ------------------------------------------------------------------
     def epoch(self, state: MFState, lr: float, key) -> MFState:
         return self._epoch(state, self.rows, self.cols, self.vals,
-                           self.valid, jnp.float32(lr), key)
+                           self.valid, self.inv_nu, self.inv_ni,
+                           jnp.float32(lr), key)
