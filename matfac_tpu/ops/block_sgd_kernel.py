@@ -24,7 +24,12 @@ independent of k. This kernel removes row-indexed HBM ops entirely:
     engine's ceiling by an order of magnitude.
   * per-example weights (IFWMF) and deterministic rank masks (TMF) ride
     the staged stream; collision normalization (mean of same-entity
-    gradients within a batch) is four extra thin matmuls.
+    gradients within a batch) rides the stream too — batch CONTENTS are
+    static (fixed slices; only batch order is random), so the per-element
+    within-batch counts are host-precomputed (solvers/block_sgd.py). The
+    first implementation counted on-device with four extra thin matmuls,
+    which re-read each one-hot twice: dropping them cut the one-hot HBM
+    passes from ~5 to ~3 per side.
 
 VMEM constraint: the padded item table (NI*bi x k f32) plus one stream
 row must fit in ~12 MB — holds for 20k items at k<=128; the solver
@@ -43,12 +48,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _batch_update(U, I, u, i, r, w, lam, lr, k, bu, bi, u_reg, i_reg,
-                  collision_norm, use_mask, mm_dtype):
+def _batch_update(U, I, u, i, r, w, cn_u, cn_i, lam, lr, k, bu, bi,
+                  u_reg, i_reg, collision_norm, use_mask, mm_dtype):
     """One minibatch of one-hot-matmul SGD on factor blocks U [bu,k],
     I [bi,k]. Shared by the Pallas kernel (on VMEM-loaded blocks) and
     the XLA engine (on dynamic-sliced blocks) — identical math, so the
-    two engines agree bitwise at f32."""
+    two engines agree bitwise at f32. cn_u/cn_i [b] are the
+    host-precomputed max(within-batch valid count of this element's
+    entity, 1) divisors (None unless collision_norm)."""
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], bu), 1)
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], bi), 1)
     oh_u = (u[:, None] == iota_u).astype(mm_dtype)
@@ -72,17 +79,8 @@ def _batch_update(U, I, u, i, r, w, lam, lr, k, bu, bi, u_reg, i_reg,
         gu = gu * m
         gi = gi * m
     if collision_norm:
-        ones = vmask.astype(mm_dtype)
-        cnt_u = jnp.dot(ones[None, :], oh_u,
-                        preferred_element_type=jnp.float32)[0]
-        cnt_i = jnp.dot(ones[None, :], oh_i,
-                        preferred_element_type=jnp.float32)[0]
-        n_u = jnp.dot(oh_u, cnt_u[:, None].astype(mm_dtype),
-                      preferred_element_type=jnp.float32)[:, 0]
-        n_i = jnp.dot(oh_i, cnt_i[:, None].astype(mm_dtype),
-                      preferred_element_type=jnp.float32)[:, 0]
-        gu = gu / jnp.maximum(n_u, 1.0)[:, None]
-        gi = gi / jnp.maximum(n_i, 1.0)[:, None]
+        gu = gu / cn_u[:, None]
+        gi = gi / cn_i[:, None]
     U = U + jnp.dot(oh_u.T, (-lr * gu).astype(mm_dtype),
                     preferred_element_type=jnp.float32).astype(U.dtype)
     I = I + jnp.dot(oh_i.T, (-lr * gi).astype(mm_dtype),
@@ -94,8 +92,8 @@ def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
                  NI: int, S: int, u_reg: float, i_reg: float,
                  collision_norm: bool, use_mask: bool, mm_dtype):
     def kernel(row_of_ref, ib_seq_ref, boff_ref, lr_ref,
-               u_loc_ref, i_loc_ref, vals_ref, wts_ref, lam_ref,
-               u_tab_in, i_tab_in, u_out, i_out):
+               u_loc_ref, i_loc_ref, vals_ref, wts_ref, cnu_ref,
+               cni_ref, lam_ref, u_tab_in, i_tab_in, u_out, i_out):
         t = pl.program_id(0)
         # the item table persists in the output buffer across all steps
         @pl.when(t == 0)
@@ -116,11 +114,13 @@ def _make_kernel(bs: int, n_steps: int, k: int, bu: int, bi: int,
                 start = base + ((s + boff) % n_steps) * bs
                 sl = pl.ds(start, bs)
                 lam = lam_ref[0, 0, sl] if use_mask else None
+                cnu = cnu_ref[0, 0, sl] if collision_norm else None
+                cni = cni_ref[0, 0, sl] if collision_norm else None
                 return _batch_update(
                     U, I, u_loc_ref[0, 0, sl], i_loc_ref[0, 0, sl],
-                    vals_ref[0, 0, sl], wts_ref[0, 0, sl], lam, lr,
-                    k, bu, bi, u_reg, i_reg, collision_norm, use_mask,
-                    mm_dtype)
+                    vals_ref[0, 0, sl], wts_ref[0, 0, sl], cnu, cni,
+                    lam, lr, k, bu, bi, u_reg, i_reg, collision_norm,
+                    use_mask, mm_dtype)
 
             U, I = jax.lax.fori_loop(0, n_steps, step, (U, I))
             i_out[pl.ds(ib * bi, bi), :] = I
@@ -141,7 +141,8 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
                     row_of: jax.Array, ib_seq: jax.Array,
                     boff: jax.Array, lr,
                     u_loc: jax.Array, i_loc: jax.Array, vals: jax.Array,
-                    wts: jax.Array, lam: jax.Array,
+                    wts: jax.Array, cnu: jax.Array, cni: jax.Array,
+                    lam: jax.Array,
                     bs: int, bu: int, bi: int, NI: int,
                     u_reg: float, i_reg: float, collision_norm: bool,
                     use_mask: bool, mm_bf16: bool = True,
@@ -180,6 +181,10 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
                          (ro[t], 0, 0)),
             pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
                          (ro[t], 0, 0)),
+            pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0, 0)),
+            pl.BlockSpec((1, 1, row_len), lambda t, ro, ibs, bo, lr:
+                         (ro[t], 0, 0)),
             pl.BlockSpec((bu, k), lambda t, ro, ibs, bo, lr:
                          (ro[t], 0)),
             pl.BlockSpec((n_items_pad, k), lambda t, ro, ibs, bo, lr:
@@ -202,8 +207,95 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
         interpret=interpret,
     )(row_of, ib_seq, boff, lr_arr,
       u_loc.reshape(s3), i_loc.reshape(s3), vals.reshape(s3),
-      wts.reshape(s3), lam.reshape(s3), u_tab, i_tab)
+      wts.reshape(s3), cnu.reshape(s3), cni.reshape(s3),
+      lam.reshape(s3), u_tab, i_tab)
     return u_out, i_out
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
+                     "collision_norm", "use_mask", "mm_bf16"))
+def block_sgd_epoch_diag(u_tab3: jax.Array, i_tab3: jax.Array,
+                         ub_idx: jax.Array, ib_idx: jax.Array,
+                         boff: jax.Array, lr,
+                         u_loc: jax.Array, i_loc: jax.Array,
+                         vals: jax.Array, wts: jax.Array,
+                         cnu: jax.Array, cni: jax.Array,
+                         lam: jax.Array,
+                         bs: int, bu: int, bi: int, NI: int,
+                         u_reg: float, i_reg: float,
+                         collision_norm: bool, use_mask: bool,
+                         mm_bf16: bool = True
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Diagonal-batched one-hot MXU SGD epoch (Gemulla DSGD schedule on
+    one chip — the single-chip analog of parallel/dsgd.py, cf.
+    modelMF.cpp:154-350 / util.cpp:1077-1107).
+
+    Each of the R rounds processes G = NI cells that are disjoint in
+    BOTH axes (user block j paired with item block (j+d) % NI), so the
+    G cell updates are exactly independent and run as ONE batched
+    one-hot matmul group [G, bs, b*] @ [G, b*, k]. Versus the
+    row-sequential engine this shortens the sequential chain by G× and
+    keeps the MXU efficient at small block sizes, where per-rating FLOP
+    (∝ 4k(bu+bi)) is proportionally lower — measured fastest around
+    bu=bi=256 (PERF.md).
+
+    u_tab3 [NU+1, bu, k] / i_tab3 [NI, bi, k]: factor blocks; row NU of
+    u_tab3 is a dummy block addressed by padding lanes (their stream
+    row is all-invalid so the write-back is a no-op value).
+    ub_idx/ib_idx/boff [R, G]: per-round user-block / item-block /
+    batch-offset per lane. Streams [n_cells+1, S]; the last row is the
+    all-invalid dummy cell.
+    """
+    R, G = ub_idx.shape
+    n_cells_pad, S = u_loc.shape
+    n_steps = S // bs
+    k = u_tab3.shape[2]
+    NU = u_tab3.shape[0] - 1
+    mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
+    lr_f = jnp.asarray(lr, jnp.float32)
+
+    def one(U, I, su, si, sv, sw, scu, sci, slm):
+        return _batch_update(
+            U, I, su, si, sv, sw,
+            scu if collision_norm else None,
+            sci if collision_norm else None,
+            slm if use_mask else None,
+            lr_f, k, bu, bi, u_reg, i_reg, collision_norm, use_mask,
+            mm_dtype)
+
+    vstep = jax.vmap(one)
+
+    def slice_one(row, start):
+        return jax.lax.dynamic_slice(row, (start,), (bs,))
+
+    vslice = jax.vmap(slice_one)
+
+    def round_body(t, tabs):
+        u3, i3 = tabs
+        ub = ub_idx[t]
+        ib = ib_idx[t]
+        bo = boff[t]
+        U = u3[ub]
+        I = i3[ib]
+        # dummy lanes (ub == NU) address the all-invalid dummy cell
+        cell = jnp.minimum(ub * NI + ib, n_cells_pad - 1)
+        rows = [x[cell] for x in (u_loc, i_loc, vals, wts, cnu, cni,
+                                  lam)]
+
+        def step(s, UI):
+            U, I = UI
+            starts = ((s + bo) % n_steps) * bs
+            sliced = [vslice(x, starts) for x in rows]
+            return vstep(U, I, *sliced)
+
+        U, I = jax.lax.fori_loop(0, n_steps, step, (U, I))
+        u3 = u3.at[ub].set(U)
+        i3 = i3.at[ib].set(I)
+        return (u3, i3)
+
+    return jax.lax.fori_loop(0, R, round_body, (u_tab3, i_tab3))
 
 
 @functools.partial(
@@ -214,7 +306,8 @@ def block_sgd_epoch_xla(u_tab: jax.Array, i_tab: jax.Array,
                         row_of: jax.Array, ib_seq: jax.Array,
                         boff: jax.Array, lr,
                         u_loc: jax.Array, i_loc: jax.Array,
-                        vals: jax.Array, wts: jax.Array, lam: jax.Array,
+                        vals: jax.Array, wts: jax.Array,
+                        cnu: jax.Array, cni: jax.Array, lam: jax.Array,
                         bs: int, bu: int, bi: int, NI: int,
                         u_reg: float, i_reg: float,
                         collision_norm: bool, use_mask: bool,
@@ -239,8 +332,8 @@ def block_sgd_epoch_xla(u_tab: jax.Array, i_tab: jax.Array,
         ro = row_of[t]
         U = jax.lax.dynamic_slice(u_tab, (ro * bu, 0), (bu, k))
         row = [jax.lax.dynamic_slice(x, (ro, 0), (1, row_len))[0]
-               for x in (u_loc, i_loc, vals, wts, lam)]
-        su_, si_, sv_, sw_, sl_ = row
+               for x in (u_loc, i_loc, vals, wts, cnu, cni, lam)]
+        su_, si_, sv_, sw_, scu_, sci_, sl_ = row
 
         def cell_body(j, carry):
             U, i_tab = carry
@@ -257,10 +350,12 @@ def block_sgd_epoch_xla(u_tab: jax.Array, i_tab: jax.Array,
                     return jax.lax.dynamic_slice(x, (start,), (bs,))
 
                 lam_b = sl(sl_) if use_mask else None
+                cnu_b = sl(scu_) if collision_norm else None
+                cni_b = sl(sci_) if collision_norm else None
                 return _batch_update(
-                    U, I, sl(su_), sl(si_), sl(sv_), sl(sw_), lam_b,
-                    lr_f, k, bu, bi, u_reg, i_reg, collision_norm,
-                    use_mask, mm_dtype)
+                    U, I, sl(su_), sl(si_), sl(sv_), sl(sw_), cnu_b,
+                    cni_b, lam_b, lr_f, k, bu, bi, u_reg, i_reg,
+                    collision_norm, use_mask, mm_dtype)
 
             U, I = jax.lax.fori_loop(0, n_steps, step, (U, I))
             i_tab = jax.lax.dynamic_update_slice(i_tab, I, (ib * bi, 0))

@@ -30,6 +30,7 @@ import numpy as np
 from matfac_tpu.config import Params
 from matfac_tpu.models.base import MFState
 from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
+                                             block_sgd_epoch_diag,
                                              block_sgd_epoch_xla)
 
 
@@ -56,12 +57,23 @@ class BlockSGDSolver:
                  batch_size: int = 256, bu: int = 1024, bi: int = 1024,
                  collision_norm: Optional[bool] = None,
                  mm_bf16: bool = True, interpret: bool = False,
-                 engine: str = "xla"):
+                 engine: str = "xla", schedule: str = "row"):
         """``engine``: "xla" (default — pure-XLA one-hot MXU epoch,
         works on every backend) or "pallas" (VMEM-resident tables;
         currently crashes the axon remote Mosaic compile at any scale,
         kept for when the toolchain recovers + interpret-mode parity
-        tests)."""
+        tests).
+
+        ``schedule``: "row" (user-block rows processed sequentially,
+        item blocks swept within a row) or "diag" (Gemulla DSGD rounds
+        — NI axis-disjoint cells per round batched into one vmapped
+        one-hot matmul group; XLA engine only). "diag" keeps the MXU
+        efficient at small bu/bi where per-rating FLOP is lower."""
+        if schedule not in ("row", "diag"):
+            raise ValueError(f"unknown schedule {schedule!r}")
+        if schedule == "diag" and engine != "xla":
+            raise ValueError("schedule='diag' requires engine='xla'")
+        self.schedule = schedule
         if model.use_bias or not model.use_factors:
             raise ValueError("BlockSGDSolver is factor-only")
         if getattr(model, "name", "") == "tmf_dropout":
@@ -161,12 +173,61 @@ class BlockSGDSolver:
             for arr in (u_loc, i_loc, vals, wts, lams):
                 arr[cc, : len(p)] = arr[cc, : len(p)][p]
 
-        shape = (self.NU, self.NI * S)
-        self.u_loc = jnp.asarray(u_loc.reshape(shape))
-        self.i_loc = jnp.asarray(i_loc.reshape(shape))
-        self.vals = jnp.asarray(vals.reshape(shape))
-        self.wts = jnp.asarray(wts.reshape(shape))
-        self.lams = jnp.asarray(lams.reshape(shape))
+        if self.collision_norm:
+            # Batch contents are static (fixed bs-slices of each cell;
+            # boff only rotates batch ORDER), so the within-batch
+            # same-entity valid counts are static — precompute the
+            # max(count,1) divisor per element on the host. The first
+            # implementation counted on-device with four thin one-hot
+            # matmuls per step, re-reading each [bs,b*] one-hot twice
+            # (measured: dropping them cut the epoch's HBM passes).
+            n_steps = S // self.bs
+            valid = (wts > 0).ravel().astype(np.float64)
+            batch_id = np.arange(n_cells * S, dtype=np.int64) // self.bs
+
+            def batch_counts(loc, width):
+                key = batch_id * np.int64(width) + loc.ravel()
+                _, inv = np.unique(key, return_inverse=True)
+                c = np.bincount(inv, weights=valid)[inv]
+                return np.maximum(c, 1.0).astype(np.float32) \
+                         .reshape(n_cells, S)
+
+            cnu = batch_counts(u_loc, bu)
+            cni = batch_counts(i_loc, bi)
+        else:
+            cnu = cni = None
+
+        if self.schedule == "diag":
+            # cell-major layout with one trailing all-invalid dummy row
+            # (addressed by padding lanes of the diagonal schedule)
+            def pad_row(a, fill):
+                return np.concatenate(
+                    [a, np.full((1, S), fill, a.dtype)], axis=0)
+
+            self.u_loc = jnp.asarray(pad_row(u_loc, 0))
+            self.i_loc = jnp.asarray(pad_row(i_loc, 0))
+            self.vals = jnp.asarray(pad_row(vals, 0))
+            self.wts = jnp.asarray(pad_row(wts, 0))
+            self.lams = jnp.asarray(pad_row(lams, 1))
+            if self.collision_norm:
+                self.cnu = jnp.asarray(pad_row(cnu, 1.0))
+                self.cni = jnp.asarray(pad_row(cni, 1.0))
+            else:
+                self.cnu = self.cni = self.wts
+        else:
+            shape = (self.NU, self.NI * S)
+            if self.collision_norm:
+                self.cnu = jnp.asarray(cnu.reshape(shape))
+                self.cni = jnp.asarray(cni.reshape(shape))
+            self.u_loc = jnp.asarray(u_loc.reshape(shape))
+            self.i_loc = jnp.asarray(i_loc.reshape(shape))
+            self.vals = jnp.asarray(vals.reshape(shape))
+            self.wts = jnp.asarray(wts.reshape(shape))
+            self.lams = jnp.asarray(lams.reshape(shape))
+            if not self.collision_norm:
+                # unused inside the (static) collision_norm=False
+                # branch; alias a buffer so no extra HBM is staged
+                self.cnu = self.cni = self.wts
         self._sched_rng = np.random.default_rng(params.seed + 41)
         self._resident = None
         self._last_u_view = None
@@ -185,11 +246,47 @@ class BlockSGDSolver:
         return (jnp.asarray(row_of), jnp.asarray(ib_seq),
                 jnp.asarray(boff))
 
+    def _build_schedule_diag(self):
+        """DSGD rounds: per group of G=NI user blocks, G rotated
+        diagonals; each round's G cells are disjoint in both axes
+        (util.cpp:1077-1107 semantics, rotation instead of a random
+        Latin square — README deviation #3). Padding lanes use the
+        dummy user block NU / dummy stream row."""
+        rng = self._sched_rng
+        G = self.NI
+        n_groups = _cdiv(self.NU, G)
+        total = n_groups * G
+        ub_all = np.concatenate([
+            np.arange(self.NU, dtype=np.int32),
+            np.full(total - self.NU, self.NU, np.int32)])
+        ub_all = rng.permutation(ub_all).reshape(n_groups, G)
+        lanes = np.arange(G, dtype=np.int32)
+        ub_idx = np.empty((total, G), np.int32)
+        ib_idx = np.empty((total, G), np.int32)
+        t = 0
+        for g in range(n_groups):
+            for d in rng.permutation(G):
+                ub_idx[t] = ub_all[g]
+                ib_idx[t] = (lanes + d) % G
+                t += 1
+        boff = rng.integers(0, max(self.S // self.bs, 1),
+                            size=(total, G)).astype(np.int32)
+        return (jnp.asarray(ub_idx), jnp.asarray(ib_idx),
+                jnp.asarray(boff))
+
     def _stage_factors(self, state: MFState):
         # staged[new_id] = logical[inv[new_id]] over the padded space
         u = state.u_fac[self.u_perm_inv_dev]
         i = state.i_fac[self.i_perm_inv_dev]
-        return u.astype(jnp.float32), i.astype(jnp.float32)
+        u = u.astype(jnp.float32)
+        i = i.astype(jnp.float32)
+        if self.schedule == "diag":
+            k = u.shape[1]
+            u3 = jnp.concatenate(
+                [u.reshape(self.NU, self.bu, k),
+                 jnp.zeros((1, self.bu, k), jnp.float32)], axis=0)
+            return u3, i.reshape(self.NI, self.bi, k)
+        return u, i
 
     def epoch(self, state: MFState, lr: float, key) -> MFState:
         del key  # randomness comes from the host schedule rng
@@ -199,23 +296,40 @@ class BlockSGDSolver:
             u_tab, i_tab = self._resident
         else:
             u_tab, i_tab = self._stage_factors(state)
-        row_of, ib_seq, boff = self._build_schedule()
         common = dict(
             bs=self.bs, bu=self.bu, bi=self.bi, NI=self.NI,
             u_reg=float(self.params.u_reg),
             i_reg=float(self.params.i_reg),
             collision_norm=self.collision_norm,
             use_mask=self.use_mask, mm_bf16=self.mm_bf16)
+        if self.schedule == "diag":
+            ub_idx, ib_idx, boff = self._build_schedule_diag()
+            u3, i3 = block_sgd_epoch_diag(
+                u_tab, i_tab, ub_idx, ib_idx, boff, jnp.float32(lr),
+                self.u_loc, self.i_loc, self.vals, self.wts,
+                self.cnu, self.cni, self.lams, **common)
+            self._resident = (u3, i3)
+            k = u3.shape[2]
+            u_flat = u3[:self.NU].reshape(self.NU * self.bu, k)
+            i_flat = i3.reshape(self.n_items_pad, k)
+            u_view = u_flat[self.u_perm_dev]
+            i_view = i_flat[self.i_perm_dev]
+            self._last_u_view, self._last_i_view = u_view, i_view
+            return state._replace(
+                u_fac=u_view.astype(state.u_fac.dtype),
+                i_fac=i_view.astype(state.i_fac.dtype))
+        row_of, ib_seq, boff = self._build_schedule()
         if self.engine == "xla":
             u_tab, i_tab = block_sgd_epoch_xla(
                 u_tab, i_tab, row_of, ib_seq, boff, jnp.float32(lr),
                 self.u_loc, self.i_loc, self.vals, self.wts,
-                self.lams, **common)
+                self.cnu, self.cni, self.lams, **common)
         else:
             u_tab, i_tab = block_sgd_epoch(
                 u_tab, i_tab, row_of, ib_seq, boff, jnp.float32(lr),
                 self.u_loc, self.i_loc, self.vals, self.wts,
-                self.lams, interpret=self.interpret, **common)
+                self.cnu, self.cni, self.lams,
+                interpret=self.interpret, **common)
         self._resident = (u_tab, i_tab)
         # logical[old] = staged[perm[old]] (perm values span the padded
         # space, so gather BEFORE any truncation)

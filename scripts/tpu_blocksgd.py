@@ -53,19 +53,30 @@ def main():
     from matfac_tpu.utils import freq
 
     print("devices:", jax.devices(), flush=True)
-    n_users, n_items, k = 100_000, 20_000, 64
+    n_users, n_items = 100_000, 20_000
     mat, _, _ = low_rank_ratings(n_users, n_items, k=8, density=0.005,
                                  seed=0, noise=0.1, power_law=0.6,
                                  nonneg=True)
     iu, ii = freq.invalid_users_items(mat, n_users, n_items)
     print(f"nnz={mat.nnz}", flush=True)
 
-    for label, mm_bf16, bsz, bu, bi in [
-            ("xla bf16 b4096 bu1024", True, 4096, 1024, 1024),
-            ("xla bf16 b6144 bu1024", True, 6144, 1024, 1024),
-            ("xla bf16 b2048 bu2048", True, 2048, 2048, 2048),
-            ("xla bf16 b4096 bu2048", True, 4096, 2048, 2048),
-            ("xla bf16 b8192 bu4096", True, 8192, 4096, 4096)]:
+    # same-day device-speed reference: scatter SGD f32 (round-1 chip
+    # speed ran this at 258 ms; the round-2 degraded day at 543/560 ms)
+    params = Params(fac_dim=64, u_reg=0.001, i_reg=0.001,
+                    learn_rate=0.005, seed=0, batch_size=8192)
+    model = ModelMF(params, n_users, n_items)
+    s = SGDSolver(model, params, mat, iu, ii)
+    c, dt = time_epochs(s, params, n_users, n_items)
+    print(f"scatter SGD f32 ref: compile={c:.1f}s epoch={dt*1000:.0f}ms "
+          f"rate={s.nnz/dt/1e6:.1f}M ratings/s", flush=True)
+
+    for label, k, mm_bf16, bsz, bu, bi in [
+            ("xla bf16 k64 b2048 bu1024", 64, True, 2048, 1024, 1024),
+            ("xla bf16 k64 b4096 bu1024", 64, True, 4096, 1024, 1024),
+            ("xla bf16 k64 b2048 bu512", 64, True, 2048, 512, 512),
+            ("xla bf16 k64 b1024 bu512", 64, True, 1024, 512, 512),
+            ("xla bf16 k64 b2048 bu1024 bi512", 64, True, 2048, 1024, 512),
+            ("xla bf16 k128 b2048 bu1024", 128, True, 2048, 1024, 1024)]:
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
                         learn_rate=0.005, seed=0)
         model = ModelMF(params, n_users, n_items)

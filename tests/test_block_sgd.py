@@ -85,6 +85,100 @@ def test_block_sgd_matches_numpy_oracle(collision_norm):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("collision_norm", [False, True])
+def test_block_sgd_diag_matches_numpy_oracle(collision_norm):
+    """One diag-schedule epoch == a literal numpy transcription of the
+    DSGD rounds (disjoint cells per round all see the same pre-round
+    factor blocks is NOT required — cells are axis-disjoint, so
+    sequential application per round is identical)."""
+    mat, _, _ = low_rank_ratings(30, 20, 3, density=0.4, seed=5,
+                                 noise=0.05, nonneg=True)
+    params = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.05,
+                    seed=2)
+    iu, ii = freq.invalid_users_items(mat, 30, 20)
+    model = ModelMF(params, 30, 20)
+
+    def mk():
+        return BlockSGDSolver(model, params, mat, iu, ii, batch_size=8,
+                              bu=8, bi=8,
+                              collision_norm=collision_norm,
+                              mm_bf16=False, schedule="diag")
+
+    sol, twin = mk(), mk()
+    ub_idx, ib_idx, boff = [np.asarray(x)
+                            for x in twin._build_schedule_diag()]
+
+    state = init_state(params, 30, 20, seed=3)
+    out = sol.epoch(state, params.learn_rate, None)
+
+    u_tab = np.asarray(state.u_fac)[np.asarray(sol.u_perm_inv_dev)]
+    i_tab = np.asarray(state.i_fac)[np.asarray(sol.i_perm_inv_dev)]
+    u_loc = np.asarray(sol.u_loc)
+    i_loc = np.asarray(sol.i_loc)
+    vals = np.asarray(sol.vals)
+    wts = np.asarray(sol.wts)
+    bs, bu, bi, S = sol.bs, sol.bu, sol.bi, sol.S
+    NU, NI = sol.NU, sol.NI
+    n_cells = NU * NI
+    n_steps = S // bs
+    lr, ur, ir = params.learn_rate, params.u_reg, params.i_reg
+    for t in range(ub_idx.shape[0]):
+        for lane in range(ub_idx.shape[1]):
+            ub, ib = int(ub_idx[t, lane]), int(ib_idx[t, lane])
+            cell = min(ub * NI + ib, n_cells)
+            if ub >= NU:
+                continue  # dummy lane: all-invalid stream, no-op
+            U = u_tab[ub * bu:(ub + 1) * bu]
+            I = i_tab[ib * bi:(ib + 1) * bi]
+            for s in range(n_steps):
+                start = ((s + int(boff[t, lane])) % n_steps) * bs
+                sl = slice(start, start + bs)
+                u, i = u_loc[cell, sl], i_loc[cell, sl]
+                r, w = vals[cell, sl], wts[cell, sl]
+                pu, qi = U[u], I[i]
+                pred = (pu * qi).sum(1)
+                coeff = w * (r - pred)
+                vmask = (w > 0).astype(np.float32)
+                gu = (-2 * coeff[:, None] * qi
+                      + 2 * ur * vmask[:, None] * pu)
+                gi = (-2 * coeff[:, None] * pu
+                      + 2 * ir * vmask[:, None] * qi)
+                if collision_norm:
+                    cu = np.zeros(bu)
+                    np.add.at(cu, u, vmask)
+                    ci = np.zeros(bi)
+                    np.add.at(ci, i, vmask)
+                    gu = gu / np.maximum(cu[u], 1)[:, None]
+                    gi = gi / np.maximum(ci[i], 1)[:, None]
+                np.add.at(U, u, -lr * gu)
+                np.add.at(I, i, -lr * gi)
+    want_u = u_tab[np.asarray(sol.u_perm_dev)]
+    want_i = i_tab[np.asarray(sol.i_perm_dev)]
+    np.testing.assert_allclose(np.asarray(out.u_fac), want_u,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.i_fac), want_i,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_block_sgd_diag_converges():
+    data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
+                                density=0.35, seed=8, noise=0.05,
+                                nonneg=True)
+    params = Params(fac_dim=6, u_reg=0.002, i_reg=0.002,
+                    learn_rate=0.05, seed=1)
+    iu, ii = freq.invalid_users_items(data.train_mat, 60, 40)
+    model = ModelMF(params, 60, 40)
+    sol = BlockSGDSolver(model, params, data.train_mat, iu, ii,
+                         batch_size=16, bu=16, bi=16, mm_bf16=False,
+                         schedule="diag")
+    ev = Evaluator(data, iu, ii, params)
+    st = init_state(params, 60, 40)
+    for e in range(60):
+        st = sol.epoch(st, params.learn_rate, None)
+    val = ev.rmse(model.eval_view(st), "val")
+    assert val < 0.35, val
+
+
 def test_block_sgd_converges():
     data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
                                 density=0.35, seed=8, noise=0.05,
