@@ -85,11 +85,17 @@ def main():
     # one-hot MXU cell engine (round 2): same SGD update semantics
     # (minibatched, collision-normalized; quality table in BASELINE.md),
     # restructured so gathers/scatters ride the MXU as one-hot matmuls.
+    # The diagonal (DSGD-round) schedule batches NI axis-disjoint cells
+    # per step and pads k to the MXU's 128 result lanes (exactly
+    # equivalent — see solvers/block_sgd.py pad_k); measured 111M
+    # ratings/s at full scale vs 84M for the row schedule (PERF.md).
     # This is the headline SGD number; the scatter engine rides in extra.
     from matfac_tpu.solvers.block_sgd import BlockSGDSolver
     blk = BlockSGDSolver(model, params, mat, inval_u, inval_i,
-                         batch_size=2048, bu=1024, bi=1024,
-                         collision_norm=True, engine="xla")
+                         batch_size=1024, bu=384, bi=384,
+                         collision_norm=True, engine="xla",
+                         schedule="diag",
+                         pad_k=128 if k <= 128 else 0)
     blk_epoch_s = time_epochs(blk, TIMED_EPOCHS)
     blk_rps = blk.nnz / blk_epoch_s
 

@@ -57,7 +57,8 @@ class BlockSGDSolver:
                  batch_size: int = 256, bu: int = 1024, bi: int = 1024,
                  collision_norm: Optional[bool] = None,
                  mm_bf16: bool = True, interpret: bool = False,
-                 engine: str = "xla", schedule: str = "row"):
+                 engine: str = "xla", schedule: str = "row",
+                 pad_k: int = 0):
         """``engine``: "xla" (default — pure-XLA one-hot MXU epoch,
         works on every backend) or "pallas" (VMEM-resident tables;
         currently crashes the axon remote Mosaic compile at any scale,
@@ -68,7 +69,15 @@ class BlockSGDSolver:
         item blocks swept within a row) or "diag" (Gemulla DSGD rounds
         — NI axis-disjoint cells per round batched into one vmapped
         one-hot matmul group; XLA engine only). "diag" keeps the MXU
-        efficient at small bu/bi where per-rating FLOP is lower."""
+        efficient at small bu/bi where per-rating FLOP is lower.
+
+        ``pad_k``: if > fac_dim, stage the factor tables zero-padded to
+        this width. EXACTLY equivalent to training at fac_dim (a zero
+        column has zero prediction contribution and zero gradient —
+        the data term is ∝ qi=0 and the reg term ∝ pu=0 — so it stays
+        zero), but fills the MXU's 128 result lanes: measured k=64
+        padded to 128 runs FASTER than native k=64 on the diag
+        schedule (PERF.md)."""
         if schedule not in ("row", "diag"):
             raise ValueError(f"unknown schedule {schedule!r}")
         if schedule == "diag" and engine != "xla":
@@ -83,6 +92,9 @@ class BlockSGDSolver:
         self.interpret = interpret
         self.engine = engine
         self.mm_bf16 = mm_bf16
+        self.pad_k = max(int(pad_k), 0)
+        if self.pad_k and self.pad_k < model.k:
+            raise ValueError("pad_k must be >= fac_dim")
         self.collision_norm = (params.sgd_collision_norm
                                if collision_norm is None
                                else collision_norm)
@@ -280,6 +292,10 @@ class BlockSGDSolver:
         i = state.i_fac[self.i_perm_inv_dev]
         u = u.astype(jnp.float32)
         i = i.astype(jnp.float32)
+        if self.pad_k > u.shape[1]:
+            pad = self.pad_k - u.shape[1]
+            u = jnp.pad(u, ((0, 0), (0, pad)))
+            i = jnp.pad(i, ((0, 0), (0, pad)))
         if self.schedule == "diag":
             k = u.shape[1]
             u3 = jnp.concatenate(
@@ -312,8 +328,8 @@ class BlockSGDSolver:
             k = u3.shape[2]
             u_flat = u3[:self.NU].reshape(self.NU * self.bu, k)
             i_flat = i3.reshape(self.n_items_pad, k)
-            u_view = u_flat[self.u_perm_dev]
-            i_view = i_flat[self.i_perm_dev]
+            u_view = u_flat[self.u_perm_dev][:, :self.model.k]
+            i_view = i_flat[self.i_perm_dev][:, :self.model.k]
             self._last_u_view, self._last_i_view = u_view, i_view
             return state._replace(
                 u_fac=u_view.astype(state.u_fac.dtype),
@@ -333,8 +349,8 @@ class BlockSGDSolver:
         self._resident = (u_tab, i_tab)
         # logical[old] = staged[perm[old]] (perm values span the padded
         # space, so gather BEFORE any truncation)
-        u_view = u_tab[self.u_perm_dev]
-        i_view = i_tab[self.i_perm_dev]
+        u_view = u_tab[self.u_perm_dev][:, :self.model.k]
+        i_view = i_tab[self.i_perm_dev][:, :self.model.k]
         self._last_u_view, self._last_i_view = u_view, i_view
         return state._replace(u_fac=u_view.astype(state.u_fac.dtype),
                               i_fac=i_view.astype(state.i_fac.dtype))

@@ -179,6 +179,35 @@ def test_block_sgd_diag_converges():
     assert val < 0.35, val
 
 
+@pytest.mark.parametrize("schedule", ["row", "diag"])
+def test_block_sgd_pad_k_exact(schedule):
+    """Zero-padding the factor width (pad_k) is exactly equivalent:
+    padded dims have zero prediction contribution and zero gradient, so
+    epochs agree to f32 roundoff and the pad columns stay zero."""
+    mat, _, _ = low_rank_ratings(30, 20, 3, density=0.4, seed=5,
+                                 noise=0.05, nonneg=True)
+    params = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.05,
+                    seed=2)
+    iu, ii = freq.invalid_users_items(mat, 30, 20)
+    model = ModelMF(params, 30, 20)
+
+    def mk(pad):
+        return BlockSGDSolver(model, params, mat, iu, ii, batch_size=8,
+                              bu=8, bi=8, mm_bf16=False,
+                              schedule=schedule, pad_k=pad)
+
+    state = init_state(params, 30, 20, seed=3)
+    out0 = mk(0).epoch(state, params.learn_rate, None)
+    outp = mk(16).epoch(state, params.learn_rate, None)
+    assert outp.u_fac.shape == out0.u_fac.shape
+    np.testing.assert_allclose(np.asarray(outp.u_fac),
+                               np.asarray(out0.u_fac),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(outp.i_fac),
+                               np.asarray(out0.i_fac),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_block_sgd_converges():
     data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
                                 density=0.35, seed=8, noise=0.05,
