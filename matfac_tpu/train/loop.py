@@ -360,11 +360,17 @@ def train_model(data, params: Params, algo: str = "mf",
         solver = SGDSolver(model, params, data.train_mat, inval_u, inval_i)
     elif m == "blocksgd":
         # one-hot MXU cell engine (ops/block_sgd_kernel.py) — same
-        # update semantics as sgd, restructured for the TPU roofline
+        # update semantics as sgd, restructured for the TPU roofline.
+        # Measured-best config (PERF.md "Diagonal schedule + pad_k"):
+        # DSGD-round diag schedule, 384-blocks, k zero-padded to the
+        # MXU's 128 result lanes (exact equivalence).
         from matfac_tpu.solvers.block_sgd import BlockSGDSolver
         solver = BlockSGDSolver(model, params, data.train_mat, inval_u,
                                 inval_i,
-                                batch_size=min(params.batch_size, 2048))
+                                batch_size=min(params.batch_size, 1024),
+                                bu=384, bi=384, schedule="diag",
+                                pad_k=128 if params.fac_dim <= 128
+                                else 0)
     elif m == "sgdparsvd":
         # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
         # singular-value-weighted regularization + objectiveSing
