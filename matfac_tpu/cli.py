@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--prefix", default="mf")
     # TPU-specific extras
     ap.add_argument("--batchsize", type=int, default=16384)
+    ap.add_argument("--bprsampler", default="rankgap",
+                    choices=["rankgap", "gap"],
+                    help="BPR negative sampler (PERF.md 'BPR pairwise')")
+    ap.add_argument("--bprtries", type=int, default=2,
+                    help="BPR sampler tries per positive (failures "
+                         "drop with weight 0)")
     ap.add_argument("--svdinit", action="store_true",
                     help="initialize factors from truncated SVD")
     ap.add_argument("--quartiles", action="store_true", default=True)
@@ -145,7 +151,8 @@ def main(argv=None) -> int:
         graph_mat_file=args.graphmat, orig_u_fac_file=args.origufac,
         orig_i_fac_file=args.origifac, init_u_fac_file=args.initufac,
         init_i_fac_file=args.initifac, prefix=args.prefix,
-        batch_size=args.batchsize)
+        batch_size=args.batchsize, bpr_sampler=args.bprsampler,
+        n_negatives=args.bprtries)
     print(params.display())
 
     from matfac_tpu.data.dataset import Data

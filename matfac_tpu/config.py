@@ -66,6 +66,8 @@ class Params:
     n_negatives: int = 2           # BPR: sampler tries per positive
     # (first-try acceptance >90%; failures drop the pair — the
     # reference's own 100-try failure handling, modelMFBPR.cpp:227-241)
+    bpr_sampler: str = "rankgap"   # "rankgap" (1 gather/try; PERF.md)
+    # or "gap" (literal per-try trainItems rejection)
 
     # --- training-loop constants (reference const.h:4-8) ---
     obj_iter: int = 1      # OBJ_ITER: check objective every N epochs

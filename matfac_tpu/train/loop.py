@@ -448,7 +448,8 @@ def _train_ranking(data, params, algo, mf_method, log_fn,
     mode = ("posneg" if mf_method.lower() in ("hogposneg", "posneg")
             else "stream")
     solver = BPRSolver(model, params, data.train_mat, inval_u, inval_i,
-                       n_tries=params.n_negatives, mode=mode)
+                       n_tries=params.n_negatives, mode=mode,
+                       sampler=params.bpr_sampler)
     scorer = CatalogScorer(data.train_mat, inval_u, inval_i,
                            data.n_users, data.n_items,
                            user_block=min(params.eval_user_block,

@@ -34,11 +34,13 @@ def main():
     iu, ii = freq.invalid_users_items(mat, n_users, n_items)
     print(f"nnz={mat.nnz}", flush=True)
 
-    for n_tries in (2, 8):
+    for sampler, n_tries in (("rankgap", 2), ("rankgap", 1),
+                             ("rankgap", 3)):
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
                         learn_rate=0.01, seed=0, batch_size=65_536)
         model = ModelMFBPR(params, n_users, n_items)
-        s = BPRSolver(model, params, mat, iu, ii, n_tries=n_tries)
+        s = BPRSolver(model, params, mat, iu, ii, n_tries=n_tries,
+                      sampler=sampler)
         st = init_state(params, n_users, n_items)
         key = jax.random.PRNGKey(0)
         key, ek = jax.random.split(key)
@@ -54,10 +56,13 @@ def main():
             _ = float(jnp.sum(st.u_fac[0]))
             times.append(time.time() - t0)
         dt = min(times)
-        print(f"BPR tries={n_tries}: compile={c:.1f}s "
+        print(f"BPR {sampler} tries={n_tries}: compile={c:.1f}s "
               f"epoch={dt*1000:.0f}ms rate={s.n_pos/dt/1e6:.1f}M "
               f"pairs/s", flush=True)
 
+    import os
+    if os.environ.get("SKIP_TOPN"):
+        return
     # ---- stage 2: batched topNRec at the reference protocol scale ----
     from matfac_tpu.analysis.topn import top_n_rec
 

@@ -43,6 +43,52 @@ def test_negative_sampling_validity(lo_data):
         assert deg_i[neg[b]] > 0  # trainItems membership
 
 
+def test_rankgap_sampler_validity_and_support(lo_data):
+    """rankgap sampler: every accepted negative is an unrated train
+    item of the user, and its support equals the union of
+    train-items-in-gaps (same accept support as the literal sampler)."""
+    data = lo_data
+    params = Params(fac_dim=4, seed=0, batch_size=128)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    model = ModelMFBPR(params, data.n_users, data.n_items)
+    solver = BPRSolver(model, params, data.train_mat, iu, ii,
+                       batch_size=128, n_tries=16, sampler="rankgap")
+    start = solver.pos_start[:128]
+    deg = solver.pos_deg[:128]
+    deg_i = data.train_mat.col_degrees()
+    u = np.asarray(solver.pos_u[:128])
+    seen = {b: set() for b in range(128)}
+    for s in range(40):
+        bits = jax.random.bits(jax.random.PRNGKey(s), (2, 16, 128),
+                               jnp.uint32)
+        neg, ok = jax.jit(solver._sample_rankgap_bits)(
+            start, deg, bits[0], bits[1], solver.csr_packed4,
+            solver.sel_items)
+        neg, ok = np.asarray(neg), np.asarray(ok)
+        for b in range(128):
+            if not ok[b]:
+                continue
+            rated = set(data.train_mat.row(u[b])[0])
+            assert neg[b] not in rated
+            assert deg_i[neg[b]] > 0  # trainItems membership
+            seen[b].add(int(neg[b]))
+    # support check on user 0: all train items outside the rated row
+    # that fall in a sampleable gap must be reachable
+    u0 = int(u[0])
+    cols = data.train_mat.row(u0)[0]
+    gaps = [(0, cols[0])] + [(cols[i] + 1, cols[i + 1])
+                             for i in range(len(cols) - 1)] \
+        + [(cols[-1] + 1, data.n_items)]
+    expect = {j for lo, hi in gaps for j in range(lo, hi)
+              if deg_i[j] > 0}
+    b0 = [b for b in range(128) if u[b] == u0]
+    got = set().union(*(seen[b] for b in b0))
+    assert got <= expect
+    # with 40x16 tries across this user's lanes we should cover most
+    assert len(got) >= min(len(expect), 5)
+
+
 def test_bpr_training_improves_hr(lo_data):
     data = lo_data
     params = Params(fac_dim=8, u_reg=0.001, i_reg=0.001, learn_rate=0.3,
