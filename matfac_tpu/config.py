@@ -59,7 +59,9 @@ class Params:
     # mean (stability on power-law data; solvers/sgd.py docstring)
     sgd_collision_norm: bool = True
     eval_user_block: int = 1024    # users per block in full-catalog scoring
-    eval_item_block: int = 8192    # items per block in full-catalog scoring
+    eval_item_block: int = 32768   # items per block in full-catalog
+    # scoring (one block = the rated-exclusion scatter issues once;
+    # blocks beyond ~32k trade scores-array HBM for scatter re-issues)
     dtype: str = "float32"         # factor dtype ("float32" or "bfloat16")
     mesh_shape: Tuple[int, ...] = ()   # () = single device
     mesh_axes: Tuple[str, ...] = ()

@@ -190,6 +190,59 @@ def test_hit_rate_matches_naive(item_block):
     np.testing.assert_allclose(got_ar, expect_ar, rtol=1e-6)
 
 
+def test_exact_topk_tiles_matches_lax_topk():
+    """Tile two-stage top-k must be exact, including stable tie
+    behavior (lowest index wins), vs jax.lax.top_k."""
+    import jax
+    import jax.numpy as jnp
+
+    from matfac_tpu.eval.ranking import _exact_topk_tiles
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.standard_normal((32, 2560)).astype(np.float32),
+        # tie-heavy: few distinct values
+        rng.integers(0, 7, (32, 2560)).astype(np.float32),
+        # all-equal (zero factors at init)
+        np.zeros((8, 1536), np.float32),
+        # ties exactly at the n-th boundary
+        np.repeat(rng.integers(0, 3, (16, 20)), 128,
+                  axis=1).astype(np.float32),
+    ]
+    for scores in cases:
+        for n in (1, 5, 10):
+            s_t, i_t = jax.jit(_exact_topk_tiles,
+                               static_argnames=("n",))(
+                jnp.asarray(scores), n=n)
+            s_r, i_r = jax.lax.top_k(jnp.asarray(scores), n)
+            np.testing.assert_array_equal(np.asarray(s_t),
+                                          np.asarray(s_r))
+            np.testing.assert_array_equal(np.asarray(i_t),
+                                          np.asarray(i_r))
+
+
+def test_hit_rate_single_large_item_block():
+    """The default config now runs the whole catalog as ONE item block
+    (tile top-k engaged); parity with the naive oracle."""
+    data = leave_one_out_data(n_users=40, n_items=1700, per_user=12,
+                              seed=7)
+    params = Params(fac_dim=6, seed=3)
+    inval_u, inval_i = freq.invalid_users_items(
+        data.train_mat, data.n_users, data.n_items)
+    model = ModelMF(params, data.n_users, data.n_items)
+    state = init_state(params, data.n_users, data.n_items)
+    view = model.eval_view(state)
+    scorer = CatalogScorer(data.train_mat, inval_u, inval_i,
+                           data.n_users, data.n_items,
+                           user_block=16, item_block=32768)
+    assert scorer.n_items_pad // scorer.item_block == 1
+    U, V = np.asarray(view.u_fac), np.asarray(view.i_fac)
+    expect_hr = naive_loo(data.train_mat, data.test_mat, U, V,
+                          inval_u, inval_i, 10, False)
+    got_hr = scorer.hit_rate(view, data.test_mat, 10)
+    np.testing.assert_allclose(got_hr, expect_hr, rtol=1e-6)
+
+
 def test_topk_excludes_rated_and_invalid():
     data = leave_one_out_data(n_users=30, n_items=25, per_user=8, seed=5)
     params = Params(fac_dim=4, seed=1)
