@@ -124,6 +124,70 @@ def _topk_all_blocks(view: EvalView, user_id_blocks: jax.Array,
     return all_s, all_i
 
 
+@functools.partial(jax.jit, static_argnames=("n", "item_block"))
+def _topk_block_coo(view: EvalView, user_ids: jax.Array,
+                    ex_rows: jax.Array, ex_cols: jax.Array,
+                    invalid_items: jax.Array, n: int, item_block: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """topk_catalog_block with FLAT COO exclusion: (local row, col)
+    pairs of the block's rated entries, padded with out-of-range cols.
+    Scatter cost is the block's nnz instead of B x max-degree — on
+    power-law data the padded-row scatter was the eval wall (a few
+    heavy users set C for everyone; PERF.md)."""
+    n_items = view.i_fac.shape[0]
+    n_blocks = n_items // item_block
+    u = view.u_fac[user_ids]
+    u_bias = view.u_bias[user_ids]
+
+    def body(carry, blk):
+        best_s, best_i = carry
+        s0 = blk * item_block
+        i_fac_blk = jax.lax.dynamic_slice_in_dim(view.i_fac, s0,
+                                                 item_block)
+        i_bias_blk = jax.lax.dynamic_slice_in_dim(view.i_bias, s0,
+                                                  item_block)
+        inval_blk = jax.lax.dynamic_slice_in_dim(invalid_items, s0,
+                                                 item_block)
+        scores = (jnp.dot(u, i_fac_blk.T,
+                          preferred_element_type=jnp.float32)
+                  + view.mu + u_bias[:, None] + i_bias_blk[None, :])
+        scores = jnp.where(inval_blk[None, :], NEG_INF, scores)
+        # out-of-block / padding cols land out of range -> dropped.
+        # NB: .at[] wraps NEGATIVE indices numpy-style even under
+        # mode="drop", so map them to an out-of-bounds POSITIVE index.
+        off = ex_cols - s0
+        off = jnp.where(off >= 0, off, item_block)
+        scores = scores.at[ex_rows, off].min(NEG_INF, mode="drop")
+        blk_s, blk_i = _exact_topk_tiles(scores, min(n, item_block))
+        cat_s = jnp.concatenate([best_s, blk_s], axis=1)
+        cat_i = jnp.concatenate([best_i, s0 + blk_i], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, n)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    B = user_ids.shape[0]
+    init = (jnp.full((B, n), NEG_INF), jnp.zeros((B, n), jnp.int32))
+    (best_s, best_i), _ = jax.lax.scan(
+        body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return best_s, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("n", "item_block"))
+def _topk_all_blocks_coo(view: EvalView, user_id_blocks: jax.Array,
+                         ex_rows: jax.Array, ex_cols: jax.Array,
+                         invalid_items: jax.Array, n: int,
+                         item_block: int):
+    def one_block(_, xs):
+        ids, exr, exc = xs
+        bs, bi = _topk_block_coo(view, ids, exr, exc, invalid_items, n,
+                                 item_block)
+        return _, (bs, bi)
+
+    _, (all_s, all_i) = jax.lax.scan(one_block, None,
+                                     (user_id_blocks, ex_rows, ex_cols))
+    return all_s, all_i
+
+
 class CatalogScorer:
     """Host wrapper: pads the item table, stages exclusion lists, and
     streams user blocks through topk_catalog_block."""
@@ -140,14 +204,54 @@ class CatalogScorer:
         inval[:n_items] = invalid_items[:n_items]
         self.invalid_items_dev = jnp.asarray(inval)
         self.invalid_users = invalid_users
-        cols, _, mask = train_mat.pad_rows()
-        # pad user dimension up to n_users
-        if train_mat.nrows < n_users:
-            pad = n_users - train_mat.nrows
-            cols = np.pad(cols, ((0, pad), (0, 0)))
-            mask = np.pad(mask, ((0, pad), (0, 0)))
-        self.rated_cols = jnp.asarray(cols)
-        self.rated_mask = jnp.asarray(mask.astype(np.float32))
+        self._train_mat = train_mat
+        # flat COO exclusion per FIXED user block: total scatter indices
+        # = nnz (+ block padding) instead of B x max-degree — the
+        # padded-row scatter cost is set by the single heaviest user on
+        # power-law data. Rows with col sentinel 2**30 drop out of every
+        # item block.
+        B = user_block
+        n_users_pad = _round_up(n_users, B)
+        n_blocks = n_users_pad // B
+        r, c, _ = train_mat.to_coo()
+        blk = r // B
+        counts = np.bincount(blk, minlength=n_blocks)
+        E = max(int(counts.max()) if len(counts) else 0, 1)
+        ex_rows = np.zeros((n_blocks, E), np.int32)
+        ex_cols = np.full((n_blocks, E), 2 ** 30, np.int32)
+        order = np.argsort(blk, kind="stable")
+        offs = np.zeros(n_blocks + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        rs, cs = r[order], c[order]
+        for b in range(n_blocks):
+            lo, hi = offs[b], offs[b + 1]
+            ex_rows[b, : hi - lo] = (rs[lo:hi] - b * B).astype(np.int32)
+            ex_cols[b, : hi - lo] = cs[lo:hi].astype(np.int32)
+        self.ex_rows = jnp.asarray(ex_rows)
+        self.ex_cols = jnp.asarray(ex_cols)
+        self._rated_rows = None   # lazy [n_users, C] staging (serving)
+
+    def _ensure_padded_rows(self):
+        """[n_users, max_degree] padded rated rows — only needed by the
+        arbitrary-user-block path (serving); O(n_users * max_degree)
+        memory, so built lazily."""
+        if self._rated_rows is None:
+            cols, _, mask = self._train_mat.pad_rows()
+            if self._train_mat.nrows < self.n_users:
+                pad = self.n_users - self._train_mat.nrows
+                cols = np.pad(cols, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            self._rated_rows = (jnp.asarray(cols),
+                                jnp.asarray(mask.astype(np.float32)))
+        return self._rated_rows
+
+    @property
+    def rated_cols(self) -> jax.Array:
+        return self._ensure_padded_rows()[0]
+
+    @property
+    def rated_mask(self) -> jax.Array:
+        return self._ensure_padded_rows()[1]
 
     def _pad_view(self, view: EvalView) -> EvalView:
         n_pad = self.n_items_pad - view.i_fac.shape[0]
@@ -165,9 +269,9 @@ class CatalogScorer:
         n_users_pad = _round_up(self.n_users, B)
         user_ids_all = np.arange(n_users_pad, dtype=np.int32)
         user_ids_all[self.n_users:] = 0
-        return _topk_all_blocks(
+        return _topk_all_blocks_coo(
             view, jnp.asarray(user_ids_all.reshape(-1, B)),
-            self.rated_cols, self.rated_mask, self.invalid_items_dev,
+            self.ex_rows, self.ex_cols, self.invalid_items_dev,
             n, self.item_block)
 
     def topk(self, view: EvalView, n: int
