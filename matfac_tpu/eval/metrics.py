@@ -27,17 +27,27 @@ class CooDevice(NamedTuple):
     valid: jax.Array  # [n] float32
 
 
+# entries per reduction chunk: XLA materializes the gathered [n, k]
+# factor rows for the error einsum, so an unchunked pass at 100M nnz
+# asks for a 51 GB intermediate (observed HBM OOM at the 1M-user scale
+# run). 2^21 entries -> ~0.5 GB transient at k=64.
+_EVAL_CHUNK = 1 << 21
+
+
 def stage_coo(mat: RatingMatrix, invalid_users: np.ndarray,
               invalid_items: np.ndarray, n_users: int, n_items: int,
               pad_multiple: int = 1024) -> CooDevice:
     """Filter entries by invalid masks + bounds (RMSE semantics,
-    model.cpp:222-240) and pad to a static size."""
+    model.cpp:222-240) and pad to a static size. Streams larger than
+    _EVAL_CHUNK pad to a chunk multiple so reductions can scan."""
     r, c, v = mat.to_coo()
     keep = (r < n_users) & (c < n_items)
     keep &= ~invalid_users[np.clip(r, 0, n_users - 1)]
     keep &= ~invalid_items[np.clip(c, 0, n_items - 1)]
     r, c, v = r[keep], c[keep], v[keep]
     n = len(r)
+    if n > _EVAL_CHUNK:
+        pad_multiple = _EVAL_CHUNK
     n_pad = (-n) % pad_multiple if n else pad_multiple
     pad = lambda a, z: np.concatenate([a, np.full(n_pad, z, a.dtype)])
     return CooDevice(
@@ -56,21 +66,49 @@ def predict_pairs(view: EvalView, rows: jax.Array, cols: jax.Array
     return (view.mu + view.u_bias[rows] + view.i_bias[cols] + dots)
 
 
+def _chunked_err_reduce(view: EvalView, coo: CooDevice,
+                        weights: Optional[jax.Array]
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """(sum of (weighted) squared errors, valid count), scanning
+    _EVAL_CHUNK-entry slices so the gathered factor rows never
+    materialize at full-nnz size."""
+    n = coo.rows.shape[0]
+
+    def one(r, c, v, w, wt):
+        pred = predict_pairs(view, r, c)
+        d = v - pred
+        se = w * d * d if wt is None else wt * w * d * d
+        return jnp.sum(se), jnp.sum(w)
+
+    if n <= _EVAL_CHUNK:
+        return one(coo.rows, coo.cols, coo.vals, coo.valid, weights)
+    m = n // _EVAL_CHUNK
+    xs = [coo.rows.reshape(m, -1), coo.cols.reshape(m, -1),
+          coo.vals.reshape(m, -1), coo.valid.reshape(m, -1)]
+    xs.append(weights.reshape(m, -1) if weights is not None
+              else jnp.zeros((m, 1)))
+
+    def body(carry, x):
+        r, c, v, w, wt = x
+        s, cnt = one(r, c, v, w, None if weights is None else wt)
+        return (carry[0] + s, carry[1] + cnt), None
+
+    (s, cnt), _ = jax.lax.scan(body, (jnp.zeros(()), jnp.zeros(())),
+                               tuple(xs))
+    return s, cnt
+
+
 @jax.jit
 def sse(view: EvalView, coo: CooDevice) -> Tuple[jax.Array, jax.Array]:
     """(sum of squared errors, count) over valid entries."""
-    pred = predict_pairs(view, coo.rows, coo.cols)
-    d = (coo.vals - pred) * coo.valid
-    return jnp.sum(d * d), jnp.sum(coo.valid)
+    return _chunked_err_reduce(view, coo, None)
 
 
 @jax.jit
 def weighted_sse(view: EvalView, coo: CooDevice, weights: jax.Array
                  ) -> jax.Array:
     """IFWMF objective data term (modelInvPopMF.cpp:22-32)."""
-    pred = predict_pairs(view, coo.rows, coo.cols)
-    d = coo.vals - pred
-    return jnp.sum(weights * coo.valid * d * d)
+    return _chunked_err_reduce(view, coo, weights)[0]
 
 
 def rmse_value(view: EvalView, coo: CooDevice) -> float:

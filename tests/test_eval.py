@@ -190,6 +190,41 @@ def test_hit_rate_matches_naive(item_block):
     np.testing.assert_allclose(got_ar, expect_ar, rtol=1e-6)
 
 
+def test_chunked_sse_matches_oracle(monkeypatch):
+    """sse/weighted_sse scan _EVAL_CHUNK slices above the threshold (a
+    full-nnz gathered [n, k] intermediate OOMs HBM at 100M nnz); the
+    chunked path must agree with the numpy oracle."""
+    import jax.numpy as jnp
+
+    import matfac_tpu.eval.metrics as M
+    from matfac_tpu.data.synthetic import low_rank_ratings
+    from matfac_tpu.models.base import ModelMF as MF
+
+    monkeypatch.setattr(M, "_EVAL_CHUNK", 4096)
+    mat, _, _ = low_rank_ratings(2000, 500, k=4, density=0.02, seed=0,
+                                 noise=0.1)
+    iu, ii = freq.invalid_users_items(mat, 2000, 500)
+    params = Params(fac_dim=4, seed=0)
+    view = MF(params, 2000, 500).eval_view(init_state(params, 2000, 500))
+    coo = M.stage_coo(mat, iu, ii, 2000, 500)
+    assert coo.rows.shape[0] > 4096  # exercises the scan path
+    s, cnt = M.sse(view, coo)
+    r, c, v = mat.to_coo()
+    keep = ~iu[r] & ~ii[c]
+    r, c, v = r[keep], c[keep], v[keep]
+    U, V = np.asarray(view.u_fac), np.asarray(view.i_fac)
+    pred = (U[r] * V[c]).sum(1)
+    np.testing.assert_allclose(float(s), ((v - pred) ** 2).sum(),
+                               rtol=1e-5)
+    assert int(cnt) == len(r)
+    w = np.random.default_rng(0).random(coo.rows.shape[0]
+                                        ).astype(np.float32)
+    ws = M.weighted_sse(view, coo, jnp.asarray(w))
+    np.testing.assert_allclose(float(ws),
+                               (w[: len(r)] * (v - pred) ** 2).sum(),
+                               rtol=1e-5)
+
+
 def test_exact_topk_tiles_matches_lax_topk():
     """Tile two-stage top-k must be exact, including stable tie
     behavior (lowest index wins), vs jax.lax.top_k."""
