@@ -105,6 +105,35 @@ def main():
     als_epoch_s = time_epochs(als, TIMED_EPOCHS)
     als_rps = mat.nnz / als_epoch_s
 
+    # BPR pairwise (rankgap sampler, round-2) + full-catalog HR@10 eval
+    # (tile-exact top-k + COO exclusion + device-side LOO) as secondary
+    # metrics; small scale skips them (compile dominates)
+    bpr_pps = hr_ms = None
+    if SCALE != "small":
+        from matfac_tpu.data.csr import RatingMatrix
+        from matfac_tpu.eval.ranking import CatalogScorer
+        from matfac_tpu.models.bpr import ModelMFBPR
+
+        from matfac_tpu.solvers.bpr import BPRSolver
+        bmodel = ModelMFBPR(params, n_users, n_items)
+        bpr = BPRSolver(bmodel, params, mat, inval_u, inval_i,
+                        n_tries=2, sampler="rankgap")
+        bpr_epoch_s = time_epochs(bpr, TIMED_EPOCHS)
+        bpr_pps = bpr.n_pos / bpr_epoch_s
+        scorer = CatalogScorer(mat, inval_u, inval_i, n_users, n_items,
+                               user_block=4096, item_block=32768)
+        rng = np.random.default_rng(1)
+        loo = RatingMatrix.from_coo(
+            np.arange(n_users, dtype=np.int64),
+            rng.integers(0, n_items, n_users),
+            np.ones(n_users, np.float32), n_users, n_items)
+        view = bmodel.eval_view(init_state(params, n_users, n_items))
+        scorer.hit_rate(view, loo, 10)   # compile + stage
+        t0 = time.perf_counter()
+        for _ in range(TIMED_EPOCHS):
+            scorer.hit_rate(view, loo, 10)
+        hr_ms = (time.perf_counter() - t0) / TIMED_EPOCHS * 1000
+
     best_rps = max(sgd_rps, blk_rps)
     baseline = BENCH_BASELINE or best_rps
     result = {
@@ -125,6 +154,9 @@ def main():
             "als_ratings_per_sec": round(als_rps, 1),
         },
     }
+    if bpr_pps is not None:
+        result["extra"]["bpr_pairs_per_sec"] = round(bpr_pps, 1)
+        result["extra"]["hr10_eval_ms"] = round(hr_ms, 1)
     try:
         with open(_last_good_path(), "w") as f:
             json.dump(result, f)
