@@ -184,6 +184,14 @@ class BPRSolver:
         deg_u = train_mat.row_degrees()
         tu = np.nonzero((deg_u > 0) & ~invalid_users[: train_mat.nrows])[0]
         self.train_users = jnp.asarray(tu.astype(np.int32))
+        if mode == "posneg":
+            # packed per-train-user (user id, row start, row deg): one
+            # [B, 3] row gather replaces the train_users element gather
+            # plus two indptr element gathers per step
+            sd = np.stack([tu, ip[tu],
+                           np.maximum(ip[tu + 1] - ip[tu], 1)],
+                          axis=1).astype(np.int32)
+            self.train_user_sd = jnp.asarray(sd)
         self._epoch = (self._build_epoch() if mode == "stream"
                        else self._build_posneg_epoch())
         self.last_loss = jnp.zeros(())
@@ -387,27 +395,34 @@ class BPRSolver:
         n_tries = self.n_tries
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def epoch(state: MFState, train_users, indptr, csr_packed,
+        def epoch(state: MFState, train_user_sd, csr_packed,
                   train_items, lr, key):
-            n_tr = train_users.shape[0]
+            n_tr = train_user_sd.shape[0]
+            k_bits, key = jax.random.split(key)
+            # all sampler randomness in one dispatch (see stream epoch)
+            bits = jax.random.bits(
+                k_bits, (n_batches, 2 + 2 * n_tries, B), jnp.uint32)
 
-            def step(carry, k_b):
+            def step(carry, xs):
                 st, loss, inv = carry
-                k_u, k_p, k_neg, k_mask = jax.random.split(k_b, 4)
-                u = train_users[jax.random.randint(k_u, (B,), 0, n_tr)]
-                start = indptr[u]
-                deg = jnp.maximum(indptr[u + 1] - start, 1)
-                jj_p = jax.random.randint(k_p, (B,), 0, deg)
+                bbits, k_mask = xs
+                u_idx = (bbits[0] % jnp.uint32(n_tr)).astype(jnp.int32)
+                usd = train_user_sd[u_idx]          # one [B, 3] gather
+                u = usd[:, 0]
+                start = usd[:, 1]
+                deg = usd[:, 2]
+                deg_u = deg.astype(jnp.uint32)
+                jj_p = (bbits[1] % deg_u).astype(jnp.int32)
                 prow = csr_packed[start + jj_p]
                 p = prow[:, 0].astype(jnp.int32)
                 pos_rat = prow[:, 1]
                 pos_ok = pos_rat > 0
 
                 # negative: explicit lower-rated item or gap item
-                def one_try(carry2, k_t):
+                def one_try(carry2, bits_t):
                     neg, ok = carry2
-                    k1, k2 = jax.random.split(k_t)
-                    jj = jax.random.randint(k1, (B,), 0, deg)
+                    b_jj, b_m = bits_t
+                    jj = (b_jj % deg_u).astype(jnp.int32)
                     row = csr_packed[start + jj]
                     item_jj = row[:, 0].astype(jnp.int32)
                     val_jj = row[:, 1]
@@ -418,7 +433,8 @@ class BPRSolver:
                                    jnp.where(jj == deg - 1, self.n_items,
                                              nxt))
                     span = jnp.maximum(hi - lo, 1)
-                    j = lo + jax.random.randint(k2, (B,), 0, 2 ** 30) % span
+                    j = lo + (b_m % span.astype(jnp.uint32)
+                              ).astype(jnp.int32)
                     gap_ok = (hi - lo > 0) & train_items[
                         jnp.clip(j, 0, self.n_items - 1)]
                     cand = jnp.where(explicit, item_jj, j)
@@ -426,10 +442,11 @@ class BPRSolver:
                     take = cand_ok & ~ok
                     return (jnp.where(take, cand, neg), ok | cand_ok), None
 
-                keys_t = jax.random.split(k_neg, n_tries)
+                jj_bits = bbits[2: 2 + n_tries]
+                m_bits = bbits[2 + n_tries:]
                 (neg, ok), _ = jax.lax.scan(
                     one_try, (jnp.zeros(B, jnp.int32),
-                              jnp.zeros(B, bool)), keys_t)
+                              jnp.zeros(B, bool)), (jj_bits, m_bits))
                 w = (pos_ok & ok).astype(jnp.float32)
                 m = model.triple_rank_mask(k_mask, u, p, neg)
                 pu = st.u_fac[u]
@@ -462,7 +479,7 @@ class BPRSolver:
             keys = jax.random.split(key, n_batches)
             (state, loss, inv), _ = jax.lax.scan(
                 step, (state, jnp.zeros(()), jnp.zeros((), jnp.int32)),
-                keys)
+                (bits, keys))
             return state, loss, inv
 
         return epoch
@@ -470,8 +487,8 @@ class BPRSolver:
     def epoch(self, state: MFState, lr: float, key) -> MFState:
         if self.mode == "posneg":
             state, self.last_loss, self.last_inversions = self._epoch(
-                state, self.train_users, self.csr_indptr,
-                self.csr_packed, self.train_items, jnp.float32(lr), key)
+                state, self.train_user_sd, self.csr_packed,
+                self.train_items, jnp.float32(lr), key)
         else:
             samp = ((self.csr_packed4, self.sel_items)
                     if self.sampler == "rankgap"
