@@ -89,6 +89,61 @@ def test_rankgap_sampler_validity_and_support(lo_data):
     assert len(got) >= min(len(expect), 5)
 
 
+def test_samplers_accept_explicit_zeros():
+    """Rated-with-zero entries are direct-accept negatives in BOTH
+    samplers (modelMFBPR.cpp:206-210 explicit-zero branch), and
+    positively-rated items are never sampled."""
+    from matfac_tpu.data.csr import RatingMatrix
+
+    rng = np.random.default_rng(0)
+    n_users, n_items = 60, 40
+    rows, cols, vals = [], [], []
+    for u in range(n_users):
+        its = rng.choice(n_items, size=12, replace=False)
+        for i, it in enumerate(sorted(its)):
+            rows.append(u)
+            cols.append(it)
+            vals.append(0.0 if i % 3 == 0 else 5.0)  # third rated zero
+    mat = RatingMatrix.from_coo(np.array(rows), np.array(cols),
+                                np.array(vals, np.float32),
+                                n_users, n_items)
+    params = Params(fac_dim=4, seed=0, batch_size=64)
+    iu, ii = freq.invalid_users_items(mat, n_users, n_items)
+    model = ModelMFBPR(params, n_users, n_items)
+    pos_of = {u: set(mat.row(u)[0][mat.row(u)[1] > 0])
+              for u in range(n_users)}
+    zero_of = {u: set(mat.row(u)[0][mat.row(u)[1] == 0.0])
+               for u in range(n_users)}
+    for sampler in ("gap", "rankgap"):
+        solver = BPRSolver(model, params, mat, iu, ii, batch_size=64,
+                           n_tries=16, sampler=sampler)
+        u = np.asarray(solver.pos_u[:64])
+        start = solver.pos_start[:64]
+        deg = solver.pos_deg[:64]
+        got_zero = 0
+        for s in range(30):
+            bits = jax.random.bits(jax.random.PRNGKey(s), (2, 16, 64),
+                                   jnp.uint32)
+            if sampler == "rankgap":
+                neg, ok = jax.jit(solver._sample_rankgap_bits)(
+                    start, deg, bits[0], bits[1], solver.csr_packed4,
+                    solver.sel_items)
+            else:
+                neg, ok = jax.jit(solver._sample_gap_bits)(
+                    jnp.asarray(u), start, deg, bits[0], bits[1],
+                    (solver.csr_packed, solver.train_items))
+            neg, ok = np.asarray(neg), np.asarray(ok)
+            for b in range(64):
+                if not ok[b]:
+                    continue
+                assert neg[b] not in pos_of[u[b]], (sampler, u[b], neg[b])
+                if neg[b] in zero_of[u[b]]:
+                    got_zero += 1
+        # explicit zeros are 1/3 of each row's sampled positions —
+        # they must actually be reachable
+        assert got_zero > 50, (sampler, got_zero)
+
+
 def test_bpr_training_improves_hr(lo_data):
     data = lo_data
     params = Params(fac_dim=8, u_reg=0.001, i_reg=0.001, learn_rate=0.3,
