@@ -58,24 +58,18 @@ def _exact_topk_tiles(scores: jax.Array, n: int, tile: int = 128
     return s, idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "item_block"))
-def topk_catalog_block(view: EvalView, user_ids: jax.Array,
-                       rated_cols: jax.Array, rated_mask: jax.Array,
-                       invalid_items: jax.Array, n: int,
-                       item_block: int) -> Tuple[jax.Array, jax.Array]:
-    """Top-n unrated items for a block of users.
-
-    view.i_fac must be padded to a multiple of item_block with padded
-    rows marked invalid. rated_cols/rated_mask: [B, C] padded rated
-    lists per user (exclusion set, = train row). Returns (scores[B, n],
-    item_ids[B, n]) sorted descending.
-    """
+def _topk_user_block(view: EvalView, user_ids: jax.Array, exclude,
+                     invalid_items: jax.Array, n: int, item_block: int
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Shared score → exclude → tile-top-k → merge scan over item
+    blocks; ``exclude(scores, s0) -> scores`` applies the rated-item
+    exclusion (the only step that differs between the padded-row and
+    COO staging). Returns (scores[B, n], item_ids[B, n]) descending."""
     B = user_ids.shape[0]
     n_items = view.i_fac.shape[0]
     n_blocks = n_items // item_block
     u = view.u_fac[user_ids]                    # [B, k]
     u_bias = view.u_bias[user_ids]
-    row_ids = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     def body(carry, blk):
         best_s, best_i = carry
@@ -88,12 +82,7 @@ def topk_catalog_block(view: EvalView, user_ids: jax.Array,
                           preferred_element_type=jnp.float32)
                   + view.mu + u_bias[:, None] + i_bias_blk[None, :])
         scores = jnp.where(inval_blk[None, :], NEG_INF, scores)
-        # exclude each user's rated items that fall in this block
-        off = rated_cols - s0
-        in_blk = (off >= 0) & (off < item_block) & (rated_mask > 0)
-        off = jnp.where(in_blk, off, 0)
-        scores = scores.at[row_ids, off].min(
-            jnp.where(in_blk, NEG_INF, jnp.float32(3e38)), mode="drop")
+        scores = exclude(scores, s0)
         # block-local exact top-n (tile-accelerated), then a tiny merge
         # with the running winners; carry sits first in the concat so
         # earlier blocks keep lowest-index tie preference
@@ -108,6 +97,33 @@ def topk_catalog_block(view: EvalView, user_ids: jax.Array,
     (best_s, best_i), _ = jax.lax.scan(body, init,
                                        jnp.arange(n_blocks, dtype=jnp.int32))
     return best_s, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("n", "item_block"))
+def topk_catalog_block(view: EvalView, user_ids: jax.Array,
+                       rated_cols: jax.Array, rated_mask: jax.Array,
+                       invalid_items: jax.Array, n: int,
+                       item_block: int) -> Tuple[jax.Array, jax.Array]:
+    """Top-n unrated items for a block of users.
+
+    view.i_fac must be padded to a multiple of item_block with padded
+    rows marked invalid. rated_cols/rated_mask: [B, C] padded rated
+    lists per user (exclusion set, = train row). Returns (scores[B, n],
+    item_ids[B, n]) sorted descending.
+    """
+    B = user_ids.shape[0]
+    row_ids = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def exclude(scores, s0):
+        # exclude each user's rated items that fall in this block
+        off = rated_cols - s0
+        in_blk = (off >= 0) & (off < item_block) & (rated_mask > 0)
+        off = jnp.where(in_blk, off, 0)
+        return scores.at[row_ids, off].min(
+            jnp.where(in_blk, NEG_INF, jnp.float32(3e38)), mode="drop")
+
+    return _topk_user_block(view, user_ids, exclude, invalid_items, n,
+                            item_block)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "item_block"))
@@ -134,42 +150,17 @@ def _topk_block_coo(view: EvalView, user_ids: jax.Array,
     Scatter cost is the block's nnz instead of B x max-degree — on
     power-law data the padded-row scatter was the eval wall (a few
     heavy users set C for everyone; PERF.md)."""
-    n_items = view.i_fac.shape[0]
-    n_blocks = n_items // item_block
-    u = view.u_fac[user_ids]
-    u_bias = view.u_bias[user_ids]
 
-    def body(carry, blk):
-        best_s, best_i = carry
-        s0 = blk * item_block
-        i_fac_blk = jax.lax.dynamic_slice_in_dim(view.i_fac, s0,
-                                                 item_block)
-        i_bias_blk = jax.lax.dynamic_slice_in_dim(view.i_bias, s0,
-                                                  item_block)
-        inval_blk = jax.lax.dynamic_slice_in_dim(invalid_items, s0,
-                                                 item_block)
-        scores = (jnp.dot(u, i_fac_blk.T,
-                          preferred_element_type=jnp.float32)
-                  + view.mu + u_bias[:, None] + i_bias_blk[None, :])
-        scores = jnp.where(inval_blk[None, :], NEG_INF, scores)
+    def exclude(scores, s0):
         # out-of-block / padding cols land out of range -> dropped.
         # NB: .at[] wraps NEGATIVE indices numpy-style even under
         # mode="drop", so map them to an out-of-bounds POSITIVE index.
         off = ex_cols - s0
         off = jnp.where(off >= 0, off, item_block)
-        scores = scores.at[ex_rows, off].min(NEG_INF, mode="drop")
-        blk_s, blk_i = _exact_topk_tiles(scores, min(n, item_block))
-        cat_s = jnp.concatenate([best_s, blk_s], axis=1)
-        cat_i = jnp.concatenate([best_i, s0 + blk_i], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, n)
-        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (new_s, new_i), None
+        return scores.at[ex_rows, off].min(NEG_INF, mode="drop")
 
-    B = user_ids.shape[0]
-    init = (jnp.full((B, n), NEG_INF), jnp.zeros((B, n), jnp.int32))
-    (best_s, best_i), _ = jax.lax.scan(
-        body, init, jnp.arange(n_blocks, dtype=jnp.int32))
-    return best_s, best_i
+    return _topk_user_block(view, user_ids, exclude, invalid_items, n,
+                            item_block)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "item_block"))
@@ -214,21 +205,31 @@ class CatalogScorer:
         n_users_pad = _round_up(n_users, B)
         n_blocks = n_users_pad // B
         r, c, _ = train_mat.to_coo()
+        keep = (r < n_users) & (c < n_items)
+        r, c = r[keep], c[keep]
         blk = r // B
         counts = np.bincount(blk, minlength=n_blocks)
         E = max(int(counts.max()) if len(counts) else 0, 1)
-        ex_rows = np.zeros((n_blocks, E), np.int32)
-        ex_cols = np.full((n_blocks, E), 2 ** 30, np.int32)
-        order = np.argsort(blk, kind="stable")
-        offs = np.zeros(n_blocks + 1, np.int64)
-        np.cumsum(counts, out=offs[1:])
-        rs, cs = r[order], c[order]
-        for b in range(n_blocks):
-            lo, hi = offs[b], offs[b + 1]
-            ex_rows[b, : hi - lo] = (rs[lo:hi] - b * B).astype(np.int32)
-            ex_cols[b, : hi - lo] = cs[lo:hi].astype(np.int32)
-        self.ex_rows = jnp.asarray(ex_rows)
-        self.ex_cols = jnp.asarray(ex_cols)
+        # skew guard: when heavy users cluster in one id block (e.g.
+        # frequency-sorted datasets), per-block padding re-creates the
+        # blowup this layout exists to remove — fall back to the
+        # padded-row path there (its cost is B x max-degree instead)
+        avg = max(len(r) // n_blocks, 1)
+        self._use_coo = E <= max(4 * avg + 64, 1024)
+        if self._use_coo:
+            ex_rows = np.zeros((n_blocks, E), np.int32)
+            ex_cols = np.full((n_blocks, E), 2 ** 30, np.int32)
+            order = np.argsort(blk, kind="stable")
+            offs = np.zeros(n_blocks + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            rs, cs = r[order], c[order]
+            for b in range(n_blocks):
+                lo, hi = offs[b], offs[b + 1]
+                ex_rows[b, : hi - lo] = (rs[lo:hi] - b * B
+                                         ).astype(np.int32)
+                ex_cols[b, : hi - lo] = cs[lo:hi].astype(np.int32)
+            self.ex_rows = jnp.asarray(ex_rows)
+            self.ex_cols = jnp.asarray(ex_cols)
         self._rated_rows = None   # lazy [n_users, C] staging (serving)
 
     def _ensure_padded_rows(self):
@@ -269,10 +270,15 @@ class CatalogScorer:
         n_users_pad = _round_up(self.n_users, B)
         user_ids_all = np.arange(n_users_pad, dtype=np.int32)
         user_ids_all[self.n_users:] = 0
-        return _topk_all_blocks_coo(
-            view, jnp.asarray(user_ids_all.reshape(-1, B)),
-            self.ex_rows, self.ex_cols, self.invalid_items_dev,
-            n, self.item_block)
+        blocks = jnp.asarray(user_ids_all.reshape(-1, B))
+        if self._use_coo:
+            return _topk_all_blocks_coo(
+                view, blocks, self.ex_rows, self.ex_cols,
+                self.invalid_items_dev, n, self.item_block)
+        rc, rm = self._ensure_padded_rows()
+        return _topk_all_blocks(view, blocks, rc, rm,
+                                self.invalid_items_dev, n,
+                                self.item_block)
 
     def topk(self, view: EvalView, n: int
              ) -> Tuple[np.ndarray, np.ndarray]:
@@ -290,9 +296,10 @@ class CatalogScorer:
     def _loo_staged(self, test_mat: RatingMatrix):
         """Stage (first test item, valid mask) for device-side LOO
         scoring; cached per test matrix (the training loop evaluates
-        the same val matrix every epoch)."""
-        key = id(test_mat)
-        if getattr(self, "_loo_key", None) == key:
+        the same val matrix every epoch). The cache holds the matrix
+        itself and compares by identity — an id() key without a
+        reference can alias a new matrix at a recycled address."""
+        if getattr(self, "_loo_mat", None) is test_mat:
             return self._loo_cache
         deg = test_mat.row_degrees()
         nr = min(test_mat.nrows, self.n_users)
@@ -308,7 +315,7 @@ class CatalogScorer:
         self._loo_cache = (jnp.asarray(first.reshape(-1, B)),
                            jnp.asarray(valid.reshape(-1, B)),
                            int(valid.sum()))
-        self._loo_key = key
+        self._loo_mat = test_mat
         return self._loo_cache
 
     def hit_rate(self, view: EvalView, test_mat: RatingMatrix,

@@ -278,6 +278,87 @@ def test_hit_rate_single_large_item_block():
     np.testing.assert_allclose(got_hr, expect_hr, rtol=1e-6)
 
 
+def test_scorer_handles_more_train_rows_than_users():
+    """train matrices may carry more rows than n_users (the reference
+    truncates); COO-exclusion staging must filter, not crash."""
+    data = leave_one_out_data(n_users=30, n_items=25, per_user=8, seed=5)
+    n_users = 24   # fewer than train_mat.nrows
+    iu = np.zeros(n_users, bool)
+    ii = np.zeros(25, bool)
+    params = Params(fac_dim=4, seed=1)
+    model = ModelMF(params, n_users, 25)
+    view = model.eval_view(init_state(params, n_users, 25))
+    scorer = CatalogScorer(data.train_mat, iu, ii, n_users, 25,
+                           user_block=8, item_block=32)
+    _, top_i = scorer.topk(view, 5)
+    assert top_i.shape == (n_users, 5)
+    for u in range(n_users):
+        rated = set(data.train_mat.row(u)[0])
+        assert not rated & set(top_i[u])
+
+
+def test_scorer_skewed_block_falls_back_to_padded_rows():
+    """When one user block holds nearly all nnz (frequency-sorted ids),
+    per-block COO padding would blow up — the scorer must fall back to
+    the padded-row path and still match the oracle."""
+    from matfac_tpu.data.csr import RatingMatrix
+
+    rng = np.random.default_rng(3)
+    n_users, n_items = 64, 200
+    rows, cols = [], []
+    for u in range(8):          # first block of 8 users rates ~all
+        its = rng.choice(n_items, size=180, replace=False)
+        rows += [u] * len(its)
+        cols += list(its)
+    for u in range(8, n_users):  # everyone else rates 2 items
+        its = rng.choice(n_items, size=2, replace=False)
+        rows += [u] * 2
+        cols += list(its)
+    mat = RatingMatrix.from_coo(np.array(rows), np.array(cols),
+                                np.ones(len(rows), np.float32),
+                                n_users, n_items)
+    iu = np.zeros(n_users, bool)
+    ii = np.zeros(n_items, bool)
+    params = Params(fac_dim=4, seed=2)
+    model = ModelMF(params, n_users, n_items)
+    view = model.eval_view(init_state(params, n_users, n_items))
+    scorer = CatalogScorer(mat, iu, ii, n_users, n_items,
+                           user_block=8, item_block=256)
+    assert not scorer._use_coo
+    _, top_i = scorer.topk(view, 5)
+    U, V = np.asarray(view.u_fac), np.asarray(view.i_fac)
+    for u in (0, 3, 20, 63):
+        s = U[u] @ V.T
+        s[mat.row(u)[0]] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:5]
+        np.testing.assert_array_equal(top_i[u], expect)
+
+
+def test_loo_cache_distinguishes_matrices():
+    """hit_rate staging is cached by matrix IDENTITY with a held
+    reference — evaluating a different val matrix must restage."""
+    from matfac_tpu.data.csr import RatingMatrix
+
+    data = leave_one_out_data(n_users=40, n_items=30, per_user=8, seed=1)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    params = Params(fac_dim=4, seed=1)
+    model = ModelMF(params, data.n_users, data.n_items)
+    view = model.eval_view(init_state(params, data.n_users, data.n_items))
+    scorer = CatalogScorer(data.train_mat, iu, ii, data.n_users,
+                           data.n_items, user_block=8, item_block=32)
+    hr1 = scorer.hit_rate(view, data.test_mat, 10)
+    # second matrix: every user's held-out item = their top-1 item
+    _, top_i = scorer.topk(view, 1)
+    m2 = RatingMatrix.from_coo(np.arange(data.n_users, dtype=np.int64),
+                               top_i[:, 0].astype(np.int64),
+                               np.ones(data.n_users, np.float32),
+                               data.n_users, data.n_items)
+    hr2 = scorer.hit_rate(view, m2, 10)
+    assert hr2 == 1.0
+    assert scorer.hit_rate(view, data.test_mat, 10) == hr1
+
+
 def test_topk_excludes_rated_and_invalid():
     data = leave_one_out_data(n_users=30, n_items=25, per_user=8, seed=5)
     params = Params(fac_dim=4, seed=1)
