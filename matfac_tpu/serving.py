@@ -29,7 +29,7 @@ class Recommender:
     def __init__(self, view: EvalView, train_mat, n_users: int,
                  n_items: int, invalid_users: Optional[np.ndarray] = None,
                  invalid_items: Optional[np.ndarray] = None,
-                 user_block: int = 256, item_block: int = 4096,
+                 user_block: int = 256, item_block: int = 32768,
                  use_pallas: Optional[bool] = None):
         if invalid_users is None or invalid_items is None:
             invalid_users, invalid_items = ufreq.invalid_users_items(
