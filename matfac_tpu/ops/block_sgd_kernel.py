@@ -34,6 +34,14 @@ independent of k. This kernel removes row-indexed HBM ops entirely:
 VMEM constraint: the padded item table (NI*bi x k f32) plus one stream
 row must fit in ~12 MB — holds for 20k items at k<=128; the solver
 refuses larger shapes (use SGDSolver/DSGD there).
+
+Status (late round 2, scripts/tpu_pallas_bisect.py / _scale.py): the
+remote Mosaic toolchain compiles this kernel up to bu=512/bs=1024 at
+the 100k x 20k shape (bigger configs VMEM-oversubscribe and crash the
+AOT helper with HTTP 500). Measured 150 ms / 66M ratings/s there —
+SLOWER than the XLA diag engine (92 ms / 107M), because the VMEM
+budget caps the one-hot block sizes. engine="xla" is the default on
+merit (PERF.md "One-hot MXU block engine").
 """
 
 from __future__ import annotations
