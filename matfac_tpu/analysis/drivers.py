@@ -62,16 +62,26 @@ def sample_top_n_analysis(full_view: EvalView, orig_view: EvalView,
             c = jnp.asarray(items.astype(np.int32))
             return np.asarray(predict_pairs(svd_view, r, c))
         scorers["svd"] = svd_score
+    from matfac_tpu.analysis.top_bucket import sample_users
+    users = sample_users(invalid_users, data.train_mat.nrows, n_users,
+                         seed)
     if ppr_engine is not None:
+        # precompute PPR for the whole sample in batched dispatches
+        # (one power iteration per 512-user chunk) — a per-user
+        # dispatch is ~n_users tunneled round trips (VERDICT r1 #5)
+        pos = {int(u): j for j, u in enumerate(users)}
+        pr_rows = np.concatenate(
+            [ppr_engine.user_ppr(data.train_mat, users[s:s + 512])
+             for s in range(0, len(users), 512)], axis=0)
+
         def ppr_score(u, items):
-            pr = ppr_engine.user_ppr(data.train_mat, np.array([u]))
-            return pr[0, items]
+            return pr_rows[pos[int(u)], items]
         scorers["ppr"] = ppr_score
 
     report["bucket_curves"] = pred_samp_users_rmse(
         orig_view, full_view, data.train_mat, invalid_users,
         invalid_items, scorers, n_users=n_users, n_buckets=n_buckets,
-        seed=seed)
+        seed=seed, users=users)
     return report
 
 

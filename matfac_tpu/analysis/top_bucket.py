@@ -18,7 +18,7 @@ pred-vs-orig RMSE of each successive bucket of the ranking.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -82,6 +82,15 @@ def top_bucket_rmse_curve(orig_view: EvalView, full_view: EvalView,
     return out
 
 
+def sample_users(invalid_users: np.ndarray, nrows: int, n_users: int,
+                 seed: int) -> np.ndarray:
+    """The sampled-user protocol of predSampUsersRMSE*Par."""
+    rng = np.random.default_rng(seed)
+    elig = np.nonzero(~invalid_users[:nrows])[0]
+    return (rng.choice(elig, n_users, replace=False)
+            if len(elig) > n_users else elig)
+
+
 def pred_samp_users_rmse(orig_view: EvalView, full_view: EvalView,
                          train_mat: RatingMatrix,
                          invalid_users: np.ndarray,
@@ -89,16 +98,19 @@ def pred_samp_users_rmse(orig_view: EvalView, full_view: EvalView,
                          scorers: Dict[str, Callable[[int, np.ndarray],
                                                      np.ndarray]],
                          n_users: int = 1000, n_buckets: int = 10,
-                         seed: int = 1) -> Dict[str, np.ndarray]:
+                         seed: int = 1,
+                         users: Optional[np.ndarray] = None
+                         ) -> Dict[str, np.ndarray]:
     """predSampUsersRMSEFreqPar / ...ProbPar analog
     (topBucketComp.cpp:2669, :3883): sample users, average each scorer's
     top-bucket RMSE curve over them. ``scorers`` maps name ->
-    fn(user, candidate_items) -> scores."""
-    rng = np.random.default_rng(seed)
+    fn(user, candidate_items) -> scores. Pass ``users`` to evaluate a
+    caller-chosen sample (e.g. so PPR scores can be precomputed in
+    batched dispatches — sample_users below replicates the sampling)."""
     cand_mask = ~invalid_items[:train_mat.ncols]
-    elig = np.nonzero(~invalid_users[:train_mat.nrows])[0]
-    users = (rng.choice(elig, n_users, replace=False)
-             if len(elig) > n_users else elig)
+    if users is None:
+        users = sample_users(invalid_users, train_mat.nrows, n_users,
+                             seed)
     curves = {k: np.zeros(n_buckets) for k in scorers}
     counts = {k: 0 for k in scorers}
     all_items = np.nonzero(cand_mask)[0]
