@@ -1,0 +1,127 @@
+"""WWW'19 long-tail comparison harness: tail/head-quartile test RMSE
+for plain MF vs the adaptive models (TMF truncation, IFWMF weighting;
+modelDropoutSigmoid.cpp / modelInvPopMF.cpp), each grid-tuned on
+validation-tail RMSE the way the paper tunes rho/alpha per dataset.
+
+Measured finding (recorded, not hidden): on SYNTHETIC low-rank data —
+homoscedastic or with tail-noisier ratings (--hetero) — the tuned
+grids converge to the gentlest adaptivity and plain MF + L2 stays
+best on the tail (MF 0.6083 vs IFWMF 0.6296 / TMF 0.6405 at the
+ML-100K shape). The generator gives tail entities the same low-rank
+signal as the head, so frequency-adaptive capacity control has
+nothing to exploit; the paper's gains come from real-data structure.
+The harness exists so real datasets (e.g. MovieLens via
+data/movielens.py) can reproduce the paper's comparison; the model
+SEMANTICS are pinned separately by unit tests against the reference
+formulas (tests/test_train.py, tests/test_solvers.py).
+
+Usage: PYTHONPATH=. python scripts/longtail_quality.py [--cpu] [--hetero]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--maxiter", type=int, default=250)
+    ap.add_argument("--hetero", action="store_true",
+                    help="tail-noisier ratings (the paper regime)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from matfac_tpu.config import Params
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.eval.quartile import filtered_rmse, quartile_partitions
+    from matfac_tpu.train.loop import train_model
+    from matfac_tpu.utils import freq as ufreq
+
+    data, _, _ = synthetic_data(
+        n_users=943, n_items=1682, k=6, density=0.063, seed=100,
+        noise=0.35, power_law=1.0, nonneg=True, test_pc=0.1, val_pc=0.1)
+    if args.hetero:
+        # the WWW'19 regime: TAIL entities' ratings are noisier (weak
+        # preference signal for rarely-seen items) — homoscedastic
+        # synthetic data rewards plain regularization instead (see the
+        # module docstring conclusion)
+        from matfac_tpu.data.csr import RatingMatrix
+        rng = np.random.default_rng(0)
+        ifreq = data.train_mat.col_degrees().astype(np.float64)
+        ifreq = np.maximum(ifreq, 1)
+        for name in ("train_mat", "test_mat", "val_mat"):
+            m = getattr(data, name)
+            r, c, v = m.to_coo()
+            sig = 1.2 / np.sqrt(ifreq[np.clip(c, 0, len(ifreq) - 1)])
+            v = v + (sig * rng.standard_normal(len(v))).astype(
+                np.float32)
+            setattr(data, name, RatingMatrix.from_coo(
+                r, c, v, m.nrows, m.ncols))
+    print(f"config: {data} (strong tail, true k=6, fit k=16, "
+          f"hetero={args.hetero})")
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    uq, iq = quartile_partitions(data, iu, ii)
+
+    def tail_head_rmse(view, ev):
+        """test RMSE for tail (q0+q1) vs head (q3) item quartiles."""
+        out = {}
+        for name, qs in (("tail", (0, 1)), ("head", (3,))):
+            mask = np.isin(iq, qs)
+            out[name] = filtered_rmse(view, ev, "test",
+                                      item_filter=mask)[1]
+        return out
+
+    def run(algo, kw):
+        base = dict(fac_dim=16, max_iter=args.maxiter, seed=1,
+                    learn_rate=0.1, batch_size=2048, u_reg=0.002,
+                    i_reg=0.002, disp_iter=10 ** 6)
+        base.update(kw)
+        p = Params(**base)
+        rep, model, ev, _ = train_model(data, p, algo=algo,
+                                        mf_method="sgd",
+                                        log_fn=lambda s: None)
+        view = model.eval_view(rep.best_state)
+        # model selection on VALIDATION tail RMSE (the paper tunes
+        # rho/alpha per dataset)
+        mask = np.isin(iq, (0, 1))
+        vt = filtered_rmse(view, ev, "val", item_filter=mask)[1]
+        return vt, view, ev
+
+    # hyperparameter grids (the adaptive knobs; MF grid = reg only)
+    grids = {
+        "mf": [{}, dict(u_reg=0.01, i_reg=0.01),
+               dict(u_reg=0.05, i_reg=0.05)],
+        "IFWMF": [dict(rho_rms=r) for r in (10.0, 100.0, 300.0,
+                                            1000.0, 3000.0)],
+        "TMF": [dict(rho_rms=r, alpha=a)
+                for r in (0.5, 1.0, 2.0) for a in (-1.0, -0.5, 0.0)],
+    }
+    rows = []
+    for algo, grid in grids.items():
+        best = None
+        t0 = time.time()
+        for kw in grid:
+            vt, view, ev = run(algo, kw)
+            if best is None or vt < best[0]:
+                best = (vt, view, ev, kw)
+        vt, view, ev, kw = best
+        r = tail_head_rmse(view, ev)
+        overall = ev.rmse(view, "test")
+        rows.append((algo, overall, r["tail"], r["head"]))
+        print(f"{algo:8s} test={overall:.4f} tail={r['tail']:.4f} "
+              f"head={r['head']:.4f} best={kw} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+    base_tail = rows[0][2]
+    for algo, overall, tail, head in rows[1:]:
+        print(f"{algo}: tail RMSE {tail:.4f} vs MF {base_tail:.4f} "
+              f"({(base_tail-tail)/base_tail:+.1%})")
+
+
+if __name__ == "__main__":
+    main()
