@@ -54,13 +54,18 @@ def sample_top_n_analysis(full_view: EvalView, orig_view: EvalView,
 
     scorers = {"freq": lambda u, items: item_freq[items]}
     if svd_view is not None:
-        import jax.numpy as jnp
-        from matfac_tpu.eval.metrics import predict_pairs
+        # score on the HOST from fetched factors: one device->host
+        # transfer replaces one tiny predict_pairs dispatch per user
+        # (~28 ms tunnel RTT each at the 10k-user protocol)
+        su = np.asarray(svd_view.u_fac)
+        si = np.asarray(svd_view.i_fac)
+        sub = np.asarray(svd_view.u_bias)
+        sib = np.asarray(svd_view.i_bias)
+        smu = float(svd_view.mu)
 
         def svd_score(u, items):
-            r = jnp.full(len(items), int(u), jnp.int32)
-            c = jnp.asarray(items.astype(np.int32))
-            return np.asarray(predict_pairs(svd_view, r, c))
+            return (smu + sub[int(u)] + sib[items]
+                    + si[items] @ su[int(u)])
         scorers["svd"] = svd_score
     from matfac_tpu.analysis.top_bucket import sample_users
     users = sample_users(invalid_users, data.train_mat.nrows, n_users,
