@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "(increment needs --graphmat as the probe set)")
     ap.add_argument("--mf_method", default="sgd",
                     help="sgd|sgdpar|sgdu|hogsgd|blocksgd|als|ialspp|"
-                         "alsdense|ccd|ccd++|ccd++freqadap")
+                         "alsdense|ccd|ccd++|ccd++freqadap|auto "
+                         "(auto = measured TPU-first choice, PERF.md)")
     ap.add_argument("--maxiter", type=int, default=1000)
     ap.add_argument("--facdim", type=int, default=10)
     ap.add_argument("--svdfacdim", type=int, default=10)

@@ -282,8 +282,39 @@ class TrainLoopHR:
 # one-call front door
 # ----------------------------------------------------------------------
 
-_SOLVERS = ("sgd", "sgdpar", "sgdparsvd", "sgdu", "hogsgd", "blocksgd",
-            "als", "ialspp", "alsdense", "ccd", "ccd++", "ccd++freqadap")
+_SOLVERS = ("auto", "sgd", "sgdpar", "sgdparsvd", "sgdu", "hogsgd",
+            "blocksgd", "als", "ialspp", "alsdense", "ccd", "ccd++",
+            "ccd++freqadap")
+
+
+def _auto_method(algo: str, data, params, mesh) -> str:
+    """TPU-first solver choice from the PERF.md measurements (no
+    reference analog — the reference makes the user pick):
+
+    * plain MF on one chip -> 'als' (warm-CG): the coordinate family
+      reaches the quality basin in ~10 epochs vs SGD's hundreds, so it
+      wins on wall-clock-to-quality despite block-SGD's higher
+      ratings/s (195 ms vs 72 ms per epoch, but 12 vs 300 epochs).
+    * long-tail models (IFWMF/TMF/TMFDropout) train by SGD in the
+      reference; pick the one-hot MXU block engine when the staged
+      cell stream fits HBM (~1.5x-padded 7-array stream), else the
+      scatter engine.
+    * under a multi-device mesh, SGD-family -> DSGD (handled by the
+      caller's mesh branch).
+    """
+    if mesh is not None:
+        return "sgd"          # resolved to DSGD by the mesh branch
+    if algo == "mf":
+        return "als"
+    if algo in ("mf_bias", "tmfdropout"):
+        # biases only train through the SGD engine; Poisson-SAMPLED
+        # ranks need the per-epoch update_rank_mask path (block-SGD
+        # stages static ranks — see BlockSGDSolver guard)
+        return "sgd"
+    est_stream_bytes = 7 * 4 * 1.5 * max(data.train_mat.nnz, 1)
+    if est_stream_bytes < 8e9:
+        return "blocksgd"
+    return "sgd"
 
 
 def train_model(data, params: Params, algo: str = "mf",
@@ -350,6 +381,10 @@ def train_model(data, params: Params, algo: str = "mf",
         cls(params, data.n_users, data.n_items)
 
     m = mf_method.lower()
+    if m == "auto":
+        m = _auto_method(a, data, params, mesh)
+        log_fn(f"mf_method=auto resolved to '{m}' "
+               "(measured guidance, PERF.md)")
     sing_vals = None
     if mesh is not None and m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
         # multi-device: block-stratified DSGD over the mesh

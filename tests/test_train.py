@@ -416,3 +416,54 @@ def test_bin_facs_reference_layout_roundtrip(tmp_path):
     out = ckpt.load_bin_facs(st2, str(tmp_path / "c"),
                              ckpt.model_signature(p, 4, 5))
     np.testing.assert_allclose(np.asarray(out.u_fac), ref.astype(np.float32))
+
+
+def test_auto_method_selection():
+    """mf_method='auto' resolves per the measured guidance: ALS for
+    plain MF, block-SGD for the deterministic long-tail models, sgd
+    for Poisson-sampled ranks and biases."""
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.train.loop import _auto_method
+
+    data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
+                                density=0.3, seed=1)
+    p = Params(fac_dim=4)
+    assert _auto_method("mf", data, p, None) == "als"
+    assert _auto_method("tmf", data, p, None) == "blocksgd"
+    assert _auto_method("ifwmf", data, p, None) == "blocksgd"
+    assert _auto_method("tmfdropout", data, p, None) == "sgd"
+    assert _auto_method("mf_bias", data, p, None) == "sgd"
+    assert _auto_method("mf", data, p, object()) == "sgd"  # mesh
+
+    # end-to-end: auto trains and logs the resolution
+    logs = []
+    rep, model, ev, _ = train_model(data, Params(
+        fac_dim=4, max_iter=5, u_reg=0.05, i_reg=0.05,
+        disp_iter=10 ** 6), algo="mf", mf_method="auto",
+        log_fn=logs.append)
+    assert any("resolved to 'als'" in s for s in logs)
+    assert np.isfinite(rep.best_metric)
+
+
+def test_blocksgd_rejects_poisson_sampled_model():
+    """Routing ModelPoissonDropout to the static-rank block engine
+    would silently train the deterministic TMF variant instead."""
+    import pytest
+
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.models.longtail import ModelPoissonDropout
+    from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+    from matfac_tpu.utils import freq as ufreq
+
+    data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
+                                density=0.3, seed=1)
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    uf, itf = ufreq.row_col_freq(data.train_mat)
+    uf = np.pad(uf, (0, data.n_users - len(uf)))
+    itf = np.pad(itf, (0, data.n_items - len(itf)))
+    p = Params(fac_dim=4, rho_rms=1.0)
+    m = ModelPoissonDropout(p, data.n_users, data.n_items, uf, itf)
+    with pytest.raises(ValueError, match="Poisson-sampled"):
+        BlockSGDSolver(m, p, data.train_mat, iu, ii, batch_size=32,
+                       bu=32, bi=32)
