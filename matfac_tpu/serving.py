@@ -75,22 +75,43 @@ class Recommender:
     def recommend(self, users: Sequence[int], n: int = 10
                   ) -> Tuple[np.ndarray, np.ndarray]:
         """(item_ids [len(users), n], scores) — excludes each user's
-        train-rated and invalid items."""
+        train-rated and invalid items.
+
+        XLA path: scores EXACTLY the queried users in ONE dispatch
+        (query size padded to a power-of-two bucket for compile
+        reuse). The original per-covering-block loop cost one tunneled
+        dispatch per distinct user block — 256 scattered users over a
+        100k-user table hit ~230 blocks = 13 s/batch (measured,
+        scripts/tpu_serving_latency.py)."""
         users = np.asarray(users, dtype=np.int64)
         if (users < 0).any() or (users >= self.n_users).any():
             raise ValueError("user id out of range")
-        # score the covering user blocks, then select requested rows
-        # (block scoring is warm-jitted; repeat queries are cheap)
-        scores, items = self._topk_for_blocks(np.unique(
-            users // self.user_block), n)
-        out_i = np.empty((len(users), n), np.int64)
-        out_s = np.empty((len(users), n), np.float32)
-        for j, u in enumerate(users):
-            b = int(u // self.user_block)
-            r = int(u % self.user_block)
-            out_i[j] = items[b][r]
-            out_s[j] = scores[b][r]
-        return out_i, out_s
+        if self._pallas:
+            # the Pallas scorer's rated-exclusion tiles are staged per
+            # FIXED block, so it keeps the per-block path
+            scores, items = self._topk_for_blocks(np.unique(
+                users // self.user_block), n)
+            out_i = np.empty((len(users), n), np.int64)
+            out_s = np.empty((len(users), n), np.float32)
+            for j, u in enumerate(users):
+                b = int(u // self.user_block)
+                r = int(u % self.user_block)
+                out_i[j] = items[b][r]
+                out_s[j] = scores[b][r]
+            return out_i, out_s
+        from matfac_tpu.eval.ranking import topk_catalog_block
+        sc = self._scorer
+        view = sc._pad_view(self.view)
+        m = len(users)
+        B = max(64, 1 << (m - 1).bit_length())
+        ids = np.zeros(B, np.int32)
+        ids[:m] = users
+        ids_d = jnp.asarray(ids)
+        bv, bi = topk_catalog_block(
+            view, ids_d, sc.rated_cols[ids_d], sc.rated_mask[ids_d],
+            sc.invalid_items_dev, n, sc.item_block)
+        return (np.asarray(bi)[:m].astype(np.int64),
+                np.asarray(bv)[:m])
 
     def _topk_for_blocks(self, blocks: np.ndarray, n: int):
         scores, items = {}, {}
