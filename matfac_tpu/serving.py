@@ -101,7 +101,9 @@ class Recommender:
             return out_i, out_s
         from matfac_tpu.eval.ranking import topk_catalog_block
         sc = self._scorer
-        view = sc._pad_view(self.view)
+        if not hasattr(self, "_padded_view"):
+            self._padded_view = sc._pad_view(self.view)  # view is fixed
+        view = self._padded_view
         m = len(users)
         B = max(64, 1 << (m - 1).bit_length())
         ids = np.zeros(B, np.int32)
