@@ -34,7 +34,13 @@ def main():
         devices = jax.devices()
     ctx = contextlib.nullcontext()
     if len(devices) < 2:   # no slice available: 8-virtual-CPU fallback
-        devices = jax.devices("cpu")
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError:
+            # the active platform list excludes cpu (e.g. a plugin
+            # backend initialized with one device) — re-resolve
+            jax.config.update("jax_platforms", "cpu")
+            devices = jax.devices("cpu")
         ctx = jax.default_device(devices[0])
     print(f"devices: {devices}")
     with ctx:

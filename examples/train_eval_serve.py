@@ -13,7 +13,18 @@ import tempfile
 import numpy as np
 
 
+def _ensure_backend():
+    """Fall back to CPU when the environment names a platform plugin
+    that is not importable (e.g. JAX_PLATFORMS left over in the env)."""
+    import jax
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _ensure_backend()
     # --- 1. data ---------------------------------------------------
     # GKlib-text CSR files load through Params/Data exactly like the
     # reference (datastruct.cpp:3-120). Here we synthesize a low-rank

@@ -45,9 +45,14 @@ class Recommender:
             use_pallas = False
         if use_pallas:
             from matfac_tpu.ops.topk_kernel import PallasCatalogScorer
+            # the Pallas kernel's score tile ([user_block, item_block]
+            # f32) lives in VMEM — a 32k item block would blow the
+            # ~16 MB budget (the oversubscription crash documented in
+            # ops/block_sgd_kernel.py), so clamp its block only
             self._scorer = PallasCatalogScorer(
                 train_mat, invalid_users, invalid_items, n_users,
-                n_items, user_block=user_block, item_block=item_block)
+                n_items, user_block=user_block,
+                item_block=min(item_block, 4096))
             self._pallas = True
         else:
             self._scorer = CatalogScorer(
@@ -104,46 +109,46 @@ class Recommender:
         if not hasattr(self, "_padded_view"):
             self._padded_view = sc._pad_view(self.view)  # view is fixed
         view = self._padded_view
-        m = len(users)
-        B = max(64, 1 << (m - 1).bit_length())
-        ids = np.zeros(B, np.int32)
-        ids[:m] = users
-        ids_d = jnp.asarray(ids)
-        bv, bi = topk_catalog_block(
-            view, ids_d, sc.rated_cols[ids_d], sc.rated_mask[ids_d],
-            sc.invalid_items_dev, n, sc.item_block)
-        return (np.asarray(bi)[:m].astype(np.int64),
-                np.asarray(bv)[:m])
+        # bound the per-dispatch score matrix ([B, item_block] f32) —
+        # unbounded query sizes would scale HBM with the request
+        cap = 4096
+        out_i = np.empty((len(users), n), np.int64)
+        out_s = np.empty((len(users), n), np.float32)
+        for s in range(0, len(users), cap):
+            chunk = users[s:s + cap]
+            m = len(chunk)
+            B = max(64, 1 << (m - 1).bit_length())
+            ids = np.zeros(B, np.int32)
+            ids[:m] = chunk
+            ids_d = jnp.asarray(ids)
+            bv, bi = topk_catalog_block(
+                view, ids_d, sc.rated_cols[ids_d], sc.rated_mask[ids_d],
+                sc.invalid_items_dev, n, sc.item_block)
+            out_i[s:s + m] = np.asarray(bi)[:m]
+            out_s[s:s + m] = np.asarray(bv)[:m]
+        return out_i, out_s
 
     def _topk_for_blocks(self, blocks: np.ndarray, n: int):
+        """Pallas-path block scoring (its rated-exclusion tiles are
+        staged per FIXED user block); the XLA path scores queried
+        users directly in recommend()."""
+        from matfac_tpu.ops.topk_kernel import topk_tiles
         scores, items = {}, {}
+        sc = self._scorer
+        i_fac = self.view.i_fac
+        i_bias = self.view.i_bias
+        pad = sc.I_pad - i_fac.shape[0]
+        if pad:
+            i_fac = jnp.pad(i_fac, ((0, pad), (0, 0)))
+            i_bias = jnp.pad(i_bias, (0, pad))
         for b in blocks:
             s = int(b) * self.user_block
-            if self._pallas:
-                from matfac_tpu.ops.topk_kernel import topk_tiles
-                sc = self._scorer
-                i_fac = self.view.i_fac
-                i_bias = self.view.i_bias
-                pad = sc.I_pad - i_fac.shape[0]
-                if pad:
-                    i_fac = jnp.pad(i_fac, ((0, pad), (0, 0)))
-                    i_bias = jnp.pad(i_bias, (0, pad))
-                uids = np.clip(np.arange(s, s + self.user_block), 0,
-                               self.view.u_fac.shape[0] - 1)
-                bv, bi = topk_tiles(
-                    self.view.u_fac[jnp.asarray(uids)], i_fac, i_bias,
-                    sc.invalid, sc.rated_tiles[int(b)], n,
-                    sc.item_block, sc.c_max, interpret=sc.interpret)
-            else:
-                sc = self._scorer
-                view = sc._pad_view(self.view)
-                uids = np.clip(np.arange(s, s + self.user_block), 0,
-                               self.n_users - 1).astype(np.int32)
-                from matfac_tpu.eval.ranking import topk_catalog_block
-                ids = jnp.asarray(uids)
-                bv, bi = topk_catalog_block(
-                    view, ids, sc.rated_cols[ids], sc.rated_mask[ids],
-                    sc.invalid_items_dev, n, sc.item_block)
+            uids = np.clip(np.arange(s, s + self.user_block), 0,
+                           self.view.u_fac.shape[0] - 1)
+            bv, bi = topk_tiles(
+                self.view.u_fac[jnp.asarray(uids)], i_fac, i_bias,
+                sc.invalid, sc.rated_tiles[int(b)], n,
+                sc.item_block, sc.c_max, interpret=sc.interpret)
             scores[int(b)] = np.asarray(bv)
             items[int(b)] = np.asarray(bi)
         return scores, items

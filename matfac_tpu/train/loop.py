@@ -350,6 +350,11 @@ def train_model(data, params: Params, algo: str = "mf",
 
     a = algo.lower()
     if a in ("bpr", "bprpoissondropout", "bpr_poisson"):
+        if mf_method.lower() == "auto":
+            # ranking trains through the one pairwise engine; 'train'
+            # (stream mode + HR selection) is the reference default
+            mf_method = "train"
+            log_fn("mf_method=auto resolved to 'train' (BPR stream)")
         return _train_ranking(data, params, a, mf_method, log_fn,
                               init_state_override, inval_u, inval_i,
                               user_freq, item_freq)
