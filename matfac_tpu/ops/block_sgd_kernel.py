@@ -220,22 +220,18 @@ def block_sgd_epoch(u_tab: jax.Array, i_tab: jax.Array,
     return u_out, i_out
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0, 1),
-    static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
-                     "collision_norm", "use_mask", "mm_bf16"))
-def block_sgd_epoch_diag(u_tab3: jax.Array, i_tab3: jax.Array,
-                         ub_idx: jax.Array, ib_idx: jax.Array,
-                         boff: jax.Array, lr,
-                         u_loc: jax.Array, i_loc: jax.Array,
-                         vals: jax.Array, wts: jax.Array,
-                         cnu: jax.Array, cni: jax.Array,
-                         lam: jax.Array,
-                         bs: int, bu: int, bi: int, NI: int,
-                         u_reg: float, i_reg: float,
-                         collision_norm: bool, use_mask: bool,
-                         mm_bf16: bool = True
-                         ) -> Tuple[jax.Array, jax.Array]:
+def block_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
+                     ub_idx: jax.Array, ib_idx: jax.Array,
+                     boff: jax.Array, lr,
+                     u_loc: jax.Array, i_loc: jax.Array,
+                     vals: jax.Array, wts: jax.Array,
+                     cnu: jax.Array, cni: jax.Array,
+                     lam: jax.Array,
+                     bs: int, bu: int, bi: int, NI: int,
+                     u_reg: float, i_reg: float,
+                     collision_norm: bool, use_mask: bool,
+                     mm_bf16: bool = True
+                     ) -> Tuple[jax.Array, jax.Array]:
     """Diagonal-batched one-hot MXU SGD epoch (Gemulla DSGD schedule on
     one chip — the single-chip analog of parallel/dsgd.py, cf.
     modelMF.cpp:154-350 / util.cpp:1077-1107).
@@ -310,24 +306,40 @@ def block_sgd_epoch_diag(u_tab3: jax.Array, i_tab3: jax.Array,
     jax.jit, donate_argnums=(0, 1),
     static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
                      "collision_norm", "use_mask", "mm_bf16"))
-def block_sgd_epoch_xla(u_tab: jax.Array, i_tab: jax.Array,
-                        row_of: jax.Array, ib_seq: jax.Array,
-                        boff: jax.Array, lr,
-                        u_loc: jax.Array, i_loc: jax.Array,
-                        vals: jax.Array, wts: jax.Array,
-                        cnu: jax.Array, cni: jax.Array, lam: jax.Array,
-                        bs: int, bu: int, bi: int, NI: int,
-                        u_reg: float, i_reg: float,
-                        collision_norm: bool, use_mask: bool,
-                        mm_bf16: bool = True
-                        ) -> Tuple[jax.Array, jax.Array]:
-    """Pure-XLA twin of block_sgd_epoch: same schedule, same
-    _batch_update math (bitwise-equal at f32), factor blocks moved by
-    dynamic_slice/update instead of Pallas VMEM residency. Exists
-    because Mosaic crashes the remote TPU compile helper on the Pallas
-    program (BASELINE.md round-2 notes); XLA keeps the one-hot MXU
-    formulation, paying only HBM block round-trips per cell
-    (~bi*k*8B per cell — negligible vs the matmul work)."""
+def block_sgd_epoch_diag(u_tab3: jax.Array, i_tab3: jax.Array,
+                         ub_idx: jax.Array, ib_idx: jax.Array,
+                         boff: jax.Array, lr,
+                         u_loc: jax.Array, i_loc: jax.Array,
+                         vals: jax.Array, wts: jax.Array,
+                         cnu: jax.Array, cni: jax.Array,
+                         lam: jax.Array,
+                         bs: int, bu: int, bi: int, NI: int,
+                         u_reg: float, i_reg: float,
+                         collision_norm: bool, use_mask: bool,
+                         mm_bf16: bool = True
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Jitted single-chip wrapper of block_sweep_diag (see there)."""
+    return block_sweep_diag(
+        u_tab3, i_tab3, ub_idx, ib_idx, boff, lr, u_loc, i_loc, vals,
+        wts, cnu, cni, lam, bs, bu, bi, NI, u_reg, i_reg,
+        collision_norm, use_mask, mm_bf16)
+
+
+def block_sweep_rows(u_tab: jax.Array, i_tab: jax.Array,
+                     row_of: jax.Array, ib_seq: jax.Array,
+                     boff: jax.Array, lr,
+                     u_loc: jax.Array, i_loc: jax.Array,
+                     vals: jax.Array, wts: jax.Array,
+                     cnu: jax.Array, cni: jax.Array, lam: jax.Array,
+                     bs: int, bu: int, bi: int, NI: int,
+                     u_reg: float, i_reg: float,
+                     collision_norm: bool, use_mask: bool,
+                     mm_bf16: bool = True
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Row-schedule one-hot sweep over u_tab [NU*bu, k] /
+    i_tab [NI*bi, k] with streams [NU, NI*S] — the traceable core
+    shared by the jitted single-chip epoch (block_sgd_epoch_xla) and
+    the per-shard-round sweep of parallel/block_dsgd.py."""
     NU, row_len = u_loc.shape
     S = row_len // NI
     n_steps = S // bs
@@ -374,3 +386,30 @@ def block_sgd_epoch_xla(u_tab: jax.Array, i_tab: jax.Array,
         return (u_tab, i_tab)
 
     return jax.lax.fori_loop(0, NU, row_body, (u_tab, i_tab))
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
+                     "collision_norm", "use_mask", "mm_bf16"))
+def block_sgd_epoch_xla(u_tab: jax.Array, i_tab: jax.Array,
+                        row_of: jax.Array, ib_seq: jax.Array,
+                        boff: jax.Array, lr,
+                        u_loc: jax.Array, i_loc: jax.Array,
+                        vals: jax.Array, wts: jax.Array,
+                        cnu: jax.Array, cni: jax.Array, lam: jax.Array,
+                        bs: int, bu: int, bi: int, NI: int,
+                        u_reg: float, i_reg: float,
+                        collision_norm: bool, use_mask: bool,
+                        mm_bf16: bool = True
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Pure-XLA twin of block_sgd_epoch: same schedule, same
+    _batch_update math (bitwise-equal at f32), factor blocks moved by
+    dynamic_slice/update instead of Pallas VMEM residency (the Pallas
+    kernel's compile envelope caps it below this engine — PERF.md);
+    pays only HBM block round-trips per cell (~bi*k*8B — negligible
+    vs the matmul work)."""
+    return block_sweep_rows(
+        u_tab, i_tab, row_of, ib_seq, boff, lr, u_loc, i_loc, vals,
+        wts, cnu, cni, lam, bs, bu, bi, NI, u_reg, i_reg,
+        collision_norm, use_mask, mm_bf16)

@@ -391,7 +391,15 @@ def train_model(data, params: Params, algo: str = "mf",
         log_fn(f"mf_method=auto resolved to '{m}' "
                "(measured guidance, PERF.md)")
     sing_vals = None
-    if mesh is not None and m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
+    if mesh is not None and m == "blocksgd":
+        # multi-device one-hot engine: DSGD rotation outside,
+        # block-SGD sweeps inside each shard-round
+        from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+        solver = BlockDSGDSolver(
+            model, params, data.train_mat, inval_u, inval_i, mesh,
+            batch_size=min(params.batch_size, 1024),
+            pad_k=128 if params.fac_dim <= 128 else 0)
+    elif mesh is not None and m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
         # multi-device: block-stratified DSGD over the mesh
         from matfac_tpu.parallel.dsgd import DSGDShardedSolver
         solver = DSGDShardedSolver(model, params, data.train_mat,

@@ -304,3 +304,100 @@ def test_dsgd_two_process_distributed(tmp_path):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(multi["i_fac"], np.asarray(state.i_fac),
                                rtol=1e-6, atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Block-DSGD: the one-hot engine nested inside mesh-sharded DSGD
+# ----------------------------------------------------------------------
+
+def test_block_dsgd_partition_covers_all_ratings(setup):
+    from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((8,), ("u",))
+    s = BlockDSGDSolver(model, params, data.train_mat, iu, ii, mesh,
+                        sub_bu=8, sub_bi=4, batch_size=16)
+    wts = np.asarray(s.wts)          # [N, N, SU*SI+1, S] cell-major
+    assert int((wts > 0).sum()) == s.nnz
+    # dummy row (last cell per shard-round) is all-invalid
+    assert (wts[:, :, -1, :] == 0).all()
+    # every staged entry maps back to a rating in the right cell
+    u_loc = np.asarray(s.u_loc)
+    i_loc = np.asarray(s.i_loc)
+    vals = np.asarray(s.vals)
+    u_inv = np.asarray(s.u_perm_inv_dev)
+    i_inv = np.asarray(s.i_perm_inv_dev)
+    r, c, v = data.train_mat.to_coo()
+    truth = {(int(a), int(b)): float(x) for a, b, x in zip(r, c, v)}
+    N, SU, SI, S = s.n_shards, s.SU, s.SI, s.S
+    for sh in range(N):
+        for t in range(N):
+            blk = (sh + t) % N
+            for cell in range(SU * SI):
+                su, si = divmod(cell, SI)
+                mask = wts[sh, t, cell] > 0
+                gu_new = (sh * s.bu + su * s.sub_bu
+                          + u_loc[sh, t, cell])
+                gi_new = (blk * s.bi + si * s.sub_bi
+                          + i_loc[sh, t, cell])
+                for j in np.nonzero(mask)[0]:
+                    uo = int(u_inv[gu_new[j]])
+                    io = int(i_inv[gi_new[j]])
+                    assert truth[(uo, io)] == vals[sh, t, cell, j]
+
+
+def test_block_dsgd_converges_on_mesh(setup):
+    from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((8,), ("u",))
+    s = BlockDSGDSolver(model, params, data.train_mat, iu, ii, mesh,
+                        sub_bu=8, sub_bi=4, batch_size=16)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        state = s.epoch(state, 0.02, k)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+
+
+def test_block_dsgd_single_shard_converges(setup):
+    from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((1,), ("u",), devices=jax.devices()[:1])
+    s = BlockDSGDSolver(model, params, data.train_mat, iu, ii, mesh,
+                        sub_bu=16, sub_bi=8, batch_size=32)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        state = s.epoch(state, 0.02, k)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.1, f"val RMSE {val}"
+
+
+def test_block_dsgd_tmf_rank_mask(setup):
+    """TMF rank masks ride the staged stream in block-DSGD too."""
+    from matfac_tpu.models.longtail import ModelDropoutSigmoid
+    from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    uf, itf = freq.row_col_freq(data.train_mat)
+    uf = np.pad(uf, (0, data.n_users - len(uf)))
+    itf = np.pad(itf, (0, data.n_items - len(itf)))
+    m = ModelDropoutSigmoid(params.replace(rho_rms=1.0, alpha=0.0),
+                            data.n_users, data.n_items, uf, itf)
+    mesh = make_mesh((4,), ("u",), devices=jax.devices()[:4])
+    s = BlockDSGDSolver(m, params, data.train_mat, iu, ii, mesh,
+                        sub_bu=8, sub_bi=4, batch_size=16)
+    assert s.use_mask
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    before = ev.rmse(m.eval_view(state), "val")
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        state = s.epoch(state, 0.02, k)
+    after = ev.rmse(m.eval_view(state), "val")
+    assert after < before
