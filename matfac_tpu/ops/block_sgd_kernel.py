@@ -325,6 +325,57 @@ def block_sgd_epoch_diag(u_tab3: jax.Array, i_tab3: jax.Array,
         collision_norm, use_mask, mm_bf16)
 
 
+def device_diag_schedule(key: jax.Array, NU: int, G: int, n_steps: int
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """On-device diag schedule (solvers/block_sgd._build_schedule_diag
+    semantics): random groups of G user blocks (pad lanes -> dummy NU),
+    randomly-ordered rotated diagonals per group, random batch
+    offsets. Generating this on the device saves three per-epoch
+    host->device transfers — measured ~10 ms/epoch over the tunnel
+    (block-DSGD N=1 vs single-chip blocksgd, PERF.md)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_groups = -(-NU // G)
+    total = n_groups * G
+    ub_all = jnp.concatenate(
+        [jnp.arange(NU, dtype=jnp.int32),
+         jnp.full((total - NU,), NU, jnp.int32)])
+    ub_all = jax.random.permutation(k1, ub_all).reshape(n_groups, G)
+    dperm = jax.vmap(lambda kk: jax.random.permutation(kk, G))(
+        jax.random.split(k2, n_groups)).astype(jnp.int32)
+    ub_idx = jnp.repeat(ub_all, G, axis=0)              # [R, G]
+    lanes = jnp.arange(G, dtype=jnp.int32)
+    ib_idx = (lanes[None, :] + dperm.reshape(-1, 1)) % G
+    boff = jax.random.randint(k3, (n_groups * G, G), 0,
+                              max(n_steps, 1)).astype(jnp.int32)
+    return ub_idx, ib_idx, boff
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
+                     "collision_norm", "use_mask", "mm_bf16"))
+def block_sgd_epoch_diag_keyed(u_tab3: jax.Array, i_tab3: jax.Array,
+                               key: jax.Array, lr,
+                               u_loc: jax.Array, i_loc: jax.Array,
+                               vals: jax.Array, wts: jax.Array,
+                               cnu: jax.Array, cni: jax.Array,
+                               lam: jax.Array,
+                               bs: int, bu: int, bi: int, NI: int,
+                               u_reg: float, i_reg: float,
+                               collision_norm: bool, use_mask: bool,
+                               mm_bf16: bool = True
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """block_sgd_epoch_diag with the schedule generated ON-DEVICE from
+    a PRNG key (no per-epoch schedule h2d transfers)."""
+    NU = u_tab3.shape[0] - 1
+    S = u_loc.shape[1]
+    ub_idx, ib_idx, boff = device_diag_schedule(key, NU, NI, S // bs)
+    return block_sweep_diag(
+        u_tab3, i_tab3, ub_idx, ib_idx, boff, lr, u_loc, i_loc, vals,
+        wts, cnu, cni, lam, bs, bu, bi, NI, u_reg, i_reg,
+        collision_norm, use_mask, mm_bf16)
+
+
 def block_sweep_rows(u_tab: jax.Array, i_tab: jax.Array,
                      row_of: jax.Array, ib_seq: jax.Array,
                      boff: jax.Array, lr,

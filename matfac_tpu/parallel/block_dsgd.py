@@ -241,27 +241,10 @@ class BlockDSGDSolver:
         kw = dict(bs=bs, bu=sub_bu, bi=sub_bi, NI=SI, u_reg=u_reg,
                   i_reg=i_reg, collision_norm=self.collision_norm,
                   use_mask=self.use_mask, mm_bf16=self.mm_bf16)
-        # diag schedule dims (solvers/block_sgd._build_schedule_diag,
-        # built on-device per shard-round)
-        G = SI
-        n_groups = _cdiv(SU, G)
-        total = n_groups * G
+        from matfac_tpu.ops.block_sgd_kernel import device_diag_schedule
 
         def diag_schedule(key):
-            k1, k2, k3 = jax.random.split(key, 3)
-            ub_all = jnp.concatenate(
-                [jnp.arange(SU, dtype=jnp.int32),
-                 jnp.full((total - SU,), SU, jnp.int32)])
-            ub_all = jax.random.permutation(k1, ub_all
-                                            ).reshape(n_groups, G)
-            dperm = jax.vmap(lambda kk: jax.random.permutation(kk, G))(
-                jax.random.split(k2, n_groups)).astype(jnp.int32)
-            ub_idx = jnp.repeat(ub_all, G, axis=0)          # [R*?, G]
-            lanes = jnp.arange(G, dtype=jnp.int32)
-            ib_idx = (lanes[None, :] + dperm.reshape(-1, 1)) % G
-            boff = jax.random.randint(
-                k3, (n_groups * G, G), 0, n_steps).astype(jnp.int32)
-            return ub_idx, ib_idx, boff
+            return device_diag_schedule(key, SU, SI, n_steps)
 
         def shard_epoch(u_fac, i_fac, u_loc, i_loc, vals, wts, cnu,
                         cni, lams, lr, key):

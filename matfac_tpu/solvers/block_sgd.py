@@ -328,9 +328,14 @@ class BlockSGDSolver:
             collision_norm=self.collision_norm,
             use_mask=self.use_mask, mm_bf16=self.mm_bf16)
         if self.schedule == "diag":
-            ub_idx, ib_idx, boff = self._build_schedule_diag()
-            u3, i3 = block_sgd_epoch_diag(
-                u_tab, i_tab, ub_idx, ib_idx, boff, jnp.float32(lr),
+            # schedule generated ON-DEVICE from a key: three host-built
+            # schedule arrays per epoch cost ~10 ms of h2d over the
+            # tunnel (discovered via block-DSGD N=1 beating this path)
+            from matfac_tpu.ops.block_sgd_kernel import (
+                block_sgd_epoch_diag_keyed)
+            ek = jax.random.PRNGKey(int(self._sched_rng.integers(2**31)))
+            u3, i3 = block_sgd_epoch_diag_keyed(
+                u_tab, i_tab, ek, jnp.float32(lr),
                 self.u_loc, self.i_loc, self.vals, self.wts,
                 self.cnu, self.cni, self.lams, **common)
             self._resident = (u3, i3)

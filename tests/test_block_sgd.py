@@ -105,8 +105,13 @@ def test_block_sgd_diag_matches_numpy_oracle(collision_norm):
                               mm_bf16=False, schedule="diag")
 
     sol, twin = mk(), mk()
-    ub_idx, ib_idx, boff = [np.asarray(x)
-                            for x in twin._build_schedule_diag()]
+    # the diag schedule is generated ON-DEVICE from a key drawn from
+    # the host schedule rng — replicate via the twin's identical rng
+    from matfac_tpu.ops.block_sgd_kernel import device_diag_schedule
+    ek = jax.random.PRNGKey(int(twin._sched_rng.integers(2 ** 31)))
+    ub_idx, ib_idx, boff = [
+        np.asarray(x) for x in device_diag_schedule(
+            ek, twin.NU, twin.NI, twin.S // twin.bs)]
 
     state = init_state(params, 30, 20, seed=3)
     out = sol.epoch(state, params.learn_rate, None)
