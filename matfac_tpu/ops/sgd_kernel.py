@@ -11,9 +11,13 @@ ENTIRE stream and touch HBM only for the rating stream itself:
 
 The kernel carries the factor blocks as loop values and uses value-level
 gather (`jnp.take`) / scatter (`.at[].add`) per minibatch — supported in
-interpret mode everywhere; Mosaic lowering of dynamic gather/scatter is
-the open question to validate on hardware (hence EXPERIMENTAL: parity
-tests run in interpret mode; nothing routes here by default).
+interpret mode everywhere. VALIDATED ON HARDWARE (late round 2, after
+the Mosaic toolchain recovered): Mosaic REJECTS this gather form at
+trace time ("Shape mismatch in input, indices and output" from its
+gather lowering rules) — row-gathers by dynamic index vectors do not
+lower to TPU inside kernels. That confirms the one-hot matmul
+reformulation (ops/block_sgd_kernel.py) as the TPU-native path rather
+than a workaround; this kernel stays interpret-only for parity tests.
 """
 
 from __future__ import annotations
