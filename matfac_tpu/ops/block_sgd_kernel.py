@@ -302,33 +302,11 @@ def block_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
     return jax.lax.fori_loop(0, R, round_body, (u_tab3, i_tab3))
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0, 1),
-    static_argnames=("bs", "bu", "bi", "NI", "u_reg", "i_reg",
-                     "collision_norm", "use_mask", "mm_bf16"))
-def block_sgd_epoch_diag(u_tab3: jax.Array, i_tab3: jax.Array,
-                         ub_idx: jax.Array, ib_idx: jax.Array,
-                         boff: jax.Array, lr,
-                         u_loc: jax.Array, i_loc: jax.Array,
-                         vals: jax.Array, wts: jax.Array,
-                         cnu: jax.Array, cni: jax.Array,
-                         lam: jax.Array,
-                         bs: int, bu: int, bi: int, NI: int,
-                         u_reg: float, i_reg: float,
-                         collision_norm: bool, use_mask: bool,
-                         mm_bf16: bool = True
-                         ) -> Tuple[jax.Array, jax.Array]:
-    """Jitted single-chip wrapper of block_sweep_diag (see there)."""
-    return block_sweep_diag(
-        u_tab3, i_tab3, ub_idx, ib_idx, boff, lr, u_loc, i_loc, vals,
-        wts, cnu, cni, lam, bs, bu, bi, NI, u_reg, i_reg,
-        collision_norm, use_mask, mm_bf16)
-
-
 def device_diag_schedule(key: jax.Array, NU: int, G: int, n_steps: int
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """On-device diag schedule (solvers/block_sgd._build_schedule_diag
-    semantics): random groups of G user blocks (pad lanes -> dummy NU),
+    """On-device diag schedule (DSGD rounds, util.cpp:1077-1107
+    semantics with rotation instead of a random Latin square — README
+    deviation #3): random groups of G user blocks (pad lanes -> dummy NU),
     randomly-ordered rotated diagonals per group, random batch
     offsets. Generating this on the device saves three per-epoch
     host->device transfers — measured ~10 ms/epoch over the tunnel

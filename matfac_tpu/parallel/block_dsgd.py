@@ -69,6 +69,12 @@ class BlockDSGDSolver:
                  mm_bf16: bool = True, pad_k: int = 0):
         if model.use_bias or not model.use_factors:
             raise ValueError("BlockDSGDSolver is factor-only")
+        if jax.process_count() > 1:
+            raise ValueError(
+                "BlockDSGDSolver stages single-process (every process "
+                "would build a conflicting 'global' stream); use "
+                "DSGDShardedSolver, which stages per-process via "
+                "make_array_from_process_local_data")
         if hasattr(model, "pair_lambda"):
             raise ValueError(
                 "block engines stage static per-pair ranks; "
@@ -186,20 +192,12 @@ class BlockDSGDSolver:
         lams[cell, pos] = lam
 
         if self.collision_norm:
-            # static batch contents -> host-precomputed within-batch
-            # same-entity valid counts (solvers/block_sgd.py note)
-            valid = (wts > 0).ravel().astype(np.float64)
-            batch_id = np.arange(n_cells * S, dtype=np.int64) // self.bs
-
-            def batch_counts(loc, width):
-                key = batch_id * np.int64(width) + loc.ravel()
-                _, inv = np.unique(key, return_inverse=True)
-                cnt = np.bincount(inv, weights=valid)[inv]
-                return np.maximum(cnt, 1.0).astype(np.float32) \
-                         .reshape(n_cells, S)
-
-            cnu = batch_counts(u_loc, sub_bu)
-            cni = batch_counts(i_loc, sub_bi)
+            from matfac_tpu.solvers.block_sgd import (
+                stage_batch_collision_counts)
+            cnu = stage_batch_collision_counts(wts, u_loc, self.bs,
+                                               sub_bu)
+            cni = stage_batch_collision_counts(wts, i_loc, self.bs,
+                                               sub_bi)
         else:
             cnu = cni = wts
 

@@ -30,12 +30,30 @@ import numpy as np
 from matfac_tpu.config import Params
 from matfac_tpu.models.base import MFState
 from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
-                                             block_sgd_epoch_diag,
+                                             block_sgd_epoch_diag_keyed,
                                              block_sgd_epoch_xla)
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def stage_batch_collision_counts(wts: np.ndarray, loc: np.ndarray,
+                                 bs: int, width: int) -> np.ndarray:
+    """max(within-batch same-entity valid count, 1) divisors for a
+    staged stream [n_cells, S]. Batch CONTENTS are static (fixed
+    bs-slices of each cell; only batch order is random), so the counts
+    are host-precomputable — counting on-device cost four extra thin
+    one-hot matmuls per step (PERF.md). Shared by BlockSGDSolver and
+    parallel/block_dsgd.py, whose update semantics must stay
+    identical."""
+    n_cells, S = wts.shape
+    valid = (wts > 0).ravel().astype(np.float64)
+    batch_id = np.arange(n_cells * S, dtype=np.int64) // bs
+    key = batch_id * np.int64(width) + loc.ravel()
+    _, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv, weights=valid)[inv]
+    return np.maximum(cnt, 1.0).astype(np.float32).reshape(n_cells, S)
 
 
 def _balance_perm(freq: np.ndarray, n: int, n_blocks: int,
@@ -195,26 +213,8 @@ class BlockSGDSolver:
                 arr[cc, : len(p)] = arr[cc, : len(p)][p]
 
         if self.collision_norm:
-            # Batch contents are static (fixed bs-slices of each cell;
-            # boff only rotates batch ORDER), so the within-batch
-            # same-entity valid counts are static — precompute the
-            # max(count,1) divisor per element on the host. The first
-            # implementation counted on-device with four thin one-hot
-            # matmuls per step, re-reading each [bs,b*] one-hot twice
-            # (measured: dropping them cut the epoch's HBM passes).
-            n_steps = S // self.bs
-            valid = (wts > 0).ravel().astype(np.float64)
-            batch_id = np.arange(n_cells * S, dtype=np.int64) // self.bs
-
-            def batch_counts(loc, width):
-                key = batch_id * np.int64(width) + loc.ravel()
-                _, inv = np.unique(key, return_inverse=True)
-                c = np.bincount(inv, weights=valid)[inv]
-                return np.maximum(c, 1.0).astype(np.float32) \
-                         .reshape(n_cells, S)
-
-            cnu = batch_counts(u_loc, bu)
-            cni = batch_counts(i_loc, bi)
+            cnu = stage_batch_collision_counts(wts, u_loc, self.bs, bu)
+            cni = stage_batch_collision_counts(wts, i_loc, self.bs, bi)
         else:
             cnu = cni = None
 
@@ -267,34 +267,6 @@ class BlockSGDSolver:
         return (jnp.asarray(row_of), jnp.asarray(ib_seq),
                 jnp.asarray(boff))
 
-    def _build_schedule_diag(self):
-        """DSGD rounds: per group of G=NI user blocks, G rotated
-        diagonals; each round's G cells are disjoint in both axes
-        (util.cpp:1077-1107 semantics, rotation instead of a random
-        Latin square — README deviation #3). Padding lanes use the
-        dummy user block NU / dummy stream row."""
-        rng = self._sched_rng
-        G = self.NI
-        n_groups = _cdiv(self.NU, G)
-        total = n_groups * G
-        ub_all = np.concatenate([
-            np.arange(self.NU, dtype=np.int32),
-            np.full(total - self.NU, self.NU, np.int32)])
-        ub_all = rng.permutation(ub_all).reshape(n_groups, G)
-        lanes = np.arange(G, dtype=np.int32)
-        ub_idx = np.empty((total, G), np.int32)
-        ib_idx = np.empty((total, G), np.int32)
-        t = 0
-        for g in range(n_groups):
-            for d in rng.permutation(G):
-                ub_idx[t] = ub_all[g]
-                ib_idx[t] = (lanes + d) % G
-                t += 1
-        boff = rng.integers(0, max(self.S // self.bs, 1),
-                            size=(total, G)).astype(np.int32)
-        return (jnp.asarray(ub_idx), jnp.asarray(ib_idx),
-                jnp.asarray(boff))
-
     def _stage_factors(self, state: MFState):
         # staged[new_id] = logical[inv[new_id]] over the padded space
         u = state.u_fac[self.u_perm_inv_dev]
@@ -330,9 +302,9 @@ class BlockSGDSolver:
         if self.schedule == "diag":
             # schedule generated ON-DEVICE from a key: three host-built
             # schedule arrays per epoch cost ~10 ms of h2d over the
-            # tunnel (discovered via block-DSGD N=1 beating this path)
-            from matfac_tpu.ops.block_sgd_kernel import (
-                block_sgd_epoch_diag_keyed)
+            # tunnel (discovered via block-DSGD N=1 beating this path;
+            # schedule semantics = ops/block_sgd_kernel.
+            # device_diag_schedule — DSGD rounds, README deviation #3)
             ek = jax.random.PRNGKey(int(self._sched_rng.integers(2**31)))
             u3, i3 = block_sgd_epoch_diag_keyed(
                 u_tab, i_tab, ek, jnp.float32(lr),

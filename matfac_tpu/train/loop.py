@@ -393,12 +393,23 @@ def train_model(data, params: Params, algo: str = "mf",
     sing_vals = None
     if mesh is not None and m == "blocksgd":
         # multi-device one-hot engine: DSGD rotation outside,
-        # block-SGD sweeps inside each shard-round
-        from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
-        solver = BlockDSGDSolver(
-            model, params, data.train_mat, inval_u, inval_i, mesh,
-            batch_size=min(params.batch_size, 1024),
-            pad_k=128 if params.fac_dim <= 128 else 0)
+        # block-SGD sweeps inside each shard-round. Models the block
+        # engine cannot stage (Poisson-sampled ranks) and multi-process
+        # runs (single-process staging only) fall back to the scatter
+        # DSGD, which samples in-kernel and stages per process.
+        import jax as _jax
+        if hasattr(model, "pair_lambda") or _jax.process_count() > 1:
+            from matfac_tpu.parallel.dsgd import DSGDShardedSolver
+            solver = DSGDShardedSolver(model, params, data.train_mat,
+                                       inval_u, inval_i, mesh)
+            log_fn("mesh blocksgd: fell back to the scatter DSGD "
+                   "(Poisson-sampled ranks / multi-process staging)")
+        else:
+            from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+            solver = BlockDSGDSolver(
+                model, params, data.train_mat, inval_u, inval_i, mesh,
+                batch_size=min(params.batch_size, 1024),
+                pad_k=128 if params.fac_dim <= 128 else 0)
     elif mesh is not None and m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
         # multi-device: block-stratified DSGD over the mesh
         from matfac_tpu.parallel.dsgd import DSGDShardedSolver
