@@ -433,7 +433,7 @@ def test_auto_method_selection():
     assert _auto_method("ifwmf", data, p, None) == "blocksgd"
     assert _auto_method("tmfdropout", data, p, None) == "sgd"
     assert _auto_method("mf_bias", data, p, None) == "sgd"
-    assert _auto_method("mf", data, p, object()) == "sgd"  # mesh
+    assert _auto_method("mf", data, p, object()) == "blocksgd"  # mesh
 
     # end-to-end: auto trains and logs the resolution
     logs = []
