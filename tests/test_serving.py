@@ -64,3 +64,30 @@ def test_recommender_from_checkpoint(tmp_path):
     assert np.isfinite(scores).all()
     with pytest.raises(FileNotFoundError):
         Recommender.from_checkpoint(str(tmp_path / "nope"), p, data)
+
+
+def test_recommend_chunks_large_queries():
+    """Queries above the per-dispatch cap chunk correctly and agree
+    with the eval scorer's full-catalog top-k."""
+    from matfac_tpu.data.synthetic import leave_one_out_data
+    from matfac_tpu.eval.ranking import CatalogScorer
+    from matfac_tpu.models.base import ModelMF, init_state
+    from matfac_tpu.serving import Recommender
+    from matfac_tpu.utils import freq
+
+    n_users, n_items = 5000, 64
+    data = leave_one_out_data(n_users=n_users, n_items=n_items,
+                              per_user=6, seed=2)
+    params = Params(fac_dim=4, seed=3)
+    model = ModelMF(params, n_users, n_items)
+    view = model.eval_view(init_state(params, n_users, n_items))
+    iu, ii = freq.invalid_users_items(data.train_mat, n_users, n_items)
+    rec = Recommender(view, data.train_mat, n_users, n_items, iu, ii,
+                      user_block=256, item_block=64)
+    users = list(range(n_users))          # > the 4096 chunk cap
+    items, scores = rec.recommend(users, n=5)
+    assert items.shape == (n_users, 5)
+    sc = CatalogScorer(data.train_mat, iu, ii, n_users, n_items,
+                       user_block=256, item_block=64)
+    _, expect = sc.topk(view, 5)
+    np.testing.assert_array_equal(items, expect)
