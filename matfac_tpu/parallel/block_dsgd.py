@@ -19,9 +19,11 @@ Layout:
     sub-block r % SU, slot r // SU) so power-law mass spreads evenly;
   * items are snake-balanced ACROSS shard blocks (parallel/dsgd.py
     balance_items) and interleaved within each block the same way;
-  * streams are staged per (shard, round) in the row-schedule layout
-    block_sweep_rows expects ([SU, SI*S]), sharded [N, N, SU, SI*S]
-    over the mesh axis so each shard holds only its own rounds.
+  * streams are staged CELL-MAJOR: one [S] row per
+    (shard, round, sub-cell) plus an all-invalid dummy row per
+    shard-round, global shape [N, N, SU*SI + 1, S], sharded over the
+    mesh axis so each shard holds only its own rounds. block_sweep_diag
+    indexes rows by cell id (dummy lanes -> the last row).
 
 Semantics: identical update math to BlockSGDSolver (sum of
 within-batch gradients with optional collision normalization); the
@@ -29,9 +31,23 @@ outer rotation is identical to DSGDShardedSolver. Per-epoch randomness
 = per-round random sub-row order / sub-cell order / batch offsets,
 derived on-device from the epoch key (multi-host safe).
 
-Limitations: staging is single-process (the scatter DSGD remains the
-multi-host-staged path); Poisson-sampled ranks route to DSGD/SGD
-(static-rank staging — see BlockSGDSolver guard).
+Multi-process staging (so the one-hot engine — not the scatter
+fallback — carries modelMF.cpp:154-350's stratification on a real
+multi-host pod): each process builds ONLY the (shard, round, cell)
+rows of the user blocks whose shard lives on its addressable devices
+and assembles the global stream with
+jax.make_array_from_process_local_data (the parallel/dsgd.py
+pattern). Three things keep staging process-independent:
+  * entity frequencies (which define both permutations) are
+    allgather-summed, so every process derives the SAME u_perm/i_perm
+    even when it holds only its host-local rating rows;
+  * the within-cell shuffle key is a splitmix64 hash of the GLOBAL
+    (user, item) pair id — not a positional RNG stream — so a process
+    staging any subset orders each cell identically;
+  * the padded cell size S is allgather-maxed (dsgd.py pattern).
+
+Limitation: Poisson-sampled ranks route to DSGD/SGD (block engines
+stage static per-pair ranks — see BlockSGDSolver guard).
 """
 
 from __future__ import annotations
@@ -60,6 +76,22 @@ def _interleave_local(rank: np.ndarray, n_sub: int, sub: int
     return (rank % n_sub) * sub + rank // n_sub
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def _pair_hash(r: np.ndarray, c: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64-style hash of the global (user, item) pair id — the
+    within-cell shuffle key. Depends only on pair identity (+ seed),
+    never on how many elements this process staged, so any process
+    staging any subset of a cell orders it identically."""
+    x = (r.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         + c.astype(np.uint64)
+         + np.uint64((seed * 0x2545F4914F6CDD1D + 0x1234567) & _MASK64))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 class BlockDSGDSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
@@ -69,12 +101,6 @@ class BlockDSGDSolver:
                  mm_bf16: bool = True, pad_k: int = 0):
         if model.use_bias or not model.use_factors:
             raise ValueError("BlockDSGDSolver is factor-only")
-        if jax.process_count() > 1:
-            raise ValueError(
-                "BlockDSGDSolver stages single-process (every process "
-                "would build a conflicting 'global' stream); use "
-                "DSGDShardedSolver, which stages per-process via "
-                "make_array_from_process_local_data")
         if hasattr(model, "pair_lambda"):
             raise ValueError(
                 "block engines stage static per-pair ranks; "
@@ -106,9 +132,19 @@ class BlockDSGDSolver:
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]
         r, c, v = r[keep], c[keep], v[keep]
-        self.nnz = len(r)
-        u_freq = np.bincount(r, minlength=n_users)
-        i_freq = np.bincount(c, minlength=n_items)
+        u_freq = np.bincount(r, minlength=n_users).astype(np.int64)
+        i_freq = np.bincount(c, minlength=n_items).astype(np.int64)
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # permutations below must agree across processes even when
+            # each holds only its host-local rating rows: sum the local
+            # frequency counts. (If every process holds the FULL matrix
+            # the counts scale uniformly xP — same argsort order.)
+            from jax.experimental import multihost_utils
+            u_freq = multihost_utils.process_allgather(
+                u_freq).sum(axis=0)
+            i_freq = multihost_utils.process_allgather(
+                i_freq).sum(axis=0)
 
         # ---- user permutation: contiguous shard ownership (old id //
         # ceil(n_users/N) like DSGD), frequency-interleaved locally ----
@@ -143,6 +179,22 @@ class BlockDSGDSolver:
         self.u_perm_inv_dev = jnp.asarray(u_inv.astype(np.int32))
         self.i_perm_inv_dev = jnp.asarray(i_inv.astype(np.int32))
 
+        # ---- multi-process staging: each process keeps only the rows
+        # of its addressable shards' user blocks (dsgd.py pattern) ----
+        mesh_devs = np.asarray(mesh.devices).reshape(-1)
+        proc = jax.process_index()
+        self.local_blocks = [b for b in range(N)
+                             if mesh_devs[b].process_index == proc]
+        nb = len(self.local_blocks)
+        r2 = u_perm[r]
+        c2 = i_perm[c]
+        sh = r2 // self.bu
+        if multiproc:
+            local = np.isin(sh, self.local_blocks)
+            r, c, v = r[local], c[local], v[local]
+            r2, c2, sh = r2[local], c2[local], sh[local]
+        self.nnz = len(r)          # local nnz in multi-process runs
+
         # model hooks BEFORE relabeling
         w = np.asarray(model.example_weight(
             jnp.asarray(r.astype(np.int32)),
@@ -156,17 +208,21 @@ class BlockDSGDSolver:
             lam = np.full(len(r), model.k, np.int32)
             self.use_mask = False
 
-        r2 = u_perm[r]
-        c2 = i_perm[c]
-        sh = r2 // self.bu
         ib = c2 // self.bi
         t = (ib - sh) % N
         su = (r2 % self.bu) // sub_bu
         si = (c2 % self.bi) // sub_bi
-        cell = ((sh * N + t) * self.SU + su) * self.SI + si
-        n_cells = N * N * self.SU * self.SI
+        blk_pos = np.full(N, -1, np.int64)
+        blk_pos[self.local_blocks] = np.arange(nb)
+        cell = ((blk_pos[sh] * N + t) * self.SU + su) * self.SI + si
+        n_cells = nb * N * self.SU * self.SI
         counts = np.bincount(cell, minlength=n_cells)
         S = max(int(counts.max()), 1)
+        if multiproc:
+            # the padded cell size must agree across processes
+            from jax.experimental import multihost_utils
+            S = int(np.max(multihost_utils.process_allgather(
+                np.asarray(S))))
         S = _cdiv(S, batch_size) * batch_size
         self.S = S
         self.bs = min(batch_size, S)
@@ -177,10 +233,10 @@ class BlockDSGDSolver:
         vals = np.zeros((n_cells, S), np.float32)
         wts = np.zeros((n_cells, S), np.float32)
         lams = np.ones((n_cells, S), np.int32)
-        # vectorized random order within cells (one lexsort, not a
-        # python loop over n_cells — N^2*SU*SI cells at scale)
-        rng = np.random.default_rng(params.seed * 31337 + 7)
-        order = np.lexsort((rng.random(len(r2)), cell))
+        # deterministic pseudo-random order within cells: one lexsort
+        # (not a python loop over n_cells — N^2*SU*SI cells at scale)
+        # keyed by the global pair hash so it is process-independent
+        order = np.lexsort((_pair_hash(r2, c2, params.seed), cell))
         r2, c2, v, w, lam = (r2[order], c2[order], v[order], w[order],
                              lam[order])
         cell = cell[order]
@@ -203,14 +259,18 @@ class BlockDSGDSolver:
 
         # cell-major [N, N, SU*SI + 1, S] (dummy all-invalid last row
         # per shard-round, addressed by the diag schedule's pad lanes),
-        # sharded over the mesh axis
+        # sharded over the mesh axis; multi-process runs assemble the
+        # global array from each process's nb local shard blocks
         nc_sr = self.SU * self.SI
         sharding = NamedSharding(mesh, P(axis, None, None, None))
 
         def put(a, fill):
-            a = a.reshape(N, N, nc_sr, S)
+            a = a.reshape(nb, N, nc_sr, S)
             a = np.concatenate(
-                [a, np.full((N, N, 1, S), fill, a.dtype)], axis=2)
+                [a, np.full((nb, N, 1, S), fill, a.dtype)], axis=2)
+            if multiproc:
+                return jax.make_array_from_process_local_data(
+                    sharding, a, (N,) + a.shape[1:])
             return jax.device_put(jnp.asarray(a), sharding)
 
         self.u_loc = put(u_loc, 0)

@@ -106,8 +106,12 @@ class Recommender:
             return out_i, out_s
         from matfac_tpu.eval.ranking import topk_catalog_block
         sc = self._scorer
-        if not hasattr(self, "_padded_view"):
-            self._padded_view = sc._pad_view(self.view)  # view is fixed
+        # cache keyed on view identity: replacing self.view (e.g. after
+        # more training) must invalidate the padded copy or the XLA
+        # path would silently serve stale factors
+        if getattr(self, "_padded_src", None) is not self.view:
+            self._padded_view = sc._pad_view(self.view)
+            self._padded_src = self.view
         view = self._padded_view
         # bound the per-dispatch score matrix ([B, item_block] f32) —
         # unbounded query sizes would scale HBM with the request

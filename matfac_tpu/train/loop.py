@@ -299,13 +299,16 @@ def _auto_method(algo: str, data, params, mesh) -> str:
       reference; pick the one-hot MXU block engine when the staged
       cell stream fits HBM (~1.5x-padded 7-array stream), else the
       scatter engine.
-    * under a multi-device mesh, SGD-family -> DSGD (handled by the
-      caller's mesh branch).
+    * under a multi-device mesh the same quality-basin argument holds:
+      plain MF -> sharded bucketed ALS (SPMD auto-partitioning over the
+      row-sharded tables, tests/test_parallel.py); SGD-trained
+      long-tail families -> block-DSGD (the one-hot engine under the
+      DSGD rotation; the dispatch falls back to the scatter DSGD for
+      Poisson-sampled ranks, which the block engines cannot stage).
     """
     if mesh is not None:
-        # block-DSGD (118M ratings/s/shard at N=1) — the dispatch
-        # falls back to the scatter DSGD for Poisson-sampled ranks
-        # and multi-process staging
+        if algo == "mf":
+            return "als"
         return "blocksgd"
     if algo == "mf":
         return "als"
@@ -393,20 +396,26 @@ def train_model(data, params: Params, algo: str = "mf",
         m = _auto_method(a, data, params, mesh)
         log_fn(f"mf_method=auto resolved to '{m}' "
                "(measured guidance, PERF.md)")
+    if mesh is not None and model.use_bias:
+        # DSGD/BlockDSGD update factors only; routing a bias model
+        # there would silently freeze mu/uBias/iBias (ADVICE r2)
+        raise ValueError(
+            "mesh training does not support bias models (the DSGD "
+            "engines update factors only) — train mf_bias on a single "
+            "device, as the reference does (modelMFBias.cpp:103-227)")
     sing_vals = None
     if mesh is not None and m == "blocksgd":
         # multi-device one-hot engine: DSGD rotation outside,
-        # block-SGD sweeps inside each shard-round. Models the block
-        # engine cannot stage (Poisson-sampled ranks) and multi-process
-        # runs (single-process staging only) fall back to the scatter
-        # DSGD, which samples in-kernel and stages per process.
-        import jax as _jax
-        if hasattr(model, "pair_lambda") or _jax.process_count() > 1:
+        # block-SGD sweeps inside each shard-round; multi-process runs
+        # stage per process (parallel/block_dsgd.py). Models the block
+        # engine cannot stage (Poisson-sampled ranks) fall back to the
+        # scatter DSGD, which samples in-kernel.
+        if hasattr(model, "pair_lambda"):
             from matfac_tpu.parallel.dsgd import DSGDShardedSolver
             solver = DSGDShardedSolver(model, params, data.train_mat,
                                        inval_u, inval_i, mesh)
             log_fn("mesh blocksgd: fell back to the scatter DSGD "
-                   "(Poisson-sampled ranks / multi-process staging)")
+                   "(Poisson-sampled ranks)")
         else:
             from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
             solver = BlockDSGDSolver(
@@ -478,6 +487,12 @@ def train_model(data, params: Params, algo: str = "mf",
     ev = Evaluator(data, inval_u, inval_i, params)
     state = init_state_override or init_state(params, data.n_users,
                                               data.n_items)
+    if mesh is not None and m in ("als", "ialspp", "alsdense"):
+        # row-shard the tables so SPMD auto-partitioning spreads the
+        # bucketed Gram + batched solve over the mesh
+        from matfac_tpu.parallel.mesh import shard_state
+        ax = mesh.axis_names[0]
+        state = shard_state(state, mesh, u_axis=ax, i_axis=ax)
     loop = TrainLoop(model, solver, ev, params, prefix=prefix,
                      invalid_users=inval_u, invalid_items=inval_i,
                      log_fn=log_fn)

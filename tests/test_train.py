@@ -433,7 +433,12 @@ def test_auto_method_selection():
     assert _auto_method("ifwmf", data, p, None) == "blocksgd"
     assert _auto_method("tmfdropout", data, p, None) == "sgd"
     assert _auto_method("mf_bias", data, p, None) == "sgd"
-    assert _auto_method("mf", data, p, object()) == "blocksgd"  # mesh
+    # mesh branch makes the same quality-basin argument: sharded ALS
+    # for plain MF, block-DSGD for the SGD-trained long-tail families
+    assert _auto_method("mf", data, p, object()) == "als"
+    assert _auto_method("tmf", data, p, object()) == "blocksgd"
+    assert _auto_method("ifwmf", data, p, object()) == "blocksgd"
+    assert _auto_method("tmfdropout", data, p, object()) == "blocksgd"
 
     # end-to-end: auto trains and logs the resolution
     logs = []
