@@ -50,6 +50,45 @@ def load_facs(state: MFState, prefix: str, sig: str) -> Optional[MFState]:
     return state._replace(u_fac=jnp.asarray(u), i_fac=jnp.asarray(i))
 
 
+def bias_paths(prefix: str, sig: str) -> Tuple[str, str, str]:
+    """Model::save's bias file names (model.cpp:43-57): note the global
+    bias is ``{prefix}_{sig}_gBias`` (sig BEFORE the name, no ext)."""
+    return (f"{prefix}_uBias_{sig}.vec", f"{prefix}_iBias_{sig}.vec",
+            f"{prefix}_{sig}_gBias")
+
+
+def save_full(state: MFState, prefix: str, sig: str) -> None:
+    """Model::save analog (model.cpp:31-58): factors + uBias/iBias
+    (one value per line, writeVector io.cpp:369-388) + global bias mu
+    as a 1-element vector."""
+    from matfac_tpu.data.io import write_vector
+    save_facs(state, prefix, sig)
+    ub, ib, gb = bias_paths(prefix, sig)
+    write_vector(np.asarray(state.u_bias), ub)
+    write_vector(np.asarray(state.i_bias), ib)
+    write_vector(np.asarray([float(state.mu)]), gb)
+
+
+def load_full(state: MFState, prefix: str, sig: str) -> Optional[MFState]:
+    """Model::load analog (model.cpp:61-86): factors + biases + mu,
+    existence-checked as a set (a factors-only checkpoint loads via
+    load_facs instead)."""
+    from matfac_tpu.data.io import read_vector
+    st = load_facs(state, prefix, sig)
+    if st is None:
+        return None
+    ub, ib, gb = bias_paths(prefix, sig)
+    if not (os.path.exists(ub) and os.path.exists(ib)
+            and os.path.exists(gb)):
+        return None
+    u_bias = read_vector(ub)
+    i_bias = read_vector(ib)
+    mu = read_vector(gb)[0]
+    return st._replace(u_bias=jnp.asarray(u_bias, jnp.float32),
+                       i_bias=jnp.asarray(i_bias, jnp.float32),
+                       mu=jnp.asarray(mu, jnp.float32))
+
+
 def save_invalid(prefix: str, invalid_users: np.ndarray,
                  invalid_items: np.ndarray) -> None:
     """main.cpp:1387-1393 analog: one id per line."""

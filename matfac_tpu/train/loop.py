@@ -175,7 +175,7 @@ class TrainLoop:
 
                 if self.prefix and (it % p.save_iter == 0
                                     or it == p.max_iter - 1):
-                    ckpt.save_facs(best_state, self.prefix, sig)
+                    self._save_text(best_state, sig)
                     solver_extra = {}
                     if hasattr(self.solver, "internal_state"):
                         solver_extra = {
@@ -196,12 +196,21 @@ class TrainLoop:
                     break
 
         if self.prefix:
-            ckpt.save_facs(best_state, self.prefix, sig)
+            self._save_text(best_state, sig)
             if self.invalid_users is not None:
                 ckpt.save_invalid(self.prefix, self.invalid_users,
                                   self.invalid_items)
         return TrainReport(state, best_state, best_val, best_iter, stop,
                            history)
+
+    def _save_text(self, best_state: MFState, sig: str) -> None:
+        """Text checkpoint of the best snapshot: bias models persist
+        mu/uBias/iBias alongside factors (Model::save model.cpp:31-58);
+        factor-only models write just the factor .mats (saveFacs)."""
+        if getattr(self.model, "use_bias", False):
+            ckpt.save_full(best_state, self.prefix, sig)
+        else:
+            ckpt.save_facs(best_state, self.prefix, sig)
 
 
 class TrainLoopHR:
@@ -215,20 +224,35 @@ class TrainLoopHR:
 
     def __init__(self, model, solver, scorer, val_mat, params: Params,
                  log_fn: Callable[[str], None] = print,
-                 metric_fn: Optional[Callable] = None):
+                 metric_fn: Optional[Callable] = None,
+                 prefix: Optional[str] = None,
+                 invalid_users: Optional[np.ndarray] = None,
+                 invalid_items: Optional[np.ndarray] = None):
         """``metric_fn(view) -> float`` (higher = better) overrides the
         default val HR@10 — e.g. NDCG for the trainHogPosNeg protocol
-        (modelMFBPR.cpp:633, isTerminateModelNDCG model.cpp:1379)."""
+        (modelMFBPR.cpp:633, isTerminateModelNDCG model.cpp:1379).
+        ``prefix`` enables the same checkpoint protocol as TrainLoop:
+        the reference persists the best-on-validation BPR model exactly
+        like the MF models (bestModel, model.cpp:89-101 via
+        modelMFBPR.cpp:405-559)."""
         self.model = model
         self.solver = solver
         self.scorer = scorer
         self.val_mat = val_mat
         self.params = params
         self.log_fn = log_fn
+        self.prefix = prefix
+        self.invalid_users = invalid_users
+        self.invalid_items = invalid_items
         self.metric_fn = metric_fn or (
             lambda view: self.scorer.hit_rate(view, self.val_mat, 10))
 
-    def run(self, state: MFState, seed: Optional[int] = None) -> TrainReport:
+    def run(self, state: MFState, seed: Optional[int] = None,
+            resume: bool = False) -> TrainReport:
+        """``resume=True`` with a prefix continues bit-exactly from the
+        last {prefix}_loop.npz: epoch counter, decayed lr, best
+        HR/snapshot, the raw PRNG key chain and the solver's last
+        loss/inversions are all restored."""
         p = self.params
         lr = p.learn_rate
         key = jax.random.PRNGKey(p.seed if seed is None else seed)
@@ -237,10 +261,29 @@ class TrainLoopHR:
         best_state = snapshot(state)
         best_hr = self.metric_fn(self.model.eval_view(state))
         best_iter = -1
+        start_iter = 0
         history: List[EpochLog] = []
         stop = "max_iter"
+        sig = (ckpt.model_signature(p, self.model.n_users,
+                                    self.model.n_items)
+               if self.prefix else None)
+        loop_path = f"{self.prefix}_loop.npz" if self.prefix else None
 
-        for it in range(p.max_iter):
+        if resume and loop_path and os.path.exists(loop_path):
+            state, extra = ckpt.load_state(loop_path)
+            best_state, _ = ckpt.load_state(
+                loop_path.replace("_loop.npz", "_loop_best.npz"))
+            lr = float(extra["lr"])
+            best_hr = float(extra["best_hr"])
+            best_iter = int(extra["best_iter"])
+            start_iter = int(extra["epoch"]) + 1
+            key = jnp.asarray(extra["key_data"], dtype=jnp.uint32)
+            self.solver.last_loss = jnp.asarray(float(extra["last_loss"]))
+            self.solver.last_inversions = jnp.asarray(
+                int(extra["last_inversions"]), jnp.int32)
+            self.log_fn(f"resumed from {loop_path} at epoch {start_iter}")
+
+        for it in range(start_iter, p.max_iter):
             key, ek = jax.random.split(key)
             t0 = time.time()
             state = self.solver.epoch(state, lr, ek)
@@ -274,6 +317,27 @@ class TrainLoopHR:
                         f"{int(self.solver.last_inversions)} "
                         f"lr {lr:g} {dt*1000:.1f}ms")
 
+                if self.prefix and (it % p.save_iter == 0
+                                    or it == p.max_iter - 1):
+                    ckpt.save_facs(best_state, self.prefix, sig)
+                    ckpt.save_state(
+                        loop_path, state,
+                        epoch=np.int64(it),
+                        lr=np.float64(lr),
+                        best_hr=np.float64(best_hr),
+                        best_iter=np.int64(best_iter),
+                        key_data=np.asarray(key),
+                        last_loss=np.float64(loss),
+                        last_inversions=np.int64(
+                            self.solver.last_inversions))
+                    ckpt.save_state(loop_path.replace(
+                        "_loop.npz", "_loop_best.npz"), best_state)
+
+        if self.prefix:
+            ckpt.save_facs(best_state, self.prefix, sig)
+            if self.invalid_users is not None:
+                ckpt.save_invalid(self.prefix, self.invalid_users,
+                                  self.invalid_items)
         return TrainReport(state, best_state, best_hr, best_iter, stop,
                            history)
 
@@ -363,7 +427,7 @@ def train_model(data, params: Params, algo: str = "mf",
             log_fn("mf_method=auto resolved to 'train' (BPR stream)")
         return _train_ranking(data, params, a, mf_method, log_fn,
                               init_state_override, inval_u, inval_i,
-                              user_freq, item_freq)
+                              user_freq, item_freq, prefix)
 
     if a == "increment":
         # ModelIncrement dispatch (main.cpp:1325-1370 reaches it from
@@ -506,7 +570,7 @@ def train_model(data, params: Params, algo: str = "mf",
 
 def _train_ranking(data, params, algo, mf_method, log_fn,
                    init_state_override, inval_u, inval_i,
-                   user_freq, item_freq):
+                   user_freq, item_freq, prefix=None):
     """BPR family (main dispatch has no BPR hook in the reference — it's
     reached by editing dispatch, SURVEY.md §3.4 — here it's first-class).
     mf_method: 'train' (sequential analog) and 'hog' both map to the
@@ -542,7 +606,9 @@ def _train_ranking(data, params, algo, mf_method, log_fn,
         ev = Evaluator(data, inval_u, inval_i, params)
         metric_fn = lambda view: ev.ndcg(view, "val")
     loop = TrainLoopHR(model, solver, scorer, data.val_mat, params,
-                       log_fn=log_fn, metric_fn=metric_fn)
+                       log_fn=log_fn, metric_fn=metric_fn,
+                       prefix=prefix, invalid_users=inval_u,
+                       invalid_items=inval_i)
     report = loop.run(state)
     return report, model, scorer, (inval_u, inval_i)
 

@@ -238,3 +238,81 @@ def test_bpr_loss_no_overflow_at_extreme_scores(lo_data):
     solver.epoch(st, 0.0, jax.random.PRNGKey(0))
     assert np.isfinite(float(solver.last_loss))
     assert float(solver.last_loss) > 0
+
+
+def _run_hr_loop(data, params, prefix, resume):
+    from matfac_tpu.eval.ranking import CatalogScorer
+    from matfac_tpu.models.base import init_state
+    from matfac_tpu.train.loop import TrainLoopHR
+
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    model = ModelMFBPR(params, data.n_users, data.n_items)
+    solver = BPRSolver(model, params, data.train_mat, iu, ii,
+                       batch_size=256)
+    scorer = CatalogScorer(data.train_mat, iu, ii, data.n_users,
+                           data.n_items, user_block=128, item_block=128)
+    loop = TrainLoopHR(model, solver, scorer, data.val_mat, params,
+                       log_fn=lambda s: None, prefix=prefix,
+                       invalid_users=iu, invalid_items=ii)
+    return loop.run(init_state(params, data.n_users, data.n_items),
+                    resume=resume)
+
+
+def test_hr_loop_resume_bit_exact(lo_data, tmp_path):
+    """TrainLoopHR checkpoint/resume (VERDICT r2 #3): a BPR run
+    interrupted at epoch 5 and resumed reaches the SAME final state and
+    best HR as an uninterrupted run — the raw PRNG key chain, decayed
+    lr, best snapshot and solver loss/inversions are all persisted
+    (bestModel semantics, model.cpp:89-101 / modelMFBPR.cpp:405-559)."""
+    import os
+
+    from matfac_tpu.train import checkpoint as ckpt
+
+    data = lo_data
+    base = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.1,
+                  max_iter=10, seed=3, batch_size=256, disp_iter=1000,
+                  save_iter=1)
+    rep_full = _run_hr_loop(data, base, str(tmp_path / "full"), False)
+    _run_hr_loop(data, base.replace(max_iter=5),
+                 str(tmp_path / "part"), False)
+    rep_res = _run_hr_loop(data, base, str(tmp_path / "part"), True)
+    np.testing.assert_array_equal(np.asarray(rep_full.state.u_fac),
+                                  np.asarray(rep_res.state.u_fac))
+    np.testing.assert_array_equal(np.asarray(rep_full.state.i_fac),
+                                  np.asarray(rep_res.state.i_fac))
+    assert rep_full.best_metric == rep_res.best_metric
+    assert rep_full.best_iter == rep_res.best_iter
+    # best-on-validation factors + invalid sets are on disk with the
+    # model-signature names
+    sig = ckpt.model_signature(base, data.n_users, data.n_items)
+    up, ip = ckpt.fac_paths(str(tmp_path / "full"), sig)
+    assert os.path.exists(up) and os.path.exists(ip)
+    assert os.path.exists(str(tmp_path / "full") + "_invalUsers.txt")
+
+
+def test_bpr_train_model_prefix_checkpoints(lo_data, tmp_path):
+    """The train_model front door forwards prefix to the ranking loop."""
+    import os
+
+    from matfac_tpu.train import checkpoint as ckpt
+
+    data = lo_data
+    params = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.1,
+                    max_iter=3, seed=2, batch_size=256, disp_iter=1000,
+                    save_iter=1, eval_user_block=128, eval_item_block=128)
+    prefix = str(tmp_path / "bpr")
+    rep, model, scorer, _ = train_model(data, params, algo="bpr",
+                                        log_fn=lambda s: None,
+                                        prefix=prefix)
+    sig = ckpt.model_signature(params, data.n_users, data.n_items)
+    up, ip = ckpt.fac_paths(prefix, sig)
+    assert os.path.exists(up) and os.path.exists(ip)
+    assert os.path.exists(prefix + "_loop.npz")
+    # the text checkpoint holds the BEST snapshot
+    from matfac_tpu.models.base import init_state
+    st = ckpt.load_facs(init_state(params, data.n_users, data.n_items),
+                        prefix, sig)
+    np.testing.assert_allclose(np.asarray(st.u_fac),
+                               np.asarray(rep.best_state.u_fac),
+                               rtol=0, atol=2e-5)

@@ -472,3 +472,69 @@ def test_blocksgd_rejects_poisson_sampled_model():
     with pytest.raises(ValueError, match="Poisson-sampled"):
         BlockSGDSolver(m, p, data.train_mat, iu, ii, batch_size=32,
                        bu=32, bi=32)
+
+
+def test_full_model_text_save_load_roundtrip(tmp_path):
+    """Model::save/load parity (model.cpp:31-86): biases + mu ride the
+    text checkpoint with the reference's file names — uBias/iBias as
+    one-value-per-line .vec, global bias as {prefix}_{sig}_gBias."""
+    p = Params(fac_dim=3, u_reg=0.01, i_reg=0.01, learn_rate=0.005)
+    st = init_state(p, 4, 5, seed=9)
+    st = st._replace(u_bias=jnp.arange(4, dtype=jnp.float32) / 7,
+                     i_bias=-jnp.arange(5, dtype=jnp.float32) / 3,
+                     mu=jnp.asarray(2.5, jnp.float32))
+    sig = ckpt.model_signature(p, 4, 5)
+    prefix = str(tmp_path / "m")
+    ckpt.save_full(st, prefix, sig)
+    # reference-layout names exist
+    assert (tmp_path / f"m_uBias_{sig}.vec").exists()
+    assert (tmp_path / f"m_iBias_{sig}.vec").exists()
+    assert (tmp_path / f"m_{sig}_gBias").exists()
+    out = ckpt.load_full(init_state(p, 4, 5, seed=1), prefix, sig)
+    np.testing.assert_allclose(np.asarray(out.u_fac),
+                               np.asarray(st.u_fac), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.u_bias),
+                               np.asarray(st.u_bias), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.i_bias),
+                               np.asarray(st.i_bias), atol=1e-5)
+    assert abs(float(out.mu) - 2.5) < 1e-7
+    # a hand-written reference-layout fixture loads too
+    (tmp_path / f"r_uBias_{sig}.vec").write_text("1.5\n-2\n0\n3.25\n")
+    (tmp_path / f"r_iBias_{sig}.vec").write_text("0\n0\n1\n0\n-1\n")
+    (tmp_path / f"r_{sig}_gBias").write_text("3.75\n")
+    ckpt.save_facs(st, str(tmp_path / "r"), sig)
+    out2 = ckpt.load_full(init_state(p, 4, 5, seed=1),
+                          str(tmp_path / "r"), sig)
+    np.testing.assert_allclose(np.asarray(out2.u_bias),
+                               [1.5, -2, 0, 3.25])
+    assert float(out2.mu) == 3.75
+    # missing bias files -> None (existence-checked as a set)
+    assert ckpt.load_full(init_state(p, 4, 5), str(tmp_path / "x"),
+                          sig) is None
+
+
+def test_bias_model_text_checkpoint_roundtrip(tmp_path):
+    """Training mf_bias with a prefix persists mu/uBias/iBias; loading
+    them back reproduces the best snapshot's predictions."""
+    from matfac_tpu.data.synthetic import synthetic_data
+
+    data, _, _ = synthetic_data(n_users=50, n_items=40, k=3,
+                                density=0.35, seed=31, noise=0.05,
+                                nonneg=True)
+    p = Params(fac_dim=3, u_reg=0.01, i_reg=0.01, learn_rate=0.02,
+               max_iter=6, seed=4, disp_iter=1000, save_iter=2)
+    prefix = str(tmp_path / "bias")
+    rep, model, ev, _ = train_model(data, p, algo="mf_bias",
+                                    log_fn=lambda s: None,
+                                    prefix=prefix)
+    sig = ckpt.model_signature(p, data.n_users, data.n_items)
+    out = ckpt.load_full(init_state(p, data.n_users, data.n_items),
+                         prefix, sig)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out.u_bias),
+                               np.asarray(rep.best_state.u_bias),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.i_bias),
+                               np.asarray(rep.best_state.i_bias),
+                               rtol=0, atol=2e-5)
+    assert abs(float(out.mu) - float(rep.best_state.mu)) < 2e-5
