@@ -31,9 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "bpr | bprPoissonDropout | increment "
                          "(increment needs --graphmat as the probe set)")
     ap.add_argument("--mf_method", default="sgd",
-                    help="sgd|sgdpar|sgdu|hogsgd|blocksgd|als|ialspp|"
-                         "alsdense|ccd|ccd++|ccd++freqadap|auto "
-                         "(auto = measured TPU-first choice, PERF.md)")
+                    help="sgd|sgdpar|sgdparsvd|sgdu|hogsgd|blocksgd|als|"
+                         "ialspp|alsdense|ccd|ccd++|ccd++freqadap|auto "
+                         "(auto = measured TPU-first choice, PERF.md). "
+                         "For --algo bpr*: train|hog|posneg|sigmoid|auto "
+                         "(train/hog = stream + HR selection, posneg = "
+                         "per-user pos/neg pairs + NDCG selection, "
+                         "sigmoid = deterministic-rank BPRPoisson)")
     ap.add_argument("--maxiter", type=int, default=1000)
     ap.add_argument("--facdim", type=int, default=10)
     ap.add_argument("--svdfacdim", type=int, default=10)

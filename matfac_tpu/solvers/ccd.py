@@ -32,6 +32,10 @@ from matfac_tpu.config import Params
 from matfac_tpu.models.base import MFState
 
 
+def _cdiv_i(a, b):
+    return -(-a // b)
+
+
 def _stage_coo(train_mat, invalid_users, invalid_items):
     r, c, v = train_mat.to_coo()
     keep = ~invalid_users[r] & ~invalid_items[c]
@@ -40,9 +44,61 @@ def _stage_coo(train_mat, invalid_users, invalid_items):
             jnp.asarray(v[keep].astype(np.float32)))
 
 
+# ----------------------------------------------------------------------
+# sorted-segment reduction (the "sorted" CCD++ engine's core trick)
+# ----------------------------------------------------------------------
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (|e| <= eps|s|)."""
+    s = a + b
+    z = s - a
+    e = (a - (s - z)) + (b - z)
+    return s, e
+
+
+def _sorted_segment_sum2(x2, bounds, block):
+    """Segmented sum of ``x2`` [n_pad, 2] over CONTIGUOUS segments
+    (``bounds`` [n_seg+1] = start positions; padding rows must be 0)
+    with NO per-element index stream — the scatter-free replacement for
+    `segment_sum` when the stream is sorted by segment id.
+
+    Two-level for f32 safety: within-block inclusive cumsum (magnitude
+    bounded by the block sum), compensated double-f32 associative scan
+    over block totals (TPU has no fast f64), assembled per segment with
+    an exact TwoSum difference — absolute error stays O(block_sum*eps),
+    independent of nnz.  Cost: one contiguous cumsum pass + O(n_seg)
+    boundary gathers, vs segment_sum's nnz-element scatter stream
+    (~7 ns/index on the tunnel TPU — PERF.md "CCD++")."""
+    n = x2.shape[0]
+    nb = n // block
+    within = jnp.cumsum(x2.reshape(nb, block, 2), axis=1)
+    btot = within[:, -1, :]                       # [nb, 2]
+    h, l = jax.lax.associative_scan(
+        lambda a, b: (lambda s_e: (s_e[0], s_e[1] + a[1] + b[1]))(
+            _two_sum(a[0], b[0])),
+        (btot, jnp.zeros_like(btot)), axis=0)
+    # exclusive block prefixes
+    z2 = jnp.zeros((1, 2), btot.dtype)
+    h = jnp.concatenate([z2, h[:-1]], axis=0)
+    l = jnp.concatenate([z2, l[:-1]], axis=0)
+
+    def prefix(pos):
+        """(block-prefix hi, lo, within-block inclusive) at pos; -1 -> 0."""
+        safe = jnp.maximum(pos, 0)
+        b, o = safe // block, safe % block
+        valid = (pos >= 0)[:, None].astype(btot.dtype)
+        return h[b] * valid, l[b] * valid, within[b, o] * valid
+
+    he, le, we = prefix(bounds[1:] - 1)
+    hs, ls, ws = prefix(bounds[:-1] - 1)
+    d, e = _two_sum(he, -hs)          # exact hi-part difference
+    return d + (e + (le - ls) + (we - ws))
+
+
 def _make_sweep_core(n_users, n_items, u_reg, i_reg, n_inner,
                      item_dim_ok, nc, chunk):
-    """Build dim_sweep(u_fac, i_fac, res, rows, cols, kk) -> (u, i, res).
+    """Build dim_sweep(u_fac, i_fac, res, stream, kk) -> (u, i, res)
+    for the SCATTER engine (stream = (rows, cols)).
 
     nc == 0: monolithic segment ops over the full nnz stream.
     nc > 0: rows/cols/res are padded to nc*chunk (pad rows/cols point at
@@ -84,9 +140,6 @@ def _make_sweep_core(n_users, n_items, u_reg, i_reg, n_inner,
             v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
         res = res - u_k[rows] * v_k[cols]
         return _set_col(u_fac, kk, u_k), _set_col(i_fac, kk, v_k), res
-
-    if nc == 0:
-        return plain
 
     def _pad1(x):
         return jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
@@ -145,7 +198,114 @@ def _make_sweep_core(n_users, n_items, u_reg, i_reg, n_inner,
         res = res_delta(res, u_k, v_k, -1.0)
         return _set_col(u_fac, kk, u_k), _set_col(i_fac, kk, v_k), res
 
-    return chunked
+    inner_core = plain if nc == 0 else chunked
+
+    def core(u_fac, i_fac, res, stream, kk):
+        return inner_core(u_fac, i_fac, res, stream[0], stream[1], kk)
+
+    return core
+
+
+def _make_sweep_core_sorted(n_users, n_items, u_reg, i_reg, n_inner,
+                            item_dim_ok, nc, chunk, seg_block):
+    """The SORTED engine's dim sweep: stream = (rows, cols, col_order,
+    rows_cs, row_bounds, col_bounds), rows ASCENDING, col_order the
+    static permutation to the column-sorted view.
+
+    Index-stream accounting vs the scatter engine (the wall on the
+    tunnel TPU is ~7 ns per per-element index stream, PERF.md "CCD++";
+    the scatter engine issues ~24 streams/dim):
+      * both sides' segment reductions become _sorted_segment_sum2
+        (contiguous cumsums, 0 per-element streams) — the inner
+        residual is CONSTANT through the 5 alternations (modelMF.cpp's
+        res is only touched by the add-back/subtract passes), so ONE
+        permute into the col-sorted view per dim serves all 5 item
+        sides;
+      * remaining streams/dim: add-back 2, permute 1, 5x(vg gather 1)
+        + 5x(ug gather 1), subtract 2 = 15.
+    Math is the reference's exact closed form; only fp summation order
+    differs from the scatter engine (tests pin ~1e-3 agreement).
+    """
+
+    def _pad1(x):
+        return jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+
+    def _sl(x, off):
+        return jax.lax.dynamic_slice(x, (off,), (chunk,))
+
+    def core(u_fac, i_fac, res, stream, kk):
+        rows, cols, col_order, rows_cs, row_bounds, col_bounds = stream
+        n_pad = res.shape[0]
+        u_k = jax.lax.dynamic_index_in_dim(u_fac, kk, 1, False)
+        v_k = jax.lax.dynamic_index_in_dim(i_fac, kk, 1, False)
+        u_p, v_p = _pad1(u_k), _pad1(v_k)
+
+        # dim-removed residual, in both sorted views (pad entries stay
+        # exactly 0: sentinel gathers hit the _pad1 zero row)
+        if nc == 0:
+            resn = res + u_p[rows] * v_p[cols]
+            resn_cs = resn[col_order]
+        else:
+            def bld(c, buf):
+                off = c * chunk
+                val = (_sl(res, off)
+                       + u_p[_sl(rows, off)] * v_p[_sl(cols, off)])
+                return jax.lax.dynamic_update_slice(buf, val, (off,))
+
+            resn = jax.lax.fori_loop(0, nc, bld, jnp.zeros_like(res))
+
+            def prm(c, buf):
+                off = c * chunk
+                val = resn[_sl(col_order, off)]
+                return jax.lax.dynamic_update_slice(buf, val, (off,))
+
+            resn_cs = jax.lax.fori_loop(0, nc, prm,
+                                        jnp.zeros_like(res))
+
+        def x2(resv, idx, tab_p):
+            """[resv*g, g*g] where g = tab_p[idx] — the stacked
+            numerator/denominator integrand of the closed-form 1-D
+            update (modelMF.cpp:1061-1090)."""
+            if nc == 0:
+                g = tab_p[idx]
+                return jnp.stack([resv * g, g * g], axis=1)
+
+            def b(c, buf):
+                off = c * chunk
+                g = tab_p[_sl(idx, off)]
+                x = jnp.stack([_sl(resv, off) * g, g * g], axis=1)
+                return jax.lax.dynamic_update_slice(buf, x, (off, 0))
+
+            return jax.lax.fori_loop(
+                0, nc, b, jnp.zeros((n_pad, 2), res.dtype))
+
+        def inner(_, uv):
+            u_k, v_k = uv
+            su = _sorted_segment_sum2(x2(resn, cols, _pad1(v_k)),
+                                      row_bounds, seg_block)
+            u_k = su[:, 0] / (u_reg + su[:, 1])
+            si = _sorted_segment_sum2(x2(resn_cs, rows_cs, _pad1(u_k)),
+                                      col_bounds, seg_block)
+            v_k = si[:, 0] / (i_reg + si[:, 1])
+            return (u_k, v_k)
+
+        u_k, v_k = jax.lax.fori_loop(0, n_inner, inner, (u_k, v_k))
+        if item_dim_ok is not None:
+            v_k = jnp.where(kk == 0, v_k, v_k * item_dim_ok)
+        u_p, v_p = _pad1(u_k), _pad1(v_k)
+        if nc == 0:
+            res = resn - u_p[rows] * v_p[cols]
+        else:
+            def sub(c, buf):
+                off = c * chunk
+                val = (_sl(resn, off)
+                       - u_p[_sl(rows, off)] * v_p[_sl(cols, off)])
+                return jax.lax.dynamic_update_slice(buf, val, (off,))
+
+            res = jax.lax.fori_loop(0, nc, sub, resn)
+        return _set_col(u_fac, kk, u_k), _set_col(i_fac, kk, v_k), res
+
+    return core
 
 
 class CCDPPSolver:
@@ -157,7 +317,8 @@ class CCDPPSolver:
                  n_inner: int = 5, freq_adaptive: bool = False,
                  freq_thresh: float = 75.0, item_freq=None,
                  sweep_mode: Optional[str] = None, dim_chunk: int = 8,
-                 nnz_chunk: Optional[int] = None, **_):
+                 nnz_chunk: Optional[int] = None,
+                 engine: str = "sorted", seg_block: int = 4096, **_):
         """``sweep_mode``: "scan" = whole epoch as one lax.scan over
         dims (fastest dispatch); "per_dim" = one jitted call per dim;
         "chunked" = one jitted scan per ``dim_chunk`` dims; None =
@@ -172,15 +333,22 @@ class CCDPPSolver:
         kernel-faults at ML-10M scale even with chunked passes, while a
         single chunked dim-sweep (2.14 s) and a 4-dim chunked scan both
         run clean — so at scale the auto mode is "chunked" dim-scans
-        over nnz-chunked segment passes."""
+        over nnz-chunked segment passes.
+
+        ``engine``: "sorted" (default — scatter-free segment reductions
+        over row-/col-sorted views, ~15 index streams/dim; see
+        _make_sweep_core_sorted) or "scatter" (segment_sum both sides,
+        the round-1/2 engine, ~24 streams/dim)."""
         self.model = model
         self.params = params
-        self.rows, self.cols, self.vals = _stage_coo(
-            train_mat, invalid_users, invalid_items)
+        r, c, v = train_mat.to_coo()
+        keep = ~invalid_users[r] & ~invalid_items[c]
+        r, c, v = r[keep], c[keep], v[keep]
         self.n_users = int(model.n_users)
         self.n_items = int(model.n_items)
         self.n_inner = n_inner
-        nnz = int(self.rows.shape[0])
+        self.engine = engine
+        nnz = len(r)
         if nnz_chunk is None:
             nnz_chunk = 2_000_000 if nnz > 3_000_000 else 0
         if sweep_mode is None:
@@ -189,18 +357,41 @@ class CCDPPSolver:
         if nnz_chunk and nnz > nnz_chunk:
             self.nc = -(-nnz // nnz_chunk)
             self.chunk = nnz_chunk
-            pad = self.nc * nnz_chunk - nnz
-            # pad indices hit the sentinel row/col (gathers read the
-            # appended zero; scatter bin is sliced off)
-            self.rows = jnp.concatenate(
-                [self.rows, jnp.full((pad,), self.n_users, jnp.int32)])
-            self.cols = jnp.concatenate(
-                [self.cols, jnp.full((pad,), self.n_items, jnp.int32)])
-            self.vals = jnp.concatenate(
-                [self.vals, jnp.zeros((pad,), jnp.float32)])
         else:
             self.nc = 0
             self.chunk = 0
+        n_pad = self.nc * self.chunk if self.nc else nnz
+        if engine == "sorted":
+            # the sorted engine's bounds come from a row-ascending
+            # stream (to_coo from CSR already is; sort to be robust)
+            order = np.argsort(r, kind="stable")
+            r, c, v = r[order], c[order], v[order]
+            # cumsum blocks must tile the padded stream exactly
+            self.seg_block = seg_block
+            n_pad = max(_cdiv_i(n_pad, seg_block), 1) * seg_block
+        pad = n_pad - nnz
+        if pad:
+            # pad indices hit the sentinel row/col (gathers read the
+            # appended _pad1 zero; scatter bin is sliced off), values 0
+            r = np.concatenate([r, np.full(pad, self.n_users, r.dtype)])
+            c = np.concatenate([c, np.full(pad, self.n_items, c.dtype)])
+            v = np.concatenate([v, np.zeros(pad, v.dtype)])
+        self.rows = jnp.asarray(r.astype(np.int32))
+        self.cols = jnp.asarray(c.astype(np.int32))
+        self.vals = jnp.asarray(v.astype(np.float32))
+        if engine == "sorted":
+            col_order = np.argsort(c, kind="stable")
+            self.stream = (
+                self.rows, self.cols,
+                jnp.asarray(col_order.astype(np.int32)),
+                jnp.asarray(r[col_order].astype(np.int32)),
+                jnp.asarray(np.searchsorted(
+                    r, np.arange(self.n_users + 1)).astype(np.int32)),
+                jnp.asarray(np.searchsorted(
+                    c[col_order],
+                    np.arange(self.n_items + 1)).astype(np.int32)))
+        else:
+            self.stream = (self.rows, self.cols)
         self.res: Optional[jax.Array] = None
         if freq_adaptive:
             if item_freq is None:
@@ -218,6 +409,11 @@ class CCDPPSolver:
         self._initialized = False
 
     def _sweep_core(self):
+        if self.engine == "sorted":
+            return _make_sweep_core_sorted(
+                self.n_users, self.n_items, float(self.params.u_reg),
+                float(self.params.i_reg), self.n_inner,
+                self.item_dim_ok, self.nc, self.chunk, self.seg_block)
         return _make_sweep_core(
             self.n_users, self.n_items, float(self.params.u_reg),
             float(self.params.i_reg), self.n_inner, self.item_dim_ok,
@@ -229,8 +425,8 @@ class CCDPPSolver:
         core = self._sweep_core()
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def dim_sweep(u_fac, i_fac, res, rows, cols, kk):
-            return core(u_fac, i_fac, res, rows, cols, kk)
+        def dim_sweep(u_fac, i_fac, res, stream, kk):
+            return core(u_fac, i_fac, res, stream, kk)
 
         return dim_sweep
 
@@ -240,10 +436,10 @@ class CCDPPSolver:
         core = self._sweep_core()
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def chunk_sweep(u_fac, i_fac, res, rows, cols, dims):
+        def chunk_sweep(u_fac, i_fac, res, stream, dims):
             def dim_sweep(carry, kk):
                 u_fac, i_fac, res = carry
-                return core(u_fac, i_fac, res, rows, cols, kk), None
+                return core(u_fac, i_fac, res, stream, kk), None
 
             (u_fac, i_fac, res), _ = jax.lax.scan(
                 dim_sweep, (u_fac, i_fac, res), dims)
@@ -257,12 +453,12 @@ class CCDPPSolver:
         # staged arrays are jit ARGUMENTS (closure constants make XLA
         # compile time explode at nnz scale — see solvers/sgd.py)
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch(state: MFState, res, rows, cols, key):
+        def epoch(state: MFState, res, stream, key):
             dims = jax.random.permutation(key, state.u_fac.shape[1])
 
             def dim_sweep(carry, kk):
                 u_fac, i_fac, res = carry
-                return core(u_fac, i_fac, res, rows, cols, kk), None
+                return core(u_fac, i_fac, res, stream, kk), None
 
             (u_fac, i_fac, res), _ = jax.lax.scan(
                 dim_sweep, (state.u_fac, state.i_fac, res), dims)
@@ -285,7 +481,7 @@ class CCDPPSolver:
             u_fac, i_fac, res = state.u_fac, state.i_fac, self.res
             for kk in dims:
                 u_fac, i_fac, res = self._dim_sweep(
-                    u_fac, i_fac, res, self.rows, self.cols, int(kk))
+                    u_fac, i_fac, res, self.stream, int(kk))
             self.res = res
             return state._replace(u_fac=u_fac, i_fac=i_fac)
         if self.sweep_mode == "chunked":
@@ -299,15 +495,14 @@ class CCDPPSolver:
             n_full = (k // C) * C
             for s in range(0, n_full, C):
                 u_fac, i_fac, res = self._chunk_sweep(
-                    u_fac, i_fac, res, self.rows, self.cols,
+                    u_fac, i_fac, res, self.stream,
                     jnp.asarray(dims[s:s + C]))
             for kk in dims[n_full:]:
                 u_fac, i_fac, res = self._dim_sweep(
-                    u_fac, i_fac, res, self.rows, self.cols, int(kk))
+                    u_fac, i_fac, res, self.stream, int(kk))
             self.res = res
             return state._replace(u_fac=u_fac, i_fac=i_fac)
-        state, self.res = self._epoch(state, self.res, self.rows,
-                                      self.cols, key)
+        state, self.res = self._epoch(state, self.res, self.stream, key)
         return state
 
     def reset(self):
@@ -337,10 +532,19 @@ class CCDPPSolver:
 class CCDSolver(CCDPPSolver):
     """Per-entity CCD (trainCCD): full user sweep over all dims, then
     full item sweep; add-back folded into the numerator; residual is NOT
-    reinitialized (uFac starts at 0 per modelMF.cpp:1520-1526)."""
+    reinitialized (uFac starts at 0 per modelMF.cpp:1520-1526).
+
+    sweep_mode is pinned to "scan": the inherited per_dim/chunked paths
+    run the CCD++ dim sweep (add-back + alternations + subtract), which
+    is NOT trainCCD's user-sweep-then-item-sweep ordering — before
+    round 3 the >3M-nnz auto mode silently picked "chunked" and trained
+    the wrong algorithm. Scale is still served: _build_epoch has its own
+    nnz-chunked passes."""
 
     def __init__(self, *args, **kw):
         kw.pop("n_inner", None)
+        kw["sweep_mode"] = "scan"
+        kw.setdefault("engine", "scatter")
         super().__init__(*args, n_inner=1, **kw)
 
     def _build_epoch(self):
@@ -353,7 +557,8 @@ class CCDSolver(CCDPPSolver):
             return jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch(state: MFState, res, rows, cols, key):
+        def epoch(state: MFState, res, stream, key):
+            rows, cols = stream[0], stream[1]
             k_u, k_i = jax.random.split(key)
 
             if nc == 0:

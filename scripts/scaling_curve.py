@@ -1,0 +1,96 @@
+"""DSGD / BlockDSGD scaling curve on the virtual CPU mesh (VERDICT r2
+#5): epoch wall-clock at N = 1/2/4/8 shards for the scatter DSGD and
+the one-hot BlockDSGD, with parallel efficiency and staged-stream
+balance columns.
+
+CPU numbers are NOT TPU throughput — the point is the SHAPE: they
+expose schedule pathologies (ppermute serialization, stream imbalance,
+round overhead growing with N) that are invariant to the backend.
+Results are recorded in PERF.md "Virtual-mesh scaling curve".
+
+Run: python scripts/scaling_curve.py  (forces CPU, 8 virtual devices)
+"""
+
+import os
+import time
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from matfac_tpu.config import Params  # noqa: E402
+from matfac_tpu.data.synthetic import synthetic_data  # noqa: E402
+from matfac_tpu.models.base import ModelMF, init_state  # noqa: E402
+from matfac_tpu.parallel.mesh import make_mesh  # noqa: E402
+from matfac_tpu.utils import freq as ufreq  # noqa: E402
+
+
+def stream_balance(solver):
+    """max/median real (non-padding) staged entries per shard."""
+    wts = np.asarray(solver.wts) > 0
+    per_shard = wts.reshape(wts.shape[0], -1).sum(axis=1)
+    return float(per_shard.max() / max(np.median(per_shard), 1))
+
+
+def run(n_users=16384, n_items=4096, nnz=1_000_000, k=32, epochs=4):
+    rng = np.random.default_rng(0)
+    data, _, _ = synthetic_data(n_users=n_users, n_items=n_items, k=8,
+                                density=nnz / (n_users * n_items),
+                                seed=3, noise=0.1, power_law=1.1,
+                                nonneg=True)
+    params = Params(fac_dim=k, u_reg=0.01, i_reg=0.01, learn_rate=0.005,
+                    seed=1, batch_size=4096)
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    model = ModelMF(params, data.n_users, data.n_items)
+    del rng
+
+    rows = []
+    for engine in ("dsgd", "blockdsgd"):
+        base = None
+        for N in (1, 2, 4, 8):
+            mesh = make_mesh((N,), ("u",), devices=jax.devices()[:N])
+            if engine == "dsgd":
+                from matfac_tpu.parallel.dsgd import DSGDShardedSolver
+                solver = DSGDShardedSolver(model, params, data.train_mat,
+                                           iu, ii, mesh,
+                                           balance_items=True)
+            else:
+                from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+                solver = BlockDSGDSolver(model, params, data.train_mat,
+                                         iu, ii, mesh, sub_bu=512,
+                                         sub_bi=512, batch_size=1024)
+            state = init_state(params, data.n_users, data.n_items)
+            key = jax.random.PRNGKey(0)
+            key, ek = jax.random.split(key)
+            state = solver.epoch(state, 0.005, ek)   # compile
+            jax.block_until_ready(state.u_fac)
+            times = []
+            for _ in range(epochs):
+                key, ek = jax.random.split(key)
+                t0 = time.time()
+                state = solver.epoch(state, 0.005, ek)
+                jax.block_until_ready(state.u_fac)
+                times.append(time.time() - t0)
+            dt = min(times)
+            if base is None:
+                base = dt
+            eff = base / (dt * 1)   # CPU cores shared: report speedup
+            bal = stream_balance(solver)
+            rows.append((engine, N, dt, base / dt, bal))
+            print(f"{engine:10s} N={N} epoch={dt*1000:7.1f} ms "
+                  f"speedup_vs_N1={base/dt:5.2f} balance={bal:4.2f}",
+                  flush=True)
+    print("\n| engine | N | epoch ms | speedup vs N=1 | max/median "
+          "stream |")
+    print("|---|---|---|---|---|")
+    for e, N, dt, sp, bal in rows:
+        print(f"| {e} | {N} | {dt*1000:.1f} | {sp:.2f} | {bal:.2f} |")
+
+
+if __name__ == "__main__":
+    run()

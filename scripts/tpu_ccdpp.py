@@ -16,7 +16,7 @@ import numpy as np
 
 
 def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
-              dim_chunk=8, nnz_chunk=None):
+              dim_chunk=8, nnz_chunk=None, engine="sorted"):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,8 @@ def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
     iu = np.zeros(n_users, bool)
     ii = np.zeros(n_items, bool)
     solver = CCDPPSolver(model, params, mat, iu, ii, sweep_mode=mode,
-                         dim_chunk=dim_chunk, nnz_chunk=nnz_chunk)
+                         dim_chunk=dim_chunk, nnz_chunk=nnz_chunk,
+                         engine=engine)
     print(f"  nnz_chunk: nc={solver.nc} chunk={solver.chunk}", flush=True)
     st = init_state(params, n_users, n_items)
     key = jax.random.PRNGKey(0)
@@ -53,7 +54,7 @@ def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
         _ = float(jnp.sum(st.u_fac[0]))
         times.append(time.time() - t0)
     dt = min(times)
-    print(f"OK {mode} {n_users}x{n_items} nnz={mat.nnz} k={k}: "
+    print(f"OK {mode}/{engine} {n_users}x{n_items} nnz={mat.nnz} k={k}: "
           f"compile+first={compile_s:.1f}s epoch={dt*1000:.0f}ms "
           f"rate={mat.nnz/dt/1e6:.1f}M ratings/s", flush=True)
 
@@ -64,16 +65,20 @@ def main():
     k = 64
     # round 2: auto nnz_chunk (2M passes) is the kernel-fault fix; run
     # the headline ML-10M shape directly
+    import os
+    engines = os.environ.get("CCDPP_ENGINES", "sorted,scatter").split(",")
     stages = [
         (100_000, 20_000, 9_900_000, None),   # auto: chunked+nnz_chunk
     ]
-    for n_users, n_items, nnz, mode in stages:
-        print(f"--- stage {mode} nnz={nnz}", flush=True)
-        try:
-            run_stage(n_users, n_items, nnz, k, mode, n_epochs=2)
-        except Exception as e:  # noqa: BLE001 — log and continue ramp
-            print(f"FAIL {mode} nnz={nnz}: {type(e).__name__}: {e}",
-                  flush=True)
+    for engine in engines:
+        for n_users, n_items, nnz, mode in stages:
+            print(f"--- stage {mode}/{engine} nnz={nnz}", flush=True)
+            try:
+                run_stage(n_users, n_items, nnz, k, mode, n_epochs=2,
+                          engine=engine)
+            except Exception as e:  # noqa: BLE001 — log, continue ramp
+                print(f"FAIL {mode}/{engine} nnz={nnz}: "
+                      f"{type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -228,3 +228,35 @@ def test_movielens_parsers(tmp_path):
     open(p3, "w").write("userId,movieId,rating,ts\n3,4,4.5,1\n7,9,1.0,1\n")
     u3, i3, r3 = load_ratings_file(p3)
     np.testing.assert_allclose(r3, [4.5, 1.0])
+
+
+def test_gen_stats_with_ignore_set():
+    """genStats parity (util.cpp:319-411): per-entity counts, the
+    after-ignore variants, and the min/max entity tallies — checked
+    against a hand-counted tiny matrix."""
+    from matfac_tpu.data.csr import RatingMatrix
+    from matfac_tpu.utils.freq import format_gen_stats, gen_stats
+
+    rows = np.array([0, 0, 0, 1, 2, 2])
+    cols = np.array([0, 1, 2, 1, 0, 2])
+    vals = np.ones(6, np.float32)
+    mat = RatingMatrix.from_coo(rows, cols, vals, 3, 3)
+    s = gen_stats(mat)
+    assert s["nnz"] == 6 and s["ig_nnz"] == 0
+    assert (s["min_user_ratings"], s["max_user_ratings"]) == (1, 3)
+    assert (s["min_item_ratings"], s["max_item_ratings"]) == (2, 2)
+    assert s["n_users_with_min"] == 1     # user 1
+    assert s["n_items_with_max"] == 3     # every item has 2
+
+    # ignore (0,1) and (2,0): user 0 -> 2, user 2 -> 1, item 0 -> 1,
+    # item 1 -> 1
+    s2 = gen_stats(mat, ignore_pairs=([0, 2], [1, 0]))
+    assert s2["ig_nnz"] == 2
+    assert s2["min_user_ratings"] == 1          # pre-ignore unchanged
+    assert s2["min_user_ratings_after_ig"] == 1
+    assert s2["max_user_ratings_after_ig"] == 2
+    assert s2["n_users_with_max"] == 1          # user 0
+    assert s2["max_item_ratings_after_ig"] == 2  # item 2
+    assert s2["n_items_with_max"] == 1
+    txt = format_gen_stats(s2, op_prefix="t")
+    assert "NNZ: 6" in txt and "after ig" in txt and "opPrefix: t" in txt

@@ -483,3 +483,29 @@ def test_block_dsgd_tmf_rank_mask(setup):
         state = s.epoch(state, 0.02, k)
     after = ev.rmse(m.eval_view(state), "val")
     assert after < before
+
+
+def test_block_dsgd_streams_balanced_under_power_law():
+    """Frequency-interleaved staging keeps per-shard staged streams
+    balanced (max/median <= 2) under power-law data at N=8 — the
+    hot-item shard-imbalance regression guard (SURVEY §7, PERF.md
+    "Virtual-mesh scaling curve")."""
+    from matfac_tpu.data.synthetic import synthetic_data as sd
+    from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
+
+    data, _, _ = sd(n_users=320, n_items=160, k=4, density=0.25,
+                    seed=17, noise=0.05, power_law=1.3, nonneg=True)
+    p = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, seed=5,
+               batch_size=64)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    model = ModelMF(p, data.n_users, data.n_items)
+    mesh = make_mesh((8,), ("u",))
+    s = BlockDSGDSolver(model, p, data.train_mat, iu, ii, mesh,
+                        sub_bu=8, sub_bi=4, batch_size=16)
+    wts = np.asarray(s.wts) > 0
+    per_shard = wts.reshape(8, -1).sum(axis=1)
+    assert per_shard.max() / max(np.median(per_shard), 1) <= 2.0, \
+        per_shard
+    # and the padded cell size is not blown up by a hot cell
+    assert s.pad_frac < 6.0, s.pad_frac

@@ -153,8 +153,13 @@ def test_ccdpp_residual_consistency(setup):
     vals = np.asarray(solver.vals)
     U = np.asarray(state.u_fac)
     V = np.asarray(state.i_fac)
-    expect = vals - np.einsum("ek,ek->e", U[rows], V[cols])
-    np.testing.assert_allclose(res, expect, atol=5e-4)
+    # staged streams may carry sentinel padding (seg_block/nnz_chunk
+    # alignment); pad residuals must stay exactly zero
+    real = rows < data.n_users
+    expect = vals[real] - np.einsum("ek,ek->e", U[rows[real]],
+                                    V[cols[real]])
+    np.testing.assert_allclose(res[real], expect, atol=5e-4)
+    np.testing.assert_array_equal(res[~real], 0.0)
 
 
 def test_ccd_recovers_low_rank(setup_reg):
@@ -408,3 +413,62 @@ def test_dense_als_bf16_survives_indefinite_grams(setup_pos):
         assert bool(jnp.isfinite(st.i_fac).all()), f"NaN at epoch {e}"
         vals.append(ev.rmse(model.eval_view(st), "val"))
     assert vals[-1] < vals[0]
+
+
+def test_ccdpp_sorted_engine_matches_scatter(setup_reg):
+    """The sorted engine (scatter-free cumsum segment reductions) is
+    the same closed-form math as the scatter engine up to fp summation
+    order — factors agree to ~1e-3 after 3 epochs, and it holds under
+    nnz chunking (which pads the stream past the chunk grid)."""
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    for extra in ({}, {"nnz_chunk": 257}):
+        a = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                        engine="scatter")
+        b = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                        engine="sorted", **extra)
+        s1 = init_state(params, model.n_users, model.n_items)
+        s2 = init_state(params, model.n_users, model.n_items)
+        key = jax.random.PRNGKey(3)
+        for _ in range(3):
+            key, k = jax.random.split(key)
+            s1 = a.epoch(s1, 0, k)
+            s2 = b.epoch(s2, 0, k)
+        np.testing.assert_allclose(np.asarray(s1.u_fac),
+                                   np.asarray(s2.u_fac),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(s1.i_fac),
+                                   np.asarray(s2.i_fac),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_sorted_segment_sum2_exact():
+    """The two-level compensated reduction matches a float64 oracle to
+    ~1e-3 absolute even when block prefixes reach 1e7 (the naive f32
+    cumsum-difference would be off by O(1))."""
+    from matfac_tpu.solvers.ccd import _sorted_segment_sum2
+
+    rng = np.random.default_rng(0)
+    n, n_seg, block = 64 * 1024, 37, 1024
+    seg = np.sort(rng.integers(0, n_seg, n))
+    x = rng.normal(3.0, 1.0, (n, 2)).astype(np.float32)
+    bounds = np.searchsorted(seg, np.arange(n_seg + 1))
+    got = np.asarray(_sorted_segment_sum2(
+        jnp.asarray(x), jnp.asarray(bounds.astype(np.int32)), block))
+    want = np.zeros((n_seg, 2))
+    np.add.at(want, seg, x.astype(np.float64))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_ccd_sweep_mode_pinned_to_scan(setup_reg):
+    """CCDSolver must never route through the inherited per_dim/chunked
+    sweeps — those run CCD++ dim sweeps, not trainCCD's user-then-item
+    Gauss-Seidel ordering (latent >3M-nnz auto-mode bug, fixed r3)."""
+    from matfac_tpu.solvers.ccd import CCDSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    s = CCDSolver(model, params, data.train_mat, iu, ii,
+                  sweep_mode="chunked")
+    assert s.sweep_mode == "scan"
+    assert s.engine == "scatter"
