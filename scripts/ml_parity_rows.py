@@ -1,0 +1,106 @@
+"""Fill the BASELINE.md measurement-plan parity rows (VERDICT r2 #8).
+
+The image has no MovieLens files, so each row runs on a
+*shape- and rating-distribution-matched* synthetic: power-law item
+popularity + 1-5 star quantile quantization (data.synthetic
+`stars=True`), tagged SYNTHETIC in BASELINE.md. Rows:
+
+  * ML-1M shape   (6040 x 3706, ~1M ratings), rank-64 ALS   -> RMSE
+  * ML-10M shape  (69878 x 10677, ~10M),     rank-64 CCD++ -> RMSE
+  * ML-10M shape  implicit positives,        rank-64 BPR   -> HR@10/NDCG@10
+  * ML-20M shape  (138k x 27k, ~20M),        rank-128 TMF+Poisson -> RMSE
+    (+ frequency-quartile RMSEs — the WWW'19 long-tail protocol)
+
+Run ON-CHIP: nohup python scripts/ml_parity_rows.py > /tmp/parity.log 2>&1 &
+(ONE TPU process at a time; poll the log.)
+"""
+
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def pointwise_row(name, algo, method, n_users, n_items, density, k,
+                  max_iter, seed=11, quartiles=False, **params_kw):
+    from matfac_tpu.config import Params
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.train.loop import train_model
+
+    data, _, _ = synthetic_data(
+        n_users=n_users, n_items=n_items, k=16,
+        density=density, seed=seed, noise=0.4, power_law=0.9,
+        nonneg=True, stars=True)
+    log(f"--- {name}: {data.train_mat} k={k} method={method}")
+    p = Params(fac_dim=k, max_iter=max_iter, seed=1, disp_iter=10 ** 6,
+               **params_kw)
+    t0 = time.time()
+    rep, model, ev, (iu, ii) = train_model(
+        data, p, algo=algo, mf_method=method, log_fn=lambda s: None)
+    test = ev.rmse(model.eval_view(rep.best_state), "test")
+    log(f"{name}: best_val={rep.best_metric:.4f} test={test:.4f} "
+        f"best_iter={rep.best_iter} stop={rep.stop_reason} "
+        f"wall={time.time()-t0:.0f}s")
+    if quartiles:
+        from matfac_tpu.eval.quartile import quartile_report
+        rpt = quartile_report(model.eval_view(rep.best_state), data, ev,
+                              iu, ii)
+        log(f"{name} quartiles:\n{rpt}")
+    return rep
+
+
+def bpr_row(n_users=69878, n_items=10677, per_user=140, k=64,
+            max_iter=40):
+    from matfac_tpu.config import Params
+    from matfac_tpu.data.synthetic import leave_one_out_data
+    from matfac_tpu.train.loop import train_model
+
+    data = leave_one_out_data(n_users=n_users, n_items=n_items, k=16,
+                              per_user=per_user, seed=6,
+                              structured=True)
+    log(f"--- ML-10M-shape BPR: {data.train_mat}")
+    p = Params(fac_dim=k, max_iter=max_iter, seed=2, learn_rate=0.1,
+               u_reg=0.001, i_reg=0.001, batch_size=65536,
+               disp_iter=10, n_negatives=2, bpr_sampler="rankgap")
+    t0 = time.time()
+    rep, model, scorer, _ = train_model(data, p, algo="bpr",
+                                        log_fn=log)
+    view = model.eval_view(rep.best_state)
+    hr = scorer.hit_rate(view, data.test_mat, 10)
+    from matfac_tpu.eval.metrics import Evaluator
+    iu = np.zeros(n_users, bool)
+    ii = np.zeros(n_items, bool)
+    ev = Evaluator(data, iu, ii, p)
+    ndcg = ev.ndcg(view, "test")
+    log(f"ML-10M-shape BPR: best_val_HR={rep.best_metric:.4f} "
+        f"test_HR@10={hr:.4f} test_NDCG@10={ndcg:.4f} "
+        f"wall={time.time()-t0:.0f}s")
+
+
+def main():
+    import jax
+    log("devices:", jax.devices())
+    # ML-1M shape, ALS rank-64
+    pointwise_row("ML-1M-shape ALS", "mf", "als", 6040, 3706,
+                  1_000_000 / (6040 * 3706), 64, 40,
+                  u_reg=0.05, i_reg=0.05)
+    # ML-10M shape, CCD++ rank-64 (sorted engine)
+    pointwise_row("ML-10M-shape CCD++", "mf", "ccd++", 69878, 10677,
+                  10_000_000 / (69878 * 10677), 64, 10,
+                  u_reg=0.05, i_reg=0.05)
+    # ML-20M shape, TMF+Poisson rank-128 + quartiles
+    pointwise_row("ML-20M-shape TMFDropout", "tmfdropout", "auto",
+                  138_000, 27_000, 20_000_000 / (138_000 * 27_000),
+                  128, 60, u_reg=0.005, i_reg=0.005, learn_rate=0.05,
+                  rho_rms=1.0, alpha=0.0, batch_size=65536,
+                  quartiles=True)
+    # ML-10M shape, BPR
+    bpr_row()
+    log("PARITY_ROWS_DONE")
+
+
+if __name__ == "__main__":
+    main()

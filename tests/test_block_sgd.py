@@ -268,3 +268,36 @@ def test_block_sgd_via_train_model():
     rep, model, ev, _ = train_model(data, params, mf_method="blocksgd",
                                     log_fn=lambda s: None)
     assert np.isfinite(rep.best_metric)
+
+
+def test_block_sgd_auto_batch_sizing():
+    """batch_size=None sizes the diag minibatch for ~64k ratings per
+    sequential step (the medium-shape dispatch-floor fix), fitted so
+    cell padding stays small, and still converges."""
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.eval.metrics import Evaluator
+    from matfac_tpu.models.base import ModelMF, init_state
+    from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+    from matfac_tpu.utils import freq
+
+    data, _, _ = synthetic_data(n_users=160, n_items=96, k=4,
+                                density=0.3, seed=9, noise=0.05)
+    p = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, learn_rate=0.02,
+               seed=5)
+    iu, ii = freq.invalid_users_items(data.train_mat, data.n_users,
+                                      data.n_items)
+    model = ModelMF(p, data.n_users, data.n_items)
+    s = BlockSGDSolver(model, p, data.train_mat, iu, ii,
+                       batch_size=None, bu=16, bi=8, schedule="diag")
+    # auto lands on a multiple of 256 fitted to the max cell
+    assert s.bs % 256 == 0 or s.bs == s.S
+    assert s.S % s.bs == 0
+    assert s.S - s.bs < 256 * max(s.S // s.bs, 1)
+    ev = Evaluator(data, iu, ii, p)
+    state = init_state(p, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(50):
+        key, k = jax.random.split(key)
+        state = s.epoch(state, 0.02, k)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 0.3, val
