@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--quartiles", action="store_true", default=True)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from {prefix}_loop.npz if present "
+                         "(bit-exact resume incl. PRNG key chain)")
     ap.add_argument("--mode", default="train",
                     choices=["train", "analyze"],
                     help="analyze = offline analysis of saved factors "
@@ -193,7 +196,8 @@ def main(argv=None) -> int:
 
     report, model, ev, (inval_u, inval_i) = train_model(
         data, params, algo=args.algo, mf_method=args.mf_method,
-        init_state_override=init_override, prefix=args.prefix)
+        init_state_override=init_override, prefix=args.prefix,
+        resume=args.resume)
 
     best = report.best_state
     view = model.eval_view(best)

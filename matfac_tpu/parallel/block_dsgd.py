@@ -96,9 +96,16 @@ class BlockDSGDSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  mesh: Mesh, axis: str = "u", sub_bu: int = 384,
-                 sub_bi: int = 384, batch_size: int = 1024,
+                 sub_bi: int = 384,
+                 batch_size: Optional[int] = None,
                  collision_norm: Optional[bool] = None,
                  mm_bf16: bool = True, pad_k: int = 0):
+        """``batch_size=None`` = auto: size the minibatch so one
+        sequential step of each shard's diag sweep carries ~64k
+        ratings over its G = SI lanes (the dispatch-floor fix of
+        solvers/block_sgd.py, PERF.md "Medium-scale dispatch floor"),
+        fitted to the allgather-maxed cell size so every process picks
+        the same value."""
         if model.use_bias or not model.use_factors:
             raise ValueError("BlockDSGDSolver is factor-only")
         if hasattr(model, "pair_lambda"):
@@ -223,6 +230,10 @@ class BlockDSGDSolver:
             from jax.experimental import multihost_utils
             S = int(np.max(multihost_utils.process_allgather(
                 np.asarray(S))))
+        if batch_size is None:
+            target = min(max(65536 // max(self.SI, 1), 1024), 8192)
+            n_steps = max(_cdiv(S, target), 1)
+            batch_size = _cdiv(_cdiv(S, n_steps), 256) * 256
         S = _cdiv(S, batch_size) * batch_size
         self.S = S
         self.bs = min(batch_size, S)

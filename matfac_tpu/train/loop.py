@@ -390,13 +390,16 @@ def _auto_method(algo: str, data, params, mesh) -> str:
 def train_model(data, params: Params, algo: str = "mf",
                 mf_method: str = "sgd", log_fn=print,
                 init_state_override: Optional[MFState] = None,
-                prefix: Optional[str] = None, mesh=None):
+                prefix: Optional[str] = None, mesh=None,
+                resume: bool = False):
     """Build model+solver from reference-parity names and train.
 
     algo: mf | mf_bias | IFWMF | TMF | TMFDropout  (main.cpp --algo)
     mf_method: sgd | sgdpar | sgdu | hogsgd | als | ccd | ccd++
       (main.cpp --mf_method; all four SGD spellings map to the one
       minibatched engine)
+    resume: continue from {prefix}_loop.npz if present (bit-exact for
+      both the pointwise and the ranking loops).
     Returns (report, model, evaluator, invalid masks).
     """
     from matfac_tpu.models.base import ModelMF, ModelMFBias, init_state
@@ -427,7 +430,7 @@ def train_model(data, params: Params, algo: str = "mf",
             log_fn("mf_method=auto resolved to 'train' (BPR stream)")
         return _train_ranking(data, params, a, mf_method, log_fn,
                               init_state_override, inval_u, inval_i,
-                              user_freq, item_freq, prefix)
+                              user_freq, item_freq, prefix, resume)
 
     if a == "increment":
         # ModelIncrement dispatch (main.cpp:1325-1370 reaches it from
@@ -484,7 +487,7 @@ def train_model(data, params: Params, algo: str = "mf",
             from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
             solver = BlockDSGDSolver(
                 model, params, data.train_mat, inval_u, inval_i, mesh,
-                batch_size=min(params.batch_size, 1024),
+                batch_size=None,   # auto-sized per-step work
                 pad_k=128 if params.fac_dim <= 128 else 0)
     elif mesh is not None and m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
         # multi-device: block-stratified DSGD over the mesh
@@ -564,13 +567,13 @@ def train_model(data, params: Params, algo: str = "mf",
         # isTerminateModelSing path: objective uses sigma-weighted L2
         loop._objective = lambda st: ev.objective_sing(
             model.eval_view(st), st, sing_vals)
-    report = loop.run(state)
+    report = loop.run(state, resume=resume)
     return report, model, ev, (inval_u, inval_i)
 
 
 def _train_ranking(data, params, algo, mf_method, log_fn,
                    init_state_override, inval_u, inval_i,
-                   user_freq, item_freq, prefix=None):
+                   user_freq, item_freq, prefix=None, resume=False):
     """BPR family (main dispatch has no BPR hook in the reference — it's
     reached by editing dispatch, SURVEY.md §3.4 — here it's first-class).
     mf_method: 'train' (sequential analog) and 'hog' both map to the
@@ -609,7 +612,7 @@ def _train_ranking(data, params, algo, mf_method, log_fn,
                        log_fn=log_fn, metric_fn=metric_fn,
                        prefix=prefix, invalid_users=inval_u,
                        invalid_items=inval_i)
-    report = loop.run(state)
+    report = loop.run(state, resume=resume)
     return report, model, scorer, (inval_u, inval_i)
 
 

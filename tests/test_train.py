@@ -538,3 +538,24 @@ def test_bias_model_text_checkpoint_roundtrip(tmp_path):
                                np.asarray(rep.best_state.i_bias),
                                rtol=0, atol=2e-5)
     assert abs(float(out.mu) - float(rep.best_state.mu)) < 2e-5
+
+
+def test_train_model_resume_passthrough(tmp_path):
+    """The front door (and hence the CLI --resume flag) plumbs resume
+    into the loop: a second call with resume=True continues from the
+    saved epoch instead of restarting."""
+    from matfac_tpu.data.synthetic import synthetic_data
+
+    data, _, _ = synthetic_data(n_users=50, n_items=40, k=3,
+                                density=0.35, seed=31, noise=0.05,
+                                nonneg=True)
+    p = Params(fac_dim=3, u_reg=0.05, i_reg=0.05, learn_rate=0.03,
+               max_iter=4, seed=4, disp_iter=1000, save_iter=1)
+    prefix = str(tmp_path / "r")
+    train_model(data, p, algo="mf", mf_method="sgd",
+                log_fn=lambda s: None, prefix=prefix)
+    logs = []
+    train_model(data, p.replace(max_iter=8), algo="mf",
+                mf_method="sgd", log_fn=logs.append, prefix=prefix,
+                resume=True)
+    assert any("resumed from" in s for s in logs), logs
