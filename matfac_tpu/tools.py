@@ -28,10 +28,13 @@ Covered here:
   * ppr_item_buckets_rmse          — pprItemBucketsRMSE.py (vectorized)
   * analyze_output_files           — analyzOpFiles.py
 
-Not ported: plotProbRMSE.py (matplotlib plotting of the curves the
-analysis layer already computes), incompJobs.py (PBS job-queue glue,
-subsumed by gen_sweep_jobs), compTestCSRItemDist.py (an empty stub in
-the reference — it opens the file and does nothing, :1-8), and
+  * read_user_stats / read_user_curves / plot_prob_rmse_pdf
+                        — plotProbRMSE.py (per-user bucket-RMSE +
+                          log10-probability PDF pages)
+
+Not ported: incompJobs.py (PBS job-queue glue, subsumed by
+gen_sweep_jobs), compTestCSRItemDist.py (an empty stub in the
+reference — it opens the file and does nothing, :1-8), and
 compareGPRPPR.py -> analysis.drivers.compare_ppr_gpr.
 
 Dataset converters (triplets/QMF: io.write_triplets; MovieLens:
@@ -474,3 +477,76 @@ def analyze_output_files(paths: Sequence[str]) -> Dict[str, float]:
                     sums[k][0] += float(m.group(2))
                     sums[k][1] += 1
     return {k: v[0] / v[1] for k, v in sums.items() if v[1]}
+
+
+def read_user_stats(path: str) -> Dict[int, tuple]:
+    """plotProbRMSE.getUserStats parity: whitespace rows of
+    (user, nRatings, 2HopUsers, meanItemFreq, top500Count)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            c = line.split()
+            if not c:
+                continue
+            out[int(c[0])] = (int(c[1]), int(c[2]), float(c[3]),
+                              int(c[4]))
+    return out
+
+
+def read_user_curves(path: str, log10: bool = False
+                     ) -> Dict[int, np.ndarray]:
+    """plotProbRMSE.getURMSEProbs parity: per-user curve rows
+    ``user v0 v1 ...`` (log10-transform for the probability files)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            c = line.split()
+            if not c:
+                continue
+            v = np.asarray([float(x) for x in c[1:]], np.float64)
+            out[int(c[0])] = np.log10(v) if log10 else v
+    return out
+
+
+def plot_prob_rmse_pdf(u_rmse: Dict[int, np.ndarray],
+                       u_probs: Dict[int, np.ndarray],
+                       u_stats: Dict[int, tuple],
+                       pdf_path: str) -> int:
+    """plotProbRMSE.savePlotsToPDF parity: one PDF page per user
+    (ascending rating count) with the per-bucket RMSE curve and the
+    log10 steady-state-probability curve side by side, shared y-limits
+    across users. Returns the number of pages written."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    users = sorted(u_rmse, key=lambda u: (u_stats[u][0], u))
+    max_rmse = max((float(np.max(v)) for v in u_rmse.values()),
+                   default=1.0)
+    all_p = [v for v in u_probs.values() if len(v)]
+    lo = min((float(np.min(v)) for v in all_p), default=-1.0)
+    hi = max((float(np.max(v)) for v in all_p), default=0.0)
+    n = 0
+    with PdfPages(pdf_path) as pp:
+        for u in users:
+            st = u_stats[u]
+            fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3.2))
+            r = u_rmse[u]
+            ax1.plot(range(len(r)), r)
+            ax1.set_ylim(0, max_rmse)
+            ax1.set_xlabel("buckets")
+            ax1.set_ylabel("RMSE")
+            ax1.grid(True)
+            p = u_probs.get(u, np.zeros(0))
+            ax2.plot(range(len(p)), p)
+            ax2.set_ylim(lo, hi)
+            ax2.set_xlabel("buckets")
+            ax2.set_ylabel("avg steady-state prob (log10)")
+            fig.suptitle(f"user: {u} ratings: {st[0]} 2Hop users: "
+                         f"{st[1]} meanIFreq: {st[2]} topItems: {st[3]}")
+            fig.tight_layout()
+            pp.savefig(fig)
+            plt.close(fig)
+            n += 1
+    return n

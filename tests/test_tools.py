@@ -266,3 +266,27 @@ def test_analyze_output_files(tmp_path):
     out = analyze_output_files([str(p1), str(p2)])
     np.testing.assert_allclose(out["train_rmse"], 0.6)
     np.testing.assert_allclose(out["val_rmse"], 0.8)
+
+
+def test_plot_prob_rmse_pdf(tmp_path):
+    """plotProbRMSE.py parity: parses the stats/curve file formats and
+    writes one PDF page per user ordered by rating count."""
+    from matfac_tpu.tools import (plot_prob_rmse_pdf, read_user_curves,
+                                  read_user_stats)
+
+    (tmp_path / "stats.txt").write_text(
+        "1 30 120 4.5 7\n0 10 80 2.5 3\n")
+    (tmp_path / "rmse.txt").write_text(
+        "1 0.9 0.8 0.7\n0 1.1 1.0 0.9\n")
+    (tmp_path / "probs.txt").write_text(
+        "1 0.1 0.01 0.001\n0 0.2 0.02 0.002\n")
+    stats = read_user_stats(str(tmp_path / "stats.txt"))
+    rmse = read_user_curves(str(tmp_path / "rmse.txt"))
+    probs = read_user_curves(str(tmp_path / "probs.txt"), log10=True)
+    assert stats[1] == (30, 120, 4.5, 7)
+    np.testing.assert_allclose(probs[0], np.log10([0.2, 0.02, 0.002]))
+    out = str(tmp_path / "out.pdf")
+    n = plot_prob_rmse_pdf(rmse, probs, stats, out)
+    assert n == 2
+    raw = open(out, "rb").read()
+    assert raw[:5] == b"%PDF-" and len(raw) > 1000
