@@ -28,8 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     # names mirror main.cpp:26-46 gflags
     ap.add_argument("--algo", default="mf",
                     help="mf | mf_bias | IFWMF | TMF | TMFDropout | "
-                         "bpr | bprPoissonDropout | increment "
-                         "(increment needs --graphmat as the probe set)")
+                         "mf_headwt | bpr | bprPoissonDropout | "
+                         "increment (increment needs --graphmat as "
+                         "the probe set; mf_headwt = othersrc "
+                         "ModelMFWt head-item down-weighting)")
     ap.add_argument("--mf_method", default="sgd",
                     help="sgd|sgdpar|sgdparsvd|sgdu|hogsgd|blocksgd|als|"
                          "ialspp|alsdense|ccd|ccd++|ccd++freqadap|auto "

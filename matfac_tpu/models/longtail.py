@@ -161,3 +161,30 @@ class ModelPoissonDropout(ModelDropoutSigmoid):
         r = jax.random.poisson(key, lam).astype(jnp.int32)
         r = jnp.clip(r, 1, self.k)   # modelPoissonDropout.cpp:200-206
         return rank_mask(r, self.k)
+
+
+class ModelHeadWeightedMF(ModelMF):
+    """Head-item down-weighted MF — othersrc's ModelMFWt experiment
+    (othersrc/modelMFWt.cpp:151-176): per-rating data-fit weight
+    lambda0 for HEAD items (the items covering ``head_pc`` of rating
+    mass, getHeadItems util.cpp:4-34) and lambda0 + lambda1 = 1.0 for
+    tail items, so tail ratings drive the fit harder. The weight rides
+    the data-fit gradient and the objective's squared error only (same
+    hook as IFWMF). Note: the abandoned reference's OBJECTIVE
+    additionally intersects head USERS (modelMFWt.cpp:31-44) while its
+    train rule keys on items alone — we follow the train rule for
+    both, which makes objective and gradient consistent.
+    """
+
+    name = "mf_headwt"
+
+    def __init__(self, params: Params, n_users: int, n_items: int,
+                 head_item_mask: np.ndarray, lambda0: float = 0.8):
+        super().__init__(params, n_users, n_items)
+        self.lambda0 = float(lambda0)
+        hm = np.zeros(n_items, bool)
+        hm[: len(head_item_mask)] = head_item_mask[:n_items]
+        self._head = jnp.asarray(hm)
+
+    def example_weight(self, u_idx, i_idx):
+        return jnp.where(self._head[i_idx], self.lambda0, 1.0)

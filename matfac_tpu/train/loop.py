@@ -445,18 +445,28 @@ def train_model(data, params: Params, algo: str = "mf",
         report.increment = inc_report    # rank tables + growth history
         return report, model, ev, (inval_u, inval_i)
 
-    models = {"mf": ModelMF, "mf_bias": ModelMFBias,
-              "ifwmf": ModelInvPopMF, "tmf": ModelDropoutSigmoid,
-              "tmfdropout": ModelPoissonDropout}
-    cls = models[a]
-    model = cls(params, data.n_users, data.n_items,
-                user_freq=user_freq, item_freq=item_freq,
-                invalid_users=inval_u, invalid_items=inval_i) \
-        if cls is ModelInvPopMF else \
-        cls(params, data.n_users, data.n_items,
-            user_freq=user_freq, item_freq=item_freq) \
-        if cls in (ModelDropoutSigmoid, ModelPoissonDropout) else \
-        cls(params, data.n_users, data.n_items)
+    if a in ("mf_headwt", "mfwt"):
+        # othersrc ModelMFWt: head-item down-weighting (head_pc and
+        # lambda0 pinned to the reference's constants,
+        # othersrc/modelMFWt.cpp:118-120)
+        from matfac_tpu.models.longtail import ModelHeadWeightedMF
+        a = "mf_headwt"
+        model = ModelHeadWeightedMF(
+            params, data.n_users, data.n_items,
+            ufreq.head_items(data.train_mat, 0.5), lambda0=0.8)
+    else:
+        models = {"mf": ModelMF, "mf_bias": ModelMFBias,
+                  "ifwmf": ModelInvPopMF, "tmf": ModelDropoutSigmoid,
+                  "tmfdropout": ModelPoissonDropout}
+        cls = models[a]
+        model = cls(params, data.n_users, data.n_items,
+                    user_freq=user_freq, item_freq=item_freq,
+                    invalid_users=inval_u, invalid_items=inval_i) \
+            if cls is ModelInvPopMF else \
+            cls(params, data.n_users, data.n_items,
+                user_freq=user_freq, item_freq=item_freq) \
+            if cls in (ModelDropoutSigmoid, ModelPoissonDropout) else \
+            cls(params, data.n_users, data.n_items)
 
     m = mf_method.lower()
     if m == "auto":

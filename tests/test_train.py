@@ -559,3 +559,33 @@ def test_train_model_resume_passthrough(tmp_path):
                 mf_method="sgd", log_fn=logs.append, prefix=prefix,
                 resume=True)
     assert any("resumed from" in s for s in logs), logs
+
+
+def test_head_weighted_mf():
+    """othersrc ModelMFWt parity: head items (covering 50% rating
+    mass) get data-fit weight lambda0=0.8, tail items 1.0; the weight
+    rides the example_weight hook through every SGD engine and the
+    weighted objective."""
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.models.longtail import ModelHeadWeightedMF
+    from matfac_tpu.utils.freq import head_items
+
+    data, _, _ = synthetic_data(n_users=120, n_items=80, k=3,
+                                density=0.3, seed=21, noise=0.05,
+                                power_law=1.0, nonneg=True)
+    p = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, learn_rate=0.05,
+               max_iter=200, seed=5, disp_iter=10 ** 6)
+    head = head_items(data.train_mat, 0.5)
+    m = ModelHeadWeightedMF(p, data.n_users, data.n_items, head)
+    w = np.asarray(m.example_weight(
+        jnp.arange(10, dtype=jnp.int32),
+        jnp.arange(10, dtype=jnp.int32)))
+    expect = np.where(head[:10], 0.8, 1.0)
+    np.testing.assert_allclose(w, expect)
+
+    logs = []
+    rep, model, ev, _ = train_model(data, p, algo="mf_headwt",
+                                    mf_method="auto", log_fn=logs.append)
+    assert model.name == "mf_headwt"
+    assert np.isfinite(rep.best_metric) and rep.best_metric < 0.45, \
+        rep.best_metric
