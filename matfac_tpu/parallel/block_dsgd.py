@@ -45,6 +45,10 @@ pattern). Three things keep staging process-independent:
     (user, item) pair id — not a positional RNG stream — so a process
     staging any subset orders each cell identically;
   * the padded cell size S is allgather-maxed (dsgd.py pattern).
+Caller contract: the MODEL's own statistics (freq tables behind
+example_weight/pair_rank) must already be global — train_model
+allgathers them before model construction; a hand-built model fed
+host-local frequencies would stage inconsistent weights/ranks.
 
 Limitation: Poisson-sampled ranks route to DSGD/SGD (block engines
 stage static per-pair ranks — see BlockSGDSolver guard).
@@ -231,9 +235,8 @@ class BlockDSGDSolver:
             S = int(np.max(multihost_utils.process_allgather(
                 np.asarray(S))))
         if batch_size is None:
-            target = min(max(65536 // max(self.SI, 1), 1024), 8192)
-            n_steps = max(_cdiv(S, target), 1)
-            batch_size = _cdiv(_cdiv(S, n_steps), 256) * 256
+            from matfac_tpu.solvers.block_sgd import auto_batch_size
+            batch_size = auto_batch_size(S, self.SI)
         S = _cdiv(S, batch_size) * batch_size
         self.S = S
         self.bs = min(batch_size, S)

@@ -19,7 +19,11 @@ way SURVEY.md §2/§7 prescribes:
 
 Per-example IFWMF weights and TMF/Poisson ranks are precomputed into the
 staged stream (they are static per (u, i) pair), so all SGD model
-families run through this engine.
+families run through this engine. Caller contract (multi-process): the
+model's own statistics (freq tables behind example_weight/pair_rank)
+must be GLOBAL — train_model allgathers them before model
+construction; a model fed host-local frequencies would stage
+inconsistent weights/ranks across processes.
 """
 
 from __future__ import annotations

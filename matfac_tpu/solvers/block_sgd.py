@@ -38,6 +38,22 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def auto_batch_size(s0: int, lanes: int, target_ratings: int = 65536,
+                    quantum: int = 256) -> int:
+    """Size a diag-schedule minibatch so one sequential step carries
+    ~``target_ratings`` across its ``lanes`` parallel cells — below
+    that, per-step dispatch latency (~115 us on the tunnel device)
+    dominates small shapes (PERF.md "Medium-scale dispatch floor").
+    Fitted to the max cell size ``s0`` so padding stays minimal; the
+    per-lane target is clamped to [1024, 8192] and the result rounds
+    to the ``quantum`` (so tiny cells can land below 1024). Shared by
+    BlockSGDSolver and parallel/block_dsgd.py — keep the engines'
+    sizing identical."""
+    per_lane = min(max(target_ratings // max(lanes, 1), 1024), 8192)
+    n_steps = max(_cdiv(s0, per_lane), 1)
+    return _cdiv(_cdiv(s0, n_steps), quantum) * quantum
+
+
 def stage_batch_collision_counts(wts: np.ndarray, loc: np.ndarray,
                                  bs: int, width: int) -> np.ndarray:
     """max(within-batch same-entity valid count, 1) divisors for a
@@ -196,12 +212,9 @@ class BlockSGDSolver:
         S0 = max(int(counts.max()), 1)
         if batch_size is None:
             # auto: ~64k ratings per sequential step over the diag
-            # schedule's G = NI parallel lanes (row schedule: 1 lane),
-            # fitted to S0 so cell padding stays minimal
-            G = self.NI if schedule == "diag" else 1
-            target = min(max(65536 // max(G, 1), 1024), 8192)
-            n_steps = max(_cdiv(S0, target), 1)
-            batch_size = _cdiv(_cdiv(S0, n_steps), 256) * 256
+            # schedule's G = NI parallel lanes (row schedule: 1 lane)
+            batch_size = auto_batch_size(
+                S0, self.NI if schedule == "diag" else 1)
         S = _cdiv(S0, batch_size) * batch_size
         self.S = S
         self.bs = min(batch_size, S)

@@ -36,14 +36,6 @@ def _cdiv_i(a, b):
     return -(-a // b)
 
 
-def _stage_coo(train_mat, invalid_users, invalid_items):
-    r, c, v = train_mat.to_coo()
-    keep = ~invalid_users[r] & ~invalid_items[c]
-    return (jnp.asarray(r[keep].astype(np.int32)),
-            jnp.asarray(c[keep].astype(np.int32)),
-            jnp.asarray(v[keep].astype(np.float32)))
-
-
 # ----------------------------------------------------------------------
 # sorted-segment reduction (the "sorted" CCD++ engine's core trick)
 # ----------------------------------------------------------------------

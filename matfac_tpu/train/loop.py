@@ -93,9 +93,6 @@ class TrainLoop:
         # solvers donate their input state buffers; snapshots must be
         # real copies or they alias deleted arrays after the next epoch
         snapshot = lambda st: jax.tree_util.tree_map(jnp.copy, st)
-        best_state = snapshot(state)
-        prev_obj = self._objective(state)
-        best_val = self.ev.rmse(self.model.eval_view(state), "val")
         best_iter = -1
         start_iter = 0
         history: List[EpochLog] = []
@@ -104,10 +101,21 @@ class TrainLoop:
                                     self.model.n_items)
                if self.prefix else None)
         loop_path = f"{self.prefix}_loop.npz" if self.prefix else None
+        best_path = (loop_path.replace("_loop.npz", "_loop_best.npz")
+                     if loop_path else None)
 
-        if resume and loop_path and os.path.exists(loop_path):
+        # a run killed between the loop.npz and best.npz writes must
+        # restart gracefully, not crash resume (review r3)
+        resuming = bool(resume and loop_path
+                        and os.path.exists(loop_path)
+                        and os.path.exists(best_path))
+        if resume and loop_path and os.path.exists(loop_path) \
+                and not resuming:
+            self.log_fn(f"resume requested but {best_path} is missing "
+                        "(interrupted mid-save?) — starting fresh")
+        if resuming:
             state, extra = ckpt.load_state(loop_path)
-            best_state, _ = ckpt.load_state(loop_path.replace("_loop.npz", "_loop_best.npz"))
+            best_state, _ = ckpt.load_state(best_path)
             lr = float(extra["lr"])
             best_val = float(extra["best_val"])
             best_iter = int(extra["best_iter"])
@@ -124,6 +132,10 @@ class TrainLoop:
                     {k[len("solver__"):]: v for k, v in extra.items()
                      if k.startswith("solver__")})
             self.log_fn(f"resumed from {loop_path} at epoch {start_iter}")
+        else:
+            best_state = snapshot(state)
+            prev_obj = self._objective(state)
+            best_val = self.ev.rmse(self.model.eval_view(state), "val")
 
         for it in range(start_iter, p.max_iter):
             key, ek = jax.random.split(key)
@@ -258,8 +270,6 @@ class TrainLoopHR:
         key = jax.random.PRNGKey(p.seed if seed is None else seed)
         snapshot = lambda st: jax.tree_util.tree_map(jnp.copy, st)
 
-        best_state = snapshot(state)
-        best_hr = self.metric_fn(self.model.eval_view(state))
         best_iter = -1
         start_iter = 0
         history: List[EpochLog] = []
@@ -268,11 +278,19 @@ class TrainLoopHR:
                                     self.model.n_items)
                if self.prefix else None)
         loop_path = f"{self.prefix}_loop.npz" if self.prefix else None
+        best_path = (loop_path.replace("_loop.npz", "_loop_best.npz")
+                     if loop_path else None)
 
-        if resume and loop_path and os.path.exists(loop_path):
+        resuming = bool(resume and loop_path
+                        and os.path.exists(loop_path)
+                        and os.path.exists(best_path))
+        if resume and loop_path and os.path.exists(loop_path) \
+                and not resuming:
+            self.log_fn(f"resume requested but {best_path} is missing "
+                        "(interrupted mid-save?) — starting fresh")
+        if resuming:
             state, extra = ckpt.load_state(loop_path)
-            best_state, _ = ckpt.load_state(
-                loop_path.replace("_loop.npz", "_loop_best.npz"))
+            best_state, _ = ckpt.load_state(best_path)
             lr = float(extra["lr"])
             best_hr = float(extra["best_hr"])
             best_iter = int(extra["best_iter"])
@@ -282,6 +300,11 @@ class TrainLoopHR:
             self.solver.last_inversions = jnp.asarray(
                 int(extra["last_inversions"]), jnp.int32)
             self.log_fn(f"resumed from {loop_path} at epoch {start_iter}")
+        else:
+            # the initial full-catalog eval is expensive (PERF.md) —
+            # skip it when the checkpoint will overwrite it anyway
+            best_state = snapshot(state)
+            best_hr = self.metric_fn(self.model.eval_view(state))
 
         for it in range(start_iter, p.max_iter):
             key, ek = jax.random.split(key)
@@ -420,6 +443,25 @@ def train_model(data, params: Params, algo: str = "mf",
     # appear only in test/val have zero train frequency in the reference
     user_freq = _pad_rows(user_freq, data.n_users)
     item_freq = _pad_rows(item_freq, data.n_items)
+    import jax as _jax
+    if _jax.process_count() > 1:
+        # each process may hold only its host-local rating rows
+        # (parallel.distributed.host_local_ratings): model statistics
+        # (freq tables -> IFWMF weights, TMF rank tables, head masks)
+        # and invalid masks must be GLOBAL or the staged per-pair
+        # weights/ranks differ across processes (review r3). Summed
+        # counts also fix invalid masks: an item rated only on another
+        # host is globally valid. (Processes holding the FULL matrix
+        # just scale counts xP — every derived statistic is
+        # scale-invariant: argsort order, normalized popularity,
+        # z-scores, mass quantiles.)
+        from jax.experimental import multihost_utils
+        user_freq = multihost_utils.process_allgather(
+            np.asarray(user_freq, np.int64)).sum(axis=0)
+        item_freq = multihost_utils.process_allgather(
+            np.asarray(item_freq, np.int64)).sum(axis=0)
+        inval_u = user_freq == 0
+        inval_i = item_freq == 0
 
     a = algo.lower()
     if a in ("bpr", "bprpoissondropout", "bpr_poisson"):
@@ -453,7 +495,7 @@ def train_model(data, params: Params, algo: str = "mf",
         a = "mf_headwt"
         model = ModelHeadWeightedMF(
             params, data.n_users, data.n_items,
-            ufreq.head_items(data.train_mat, 0.5), lambda0=0.8)
+            ufreq.head_items_from_freq(item_freq, 0.5), lambda0=0.8)
     else:
         models = {"mf": ModelMF, "mf_bias": ModelMFBias,
                   "ifwmf": ModelInvPopMF, "tmf": ModelDropoutSigmoid,
@@ -480,6 +522,23 @@ def train_model(data, params: Params, algo: str = "mf",
             "mesh training does not support bias models (the DSGD "
             "engines update factors only) — train mf_bias on a single "
             "device, as the reference does (modelMFBias.cpp:103-227)")
+    if m in ("als", "ialspp", "alsdense", "ccd", "ccd++", "ccdpp",
+             "ccd++freqadap"):
+        # the coordinate solvers ignore example_weight / rank-mask
+        # hooks; routing a weighted or rank-masked model there would
+        # silently train plain MF while TrainLoop logs a WEIGHTED
+        # objective (review r3). The reference trains these families
+        # through SGD/DSGD too (modelInvPopMF.cpp:229,
+        # modelDropoutSigmoid.cpp:26, modelMFWt.cpp:151).
+        weighted = (type(model).example_weight
+                    is not ModelMF.example_weight)
+        masked = hasattr(model, "pair_rank") or hasattr(model,
+                                                        "pair_lambda")
+        if weighted or masked:
+            raise ValueError(
+                f"{model.name} carries per-example weights/rank masks "
+                f"that '{m}' (coordinate family) does not honor — use "
+                "an SGD-family method (sgd/blocksgd/sgdpar/auto)")
     sing_vals = None
     if mesh is not None and m == "blocksgd":
         # multi-device one-hot engine: DSGD rotation outside,

@@ -47,12 +47,19 @@ def invalid_users_items(mat: RatingMatrix, n_users: int, n_items: int
 def head_items(mat: RatingMatrix, head_pc: float) -> np.ndarray:
     """Items covering ``head_pc`` of total rating mass, most-rated first
     (getHeadItems, util.cpp:4-34). Returns a boolean mask [n_items]."""
-    freq = mat.col_degrees().astype(np.float64)
+    return head_items_from_freq(mat.col_degrees(), head_pc)
+
+
+def head_items_from_freq(freq: np.ndarray, head_pc: float) -> np.ndarray:
+    """head_items from a frequency vector — use with allgathered global
+    frequencies in multi-process runs so every process derives the SAME
+    head set from its host-local rows."""
+    freq = np.asarray(freq, np.float64)
     order = np.argsort(-freq, kind="stable")
     csum = np.cumsum(freq[order])
     total = csum[-1] if len(csum) else 0.0
     cutoff = np.searchsorted(csum, head_pc * total) + 1
-    mask = np.zeros(mat.ncols, dtype=bool)
+    mask = np.zeros(len(freq), dtype=bool)
     mask[order[:cutoff]] = True
     return mask
 

@@ -589,3 +589,48 @@ def test_head_weighted_mf():
     assert model.name == "mf_headwt"
     assert np.isfinite(rep.best_metric) and rep.best_metric < 0.45, \
         rep.best_metric
+
+
+def test_weighted_models_rejected_by_coordinate_solvers():
+    """Coordinate solvers ignore example_weight/rank-mask hooks —
+    routing a weighted model there must raise, not silently train
+    plain MF under a weighted objective (review r3)."""
+    from matfac_tpu.data.synthetic import synthetic_data
+
+    data, _, _ = synthetic_data(n_users=60, n_items=40, k=3,
+                                density=0.3, seed=1, nonneg=True)
+    p = Params(fac_dim=4, max_iter=2, rho_rms=1.0, alpha=0.0,
+               disp_iter=10 ** 6)
+    for algo in ("ifwmf", "tmf", "mf_headwt"):
+        for method in ("als", "ccd++"):
+            with pytest.raises(ValueError, match="does not honor"):
+                train_model(data, p, algo=algo, mf_method=method,
+                            log_fn=lambda s: None)
+    # plain MF still routes fine
+    rep, *_ = train_model(data, p, algo="mf", mf_method="als",
+                          log_fn=lambda s: None)
+    assert np.isfinite(rep.best_metric)
+
+
+def test_loop_resume_survives_missing_best_file(tmp_path):
+    """A checkpoint pair interrupted between the loop.npz and
+    best.npz writes must restart gracefully, not crash resume."""
+    import os
+
+    from matfac_tpu.data.synthetic import synthetic_data
+
+    data, _, _ = synthetic_data(n_users=50, n_items=40, k=3,
+                                density=0.35, seed=31, noise=0.05,
+                                nonneg=True)
+    p = Params(fac_dim=3, u_reg=0.05, i_reg=0.05, learn_rate=0.03,
+               max_iter=3, seed=4, disp_iter=1000, save_iter=1)
+    prefix = str(tmp_path / "r")
+    train_model(data, p, algo="mf", mf_method="sgd",
+                log_fn=lambda s: None, prefix=prefix)
+    os.remove(prefix + "_loop_best.npz")
+    logs = []
+    rep, *_ = train_model(data, p, algo="mf", mf_method="sgd",
+                          log_fn=logs.append, prefix=prefix,
+                          resume=True)
+    assert any("starting fresh" in s for s in logs), logs
+    assert np.isfinite(rep.best_metric)
