@@ -165,11 +165,30 @@ def load_state(path: str) -> Tuple[MFState, dict]:
 # factors remain the interchange format)
 # ----------------------------------------------------------------------
 
+def _globalize_leaf(x):
+    """Multi-host orbax can only serialize GLOBAL jax.Arrays; leaves
+    that are process-local (e.g. replicated biases living as
+    single-device arrays) are re-placed as globally-replicated arrays
+    over an all-devices mesh (every process holds the same value)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if jax.process_count() == 1:
+        return x
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        return x   # already a global array (mesh-sharded state)
+    mesh = Mesh(np.asarray(jax.devices()), ("all",))
+    return jax.device_put(np.asarray(x),
+                          NamedSharding(mesh, PartitionSpec()))
+
+
 def save_sharded(path: str, state: MFState, **extra) -> None:
+    import jax
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    payload = {"state": state._asdict(),
+    payload = {"state": jax.tree_util.tree_map(_globalize_leaf,
+                                               state._asdict()),
                "extra": {k: np.asarray(v) for k, v in extra.items()}}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -181,8 +200,28 @@ def restore_sharded(path: str, like: MFState):
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     import jax
+
+    def replace(v, target):
+        """Re-place a restored leaf WITHOUT cross-host transfers (the
+        CPU backend refuses them): leaves already in the target
+        sharding pass through; replicated global leaves re-place from
+        the process-local full copy."""
+        if not isinstance(v, jax.Array):
+            return jax.device_put(v, target)
+        if v.sharding == target:
+            return v
+        if v.is_fully_addressable:
+            return jax.device_put(np.asarray(v), target)
+        shard = v.addressable_shards[0]
+        if shard.data.shape == v.shape:   # replicated: local copy full
+            return jax.device_put(np.asarray(shard.data), target)
+        raise ValueError(
+            f"cannot re-place a cross-host-sharded leaf from "
+            f"{v.sharding} to {target}; restore with a `like` state "
+            "in the checkpoint's own sharding")
+
     ckptr = ocp.StandardCheckpointer()
-    out = ckptr.restore(path)     # host tree
-    state = MFState(**{k: jax.device_put(v, getattr(like, k).sharding)
+    out = ckptr.restore(path)
+    state = MFState(**{k: replace(v, getattr(like, k).sharding)
                        for k, v in out["state"].items()})
     return state, out.get("extra", {})

@@ -68,6 +68,19 @@ def main():
     if pid == 0:
         np.savez(os.path.join(out_dir, "multi.npz"),
                  u_fac=np.asarray(u), i_fac=np.asarray(i))
+
+    # multi-host sharded checkpoint round-trip (orbax): every process
+    # participates in save and restore of the mesh-placed state
+    from matfac_tpu.train import checkpoint as ck
+    ckpt_dir = os.path.join(out_dir, "orbax_ckpt")
+    ck.save_sharded(ckpt_dir, state, epoch=np.int64(2))
+    restored, extra = ck.restore_sharded(ckpt_dir, state)
+    assert int(extra["epoch"]) == 2
+    du = multihost_utils.process_allgather(
+        (restored.u_fac - state.u_fac), tiled=True)
+    assert float(np.abs(np.asarray(du)).max()) == 0.0
+    print("ORBAX_OK", pid)
+
     jax.distributed.shutdown()
     print("WORKER_OK", pid)
 

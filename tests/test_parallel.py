@@ -410,6 +410,8 @@ def test_block_dsgd_two_process_distributed(tmp_path):
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i}:\n{outs[i]}"
         assert "WORKER_OK" in outs[i]
+        # multi-host orbax sharded checkpoint round-trip succeeded
+        assert "ORBAX_OK" in outs[i]
     multi = np.load(str(tmp_path / "multi.npz"))
 
     # identical problem, single process, 8-device mesh
