@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--learnrate", type=float, default=0.005)
     ap.add_argument("--rhorms", type=float, default=1.0)
     ap.add_argument("--alpha", type=float, default=0.0)
+    ap.add_argument("--regexponent", type=float, default=0.0,
+                    help="frequency-scaled regularization: per-entity "
+                         "lambda = reg * freq^e (0 = flat; othersrc "
+                         "WtReg / iALS scaled-lambda)")
     ap.add_argument("--trainmat", required=True)
     ap.add_argument("--testmat", required=True)
     ap.add_argument("--valmat", required=True)
@@ -156,7 +160,8 @@ def main(argv=None) -> int:
         fac_dim=args.facdim, max_iter=args.maxiter,
         svd_fac_dim=args.svdfacdim, seed=args.seed, u_reg=args.ureg,
         i_reg=args.ireg, learn_rate=args.learnrate, rho_rms=args.rhorms,
-        alpha=args.alpha, train_mat_file=args.trainmat,
+        alpha=args.alpha, reg_exponent=args.regexponent,
+        train_mat_file=args.trainmat,
         test_mat_file=args.testmat, val_mat_file=args.valmat,
         graph_mat_file=args.graphmat, orig_u_fac_file=args.origufac,
         orig_i_fac_file=args.origifac, init_u_fac_file=args.initufac,

@@ -30,6 +30,13 @@ class Params:
     # --- regularization / step size ---
     u_reg: float = 0.01
     i_reg: float = 0.01
+    # frequency-scaled regularization exponent: effective per-entity
+    # lambda = reg * freq^reg_exponent (ALS: exact per-row lambda;
+    # SGD: per-occurrence multiplier (freq/mean_freq)^exponent). 0 =
+    # the reference's flat lambda. Covers the othersrc
+    # marginal-weighted-reg experiments (modelMFWtReg/WtRegArb) and
+    # the iALS scaled-lambda family.
+    reg_exponent: float = 0.0
     learn_rate: float = 0.005
 
     # --- long-tail model knobs (WWW'19) ---

