@@ -34,11 +34,21 @@ def main():
     iu, ii = freq.invalid_users_items(mat, n_users, n_items)
     print(f"nnz={mat.nnz}", flush=True)
 
+    import os
+    if os.environ.get("BDSGD_SHAPE") == "medium":
+        n_users, n_items = 20_000, 5_000
+        mat, _, _ = low_rank_ratings(n_users, n_items, k=8,
+                                     density=0.05, seed=0, noise=0.1,
+                                     power_law=0.6, nonneg=True)
+        iu, ii = freq.invalid_users_items(mat, n_users, n_items)
+        print(f"medium nnz={mat.nnz}", flush=True)
+        configs = (("sub384 AUTO padk128", 384, None, 128),
+                   ("sub384 bs1024 padk128", 384, 1024, 128))
+    else:
+        configs = (("sub384 bs1024 padk128", 384, 1024, 128),
+                   ("sub384 bs512 padk128", 384, 512, 128))
     mesh = Mesh(np.array(jax.devices()[:1]), ("u",))
-    for label, sub, bs, padk in (("sub384 bs1024 padk128", 384, 1024,
-                                  128),
-                                 ("sub384 bs512 padk128", 384, 512,
-                                  128)):
+    for label, sub, bs, padk in configs:
         params = Params(fac_dim=k, u_reg=0.001, i_reg=0.001,
                         learn_rate=0.005, seed=0)
         model = ModelMF(params, n_users, n_items)
