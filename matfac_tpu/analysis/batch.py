@@ -42,6 +42,31 @@ def _sq_err_block(orig_view: EvalView, full_view: EvalView,
     return d * d
 
 
+@jax.jit
+def _preds_block(view: EvalView, user_ids: jax.Array) -> jax.Array:
+    """[B, n_items] predicted scores for a block of users."""
+    u = view.u_fac[user_ids]
+    s = jnp.dot(u, view.i_fac.T, preferred_element_type=jnp.float32)
+    return (s + view.mu + view.u_bias[user_ids][:, None]
+            + view.i_bias[None, :])
+
+
+def catalog_preds(view: EvalView, users: np.ndarray, block: int = 1024
+                  ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (user_block_positions, preds[B, n_items]) host arrays, one
+    fixed-size jitted dispatch per block — NEVER materialize the full
+    [n_users, n_items] score matrix on device (HBM OOM at 100k x 100k;
+    review r3)."""
+    users = np.asarray(users, np.int32)
+    n = len(users)
+    for s in range(0, n, block):
+        ids = users[s:s + block]
+        m = len(ids)
+        ids_p = np.pad(ids, (0, block - m)) if m < block else ids
+        p = np.asarray(_preds_block(view, jnp.asarray(ids_p)))
+        yield np.arange(s, s + m), p[:m]
+
+
 def catalog_sq_err(orig_view: EvalView, full_view: EvalView,
                    users: np.ndarray, block: int = 1024
                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -113,9 +138,10 @@ def sample_unrated_pools(train_mat, valid_items: np.ndarray,
     for p in range(P):
         u, ti = int(users[p]), int(test_items[p])
         row = np.sort(indices[indptr[u]:indptr[u + 1]])
-        need = n_negatives
-        fill = 1
-        while need > 0:
+        chosen = np.empty(0, np.int64)
+        stalls = 0
+        while len(chosen) < n_negatives:
+            need = n_negatives - len(chosen)
             cand = rng.integers(0, n_items, size=2 * need + 8)
             ok = valid_items[cand] & (cand != ti)
             if len(row):
@@ -123,8 +149,31 @@ def sample_unrated_pools(train_mat, valid_items: np.ndarray,
                 rated = (pos < len(row)) & (
                     row[np.minimum(pos, len(row) - 1)] == cand)
                 ok &= ~rated
-            cand = cand[ok][:need]
-            pools[p, fill:fill + len(cand)] = cand
-            fill += len(cand)
-            need -= len(cand)
+            cand = cand[ok]
+            # the reference draws DISTINCT negatives (unordered_set
+            # insert until 1000 members, longTail.cpp:373-408): dedupe
+            # within the draw (keep first occurrence) and vs chosen
+            _, first = np.unique(cand, return_index=True)
+            cand = cand[np.sort(first)]
+            cand = cand[~np.isin(cand, chosen)][:need]
+            chosen = np.concatenate([chosen, cand])
+            stalls = stalls + 1 if len(cand) == 0 else 0
+            if stalls >= 4 and len(chosen) < n_negatives:
+                # fewer distinct valid unrated items than requested
+                # (tiny catalogs): exhaust the exact remainder, then
+                # pad by cycling (the reference would loop forever
+                # here; its datasets always have >1000 candidates)
+                avail = np.setdiff1d(
+                    np.nonzero(valid_items)[0],
+                    np.concatenate([row, [ti], chosen]))
+                rng.shuffle(avail)
+                chosen = np.concatenate(
+                    [chosen, avail[: n_negatives - len(chosen)]])
+                if len(chosen) < n_negatives:
+                    base = chosen if len(chosen) else np.asarray([ti])
+                    chosen = np.concatenate(
+                        [chosen,
+                         np.resize(base, n_negatives - len(chosen))])
+                break
+        pools[p, 1:] = chosen
     return pools

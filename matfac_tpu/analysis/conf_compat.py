@@ -258,14 +258,18 @@ def conf_bucket_rmses(orig_view, full_view, views: Sequence[EvalView],
         invalid_items = np.zeros(n_items, bool)
     users = _users_subset(n_users, invalid_users, users, n_samp_users,
                           seed)
-    preds = np.stack([
-        np.asarray(jnp.dot(v.u_fac[jnp.asarray(users.astype(np.int32))],
-                           v.i_fac.T)
-                   + v.mu + v.u_bias[jnp.asarray(
-                       users.astype(np.int32))][:, None]
-                   + v.i_bias[None, :]) for v in views])
-    std = preds.std(axis=0)
-    scores = np.where(std != 0, 1.0 / np.where(std == 0, 1.0, std), -1.0)
+    # blocked, fixed-size dispatches — one full [U, n_items] device
+    # matrix per view would OOM at scale and recompile per sample size
+    # (review r3); the std -> confidence map lives in
+    # confidence.std_to_conf
+    from matfac_tpu.analysis.batch import catalog_preds
+    from matfac_tpu.analysis.confidence import std_to_conf
+    scores = np.empty((len(users), n_items), np.float32)
+    iters = [catalog_preds(v, users) for v in views]
+    for blocks in zip(*iters):
+        idx = blocks[0][0]
+        preds = np.stack([p[:, :n_items] for _, p in blocks])
+        scores[idx] = std_to_conf(preds.std(axis=0))
     return _per_user(orig_view, full_view, scores, users, n_items,
                      invalid_items, n_buckets)
 
@@ -327,10 +331,12 @@ def conf_opt_bucket_rmses(orig_view, full_view, n_users: int,
         invalid_items = np.zeros(n_items, bool)
     users = _users_subset(n_users, invalid_users, users, n_samp_users,
                           seed)
-    from matfac_tpu.analysis.batch import _sq_err_block
-    scores = -np.sqrt(np.asarray(_sq_err_block(
-        orig_view, full_view,
-        jnp.asarray(users.astype(np.int32)))))[:, :n_items]
+    # blocked fixed-size dispatches (review r3: the whole-sample
+    # _sq_err_block call materialized [U, n_items] on device)
+    from matfac_tpu.analysis.batch import catalog_sq_err
+    scores = np.empty((len(users), n_items), np.float32)
+    for idx, d2 in catalog_sq_err(orig_view, full_view, users):
+        scores[idx] = -np.sqrt(d2[:, :n_items])
     return _per_user(orig_view, full_view, scores, users, n_items,
                      invalid_items, n_buckets)
 

@@ -26,14 +26,21 @@ def _pairs(rows, cols):
             jnp.asarray(np.asarray(cols, np.int32)))
 
 
+def std_to_conf(std: np.ndarray) -> np.ndarray:
+    """confScore's std -> confidence map: 1/std, with -1 where the
+    ensemble std is exactly 0 (confCompute.cpp:152-166). The single
+    home for this formula (review r3: it was duplicated in
+    conf_compat.conf_bucket_rmses)."""
+    return np.where(std != 0, 1.0 / np.where(std == 0, 1.0, std), -1.0)
+
+
 def ensemble_conf_scores(views: Sequence[EvalView], rows, cols
                          ) -> np.ndarray:
-    """confScore batched: 1/std of the ensemble's predictions per pair;
-    -1 where the std is exactly 0 (confCompute.cpp:152-166)."""
+    """confScore batched: 1/std of the ensemble's predictions per pair
+    (confCompute.cpp:152-166)."""
     r, c = _pairs(rows, cols)
     preds = np.stack([np.asarray(predict_pairs(v, r, c)) for v in views])
-    std = preds.std(axis=0)
-    return np.where(std != 0, 1.0 / np.where(std == 0, 1.0, std), -1.0)
+    return std_to_conf(preds.std(axis=0))
 
 
 def rmse_curve(scores: np.ndarray, actual: np.ndarray,
@@ -181,13 +188,14 @@ def sample_missing_pairs(train_mat, invalid_users: np.ndarray,
         r = rng.integers(0, n_users, m)
         c = rng.integers(0, n_items, m)
         ok = ~invalid_users[r] & ~invalid_items[c]
-        # reject observed entries via sorted-row membership
+        # reject observed entries by row membership — CSR rows are NOT
+        # guaranteed column-sorted (io.load_csr_text keeps file order),
+        # so each slice must be sorted before searchsorted (review r3)
         lo = train_mat.indptr[r]
         hi = train_mat.indptr[r + 1]
-        pos = np.array([np.searchsorted(train_mat.indices[l:h], cc) + l
-                        for l, h, cc in zip(lo, hi, c)])
-        observed = (pos < hi) & (train_mat.indices[np.minimum(
-            pos, train_mat.nnz - 1)] == c)
+        observed = np.array(
+            [np.isin(cc, train_mat.indices[l:h])
+             for l, h, cc in zip(lo, hi, c)], dtype=bool)
         ok &= ~observed
         rows = np.concatenate([rows, r[ok]])
         cols = np.concatenate([cols, c[ok]])

@@ -211,7 +211,8 @@ def comp_ordering_overlap_bscores(ids_a: np.ndarray, ids_b: np.ndarray,
     top_a = set(ids_a[:size_a].tolist())
     ov_sum, ov_n = -1.0, 0
     out_sum = -1.0
-    for i in range(size_a):
+    n = min(size_a, len(ids_b))   # sibling fns clamp too (review r3)
+    for i in range(n):
         item = int(ids_b[i])
         if item in top_a:
             ov_n += 1
@@ -219,7 +220,7 @@ def comp_ordering_overlap_bscores(ids_a: np.ndarray, ids_b: np.ndarray,
         else:
             out_sum += float(scores_b[i])
     ov = ov_sum / ov_n if ov_n > 0 else -1.0
-    out = out_sum / (size_a - ov_n) if size_a - ov_n > 0 else -1.0
+    out = out_sum / (n - ov_n) if n - ov_n > 0 else -1.0
     return ov, out
 
 

@@ -46,21 +46,34 @@ class TopNRecReport:
         return "\n".join(lines)
 
 
-def top_n_rec(view: EvalView, train_mat: RatingMatrix,
-              test_mat: RatingMatrix, invalid_users: np.ndarray,
-              invalid_items: np.ndarray, head_pc: float = 0.5,
-              n: int = 10, n_samp_users: int = 10_000,
-              n_negatives: int = 1000, seed: int = 1,
-              ppr_scores: Optional[np.ndarray] = None,
-              sampled_users: Optional[np.ndarray] = None
-              ) -> TopNRecReport:
-    """``ppr_scores``: optional [n_users_eval, n_items] per-user local
-    scores aligned with ``sampled_users`` (from ops.ppr.PPREngine
-    .user_ppr); enables the local / freq-weighted-local scorers."""
+def _pad_cols(a: np.ndarray, n: int, fill=0):
+    """Zero/fill-pad the LAST axis to length n (test splits may carry
+    item ids beyond train_mat.ncols — dataset.py sets n_items to the
+    max across splits, so train-sized tables must be padded, never
+    indexed raw)."""
+    if a.shape[-1] >= n:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])]
+    return np.pad(a, pad, constant_values=fill)
+
+
+def _topn_ranks(view: EvalView, train_mat: RatingMatrix,
+                test_mat: RatingMatrix, invalid_users: np.ndarray,
+                invalid_items: np.ndarray, head_pc: float,
+                n_samp_users: int, n_negatives: int, seed: int,
+                ppr_scores: Optional[np.ndarray],
+                sampled_users: Optional[np.ndarray]):
+    """Shared core: sample pairs + pools, score once, and return the
+    per-pair rank of the test item under every scorer (rank does NOT
+    depend on the N cutoff, so callers threshold it per N)."""
     rng = np.random.default_rng(seed)
-    n_users, n_items = train_mat.nrows, train_mat.ncols
+    n_items = train_mat.ncols
+    # pad train-derived tables to the full id range seen by any split
+    n_all = max(n_items, test_mat.ncols, len(invalid_items))
     _, item_freq = ufreq.row_col_freq(train_mat)
-    head_mask = ufreq.head_items(train_mat, head_pc)
+    item_freq = _pad_cols(item_freq, n_all)
+    head_mask = _pad_cols(ufreq.head_items(train_mat, head_pc), n_all,
+                          fill=False)
 
     # eligible users: valid with >= 1 test rating (longTail.cpp:316-334)
     deg_t = test_mat.row_degrees()
@@ -81,8 +94,10 @@ def top_n_rec(view: EvalView, train_mat: RatingMatrix,
         np.put_along_axis(rank_scores, order,
                           (nn - np.arange(nn))[None, :].astype(
                               ppr_scores.dtype), axis=1)
+        rank_scores = _pad_cols(rank_scores, n_all)
         wt_scores = np.where(item_freq[None, :] > 0,
-                             rank_scores / np.maximum(item_freq[None, :], 1),
+                             rank_scores
+                             / np.maximum(item_freq[None, :], 1),
                              0.0)
 
     valid_items = ~invalid_items[:n_items]
@@ -102,17 +117,14 @@ def top_n_rec(view: EvalView, train_mat: RatingMatrix,
     pair_row = np.asarray(pair_row, np.int64)
     n_test = len(pair_u)
     is_head = head_mask[pair_ti] if n_test else np.zeros(0, bool)
-    n_head = int(is_head.sum())
-    n_tail = n_test - n_head
     if n_test == 0:
-        z = {s: 0.0 for s in scorers}
-        return TopNRecReport(0, 0, 0, z, dict(z), dict(z))
+        return {s: np.zeros(0, np.int64) for s in scorers}, is_head
 
     pools = sample_unrated_pools(train_mat, valid_items, pair_u, pair_ti,
                                  n_negatives, rng)
     pred = score_pools(view, pair_u, pools)            # [P, C] device
 
-    hits, head_hits, tail_hits = {}, {}, {}
+    ranks = {}
     for s in scorers:
         if s == "model":
             sc = pred
@@ -120,18 +132,42 @@ def top_n_rec(view: EvalView, train_mat: RatingMatrix,
             sc = rank_scores[pair_row[:, None], pools]
         else:
             sc = wt_scores[pair_row[:, None], pools]
-        # hit = test item (column 0) ranks in the pool's top-n
-        rank_of_test = (sc[:, 1:] > sc[:, :1]).sum(axis=1)
-        hit = rank_of_test < n
-        hits[s] = float(hit.sum())
-        head_hits[s] = float(hit[is_head].sum())
-        tail_hits[s] = float(hit[~is_head].sum())
+        # rank of the test item (column 0) within its pool
+        ranks[s] = np.asarray((sc[:, 1:] > sc[:, :1]).sum(axis=1))
+    return ranks, is_head
 
+
+def _report(ranks: Dict[str, np.ndarray], is_head: np.ndarray,
+            n: int) -> TopNRecReport:
+    n_test = len(is_head)
+    n_head = int(is_head.sum())
+    n_tail = n_test - n_head
+    hits = {s: r < n for s, r in ranks.items()}
     return TopNRecReport(
         n_test, n_head, n_tail,
-        {s: hits[s] / max(n_test, 1) for s in scorers},
-        {s: head_hits[s] / max(n_head, 1) for s in scorers},
-        {s: tail_hits[s] / max(n_tail, 1) for s in scorers})
+        {s: float(h.sum()) / max(n_test, 1) for s, h in hits.items()},
+        {s: float(h[is_head].sum()) / max(n_head, 1)
+         for s, h in hits.items()},
+        {s: float(h[~is_head].sum()) / max(n_tail, 1)
+         for s, h in hits.items()})
+
+
+def top_n_rec(view: EvalView, train_mat: RatingMatrix,
+              test_mat: RatingMatrix, invalid_users: np.ndarray,
+              invalid_items: np.ndarray, head_pc: float = 0.5,
+              n: int = 10, n_samp_users: int = 10_000,
+              n_negatives: int = 1000, seed: int = 1,
+              ppr_scores: Optional[np.ndarray] = None,
+              sampled_users: Optional[np.ndarray] = None
+              ) -> TopNRecReport:
+    """``ppr_scores``: optional [n_users_eval, n_items] per-user local
+    scores aligned with ``sampled_users`` (from ops.ppr.PPREngine
+    .user_ppr); enables the local / freq-weighted-local scorers."""
+    ranks, is_head = _topn_ranks(
+        view, train_mat, test_mat, invalid_users, invalid_items,
+        head_pc, n_samp_users, n_negatives, seed, ppr_scores,
+        sampled_users)
+    return _report(ranks, is_head, n)
 
 
 def spot_rec(views: Dict[str, EvalView], train_mat: RatingMatrix,
@@ -142,12 +178,14 @@ def spot_rec(views: Dict[str, EvalView], train_mat: RatingMatrix,
              ) -> Dict[str, "TopNRecReport"]:
     """spotRec analog (longTail.cpp:2139): sampled-negative recall at
     several N cutoffs for multiple models (e.g. trained vs SVD),
-    head/tail split. Returns {f"{name}@N": report}."""
+    head/tail split. Returns {f"{name}@N": report}. Pools are sampled
+    and scored ONCE per model; the N cutoffs just threshold the
+    test-item rank (it does not depend on N)."""
     out = {}
     for name, view in views.items():
+        ranks, is_head = _topn_ranks(
+            view, train_mat, test_mat, invalid_users, invalid_items,
+            head_pc, n_samp_users, n_negatives, seed, None, None)
         for n in n_values:
-            out[f"{name}@{n}"] = top_n_rec(
-                view, train_mat, test_mat, invalid_users, invalid_items,
-                head_pc=head_pc, n=n, n_samp_users=n_samp_users,
-                n_negatives=n_negatives, seed=seed)
+            out[f"{name}@{n}"] = _report(ranks, is_head, n)
     return out

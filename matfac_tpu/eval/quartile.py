@@ -17,35 +17,53 @@ import numpy as np
 from matfac_tpu.utils import freq as ufreq
 
 
-def filtered_rmse(view, ev, which: str, user_filter=None, item_filter=None
-                  ) -> Tuple[int, float]:
-    """(count, RMSE) over entries whose user/item passes the filter —
-    Model::RMSE(mat, filtItems, ...) / RMSEU semantics
-    (model.cpp:348-486)."""
-    import jax.numpy as jnp
+def split_residuals(view, ev, which: str):
+    """One full predict pass + device->host fetch for a split; pass the
+    result to repeated filtered_rmse calls (quartile reports issue 16+
+    bucket queries — recomputing per bucket cost ~16 full-nnz device
+    passes AND d2h fetches over the tunnel; review r3)."""
     from matfac_tpu.eval.metrics import predict_pairs
 
     coo = {"train": ev.train_coo, "test": ev.test_coo,
            "val": ev.val_coo}[which]
-    mask = np.asarray(coo.valid) > 0
-    r = np.asarray(coo.rows)
-    c = np.asarray(coo.cols)
+    pred = np.asarray(predict_pairs(view, coo.rows, coo.cols))
+    return (np.asarray(coo.rows), np.asarray(coo.cols),
+            np.asarray(coo.vals) - pred, np.asarray(coo.valid) > 0)
+
+
+def filtered_rmse(view, ev, which: str, user_filter=None,
+                  item_filter=None, residuals=None) -> Tuple[int, float]:
+    """(count, RMSE) over entries whose user/item passes the filter —
+    Model::RMSE(mat, filtItems, ...) / RMSEU semantics
+    (model.cpp:348-486). ``residuals``: optional split_residuals()
+    output reused across bucket calls."""
+    if residuals is None:
+        residuals = split_residuals(view, ev, which)
+    r, c, d, valid = residuals
+    mask = valid.copy()
     if user_filter is not None:
         mask &= user_filter[r]
     if item_filter is not None:
         mask &= item_filter[c]
     if not mask.any():
         return 0, float("nan")
-    pred = np.asarray(predict_pairs(view, coo.rows, coo.cols))
-    d = (np.asarray(coo.vals) - pred)[mask]
-    return int(mask.sum()), float(np.sqrt((d * d).mean()))
+    dm = d[mask]
+    return int(mask.sum()), float(np.sqrt((dm * dm).mean()))
+
+
+def _pad_zeros(a: np.ndarray, n: int) -> np.ndarray:
+    """Zero-pad (np.resize tiles CYCLICALLY — entities beyond the train
+    matrix would inherit entity 0,1,2...'s frequencies and land in the
+    wrong quartiles; review r3)."""
+    a = np.asarray(a)
+    return a[:n] if len(a) >= n else np.pad(a, (0, n - len(a)))
 
 
 def quartile_partitions(data, inval_u, inval_i, n_quantiles: int = 4
                         ) -> Tuple[np.ndarray, np.ndarray]:
     user_freq, item_freq = ufreq.row_col_freq(data.train_mat)
-    user_freq = np.resize(user_freq, data.n_users)
-    item_freq = np.resize(item_freq, data.n_items)
+    user_freq = _pad_zeros(user_freq, data.n_users)
+    item_freq = _pad_zeros(item_freq, data.n_items)
     uq = ufreq.quartile_assignments(user_freq, ~inval_u, n_quantiles)
     iq = ufreq.quartile_assignments(item_freq, ~inval_i, n_quantiles)
     return uq, iq
@@ -61,6 +79,7 @@ def quartile_report(view, data, ev, inval_u, inval_i,
             continue
         lines.append(f"{which.capitalize()} RMSE by quartile "
                      f"(q0 = least frequent):")
+        res = split_residuals(view, ev, which)   # one pass per split
         for label, q in (("Items", iq), ("Users", uq)):
             parts = []
             for b in range(n_quantiles):
@@ -68,7 +87,8 @@ def quartile_report(view, data, ev, inval_u, inval_i,
                 cnt, rmse = filtered_rmse(
                     view, ev, which,
                     user_filter=filt if label == "Users" else None,
-                    item_filter=filt if label == "Items" else None)
+                    item_filter=filt if label == "Items" else None,
+                    residuals=res)
                 parts.append(f"{cnt} {rmse:.6f}")
             lines.append(f"  {label} Part: " + "  ".join(parts))
     return "\n".join(lines)

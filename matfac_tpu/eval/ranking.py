@@ -93,7 +93,12 @@ def _topk_user_block(view: EvalView, user_ids: jax.Array, exclude,
         new_i = jnp.take_along_axis(cat_i, sel, axis=1)
         return (new_s, new_i), None
 
-    init = (jnp.full((B, n), NEG_INF), jnp.zeros((B, n), jnp.int32))
+    # padding slot ids are -1, NOT 0: when a user has fewer than n
+    # scorable items the init slots survive the merge, and a raw id 0
+    # would falsely match item 0 in the LOO credit/rank matchers
+    # (review r3)
+    init = (jnp.full((B, n), NEG_INF),
+            jnp.full((B, n), -1, jnp.int32))
     (best_s, best_i), _ = jax.lax.scan(body, init,
                                        jnp.arange(n_blocks, dtype=jnp.int32))
     return best_s, best_i

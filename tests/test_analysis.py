@@ -512,3 +512,79 @@ def test_conf_compat_named_surface():
         assert np.isfinite(b).all()
     # oracle per-user buckets are monotone nondecreasing
     assert (np.diff(b4) >= -1e-6).all()
+
+
+def test_top_n_rec_handles_test_only_items():
+    """Test splits may carry item ids beyond train_mat.ncols
+    (dataset.py sets n_items to the max across splits) — train-sized
+    tables must be padded, not indexed raw (review r3 crash)."""
+    from matfac_tpu.analysis.topn import top_n_rec
+    from matfac_tpu.models.base import EvalView
+
+    rng = np.random.default_rng(0)
+    n_users, n_train_items, n_all = 30, 20, 25
+    r = np.repeat(np.arange(n_users), 5)
+    c = rng.integers(0, n_train_items, len(r))
+    train = RatingMatrix.from_coo(r, c, np.ones(len(r), np.float32),
+                                  n_users, n_train_items)
+    # every test item id >= n_train_items
+    test = RatingMatrix.from_coo(
+        np.arange(n_users), rng.integers(n_train_items, n_all, n_users),
+        np.ones(n_users, np.float32), n_users, n_all)
+    view = EvalView(jnp.asarray(rng.normal(size=(n_users, 4)),
+                                jnp.float32),
+                    jnp.asarray(rng.normal(size=(n_all, 4)),
+                                jnp.float32),
+                    jnp.zeros(n_users), jnp.zeros(n_all),
+                    jnp.float32(0))
+    rep = top_n_rec(view, train, test, np.zeros(n_users, bool),
+                    np.zeros(n_all, bool), n=5, n_samp_users=30,
+                    n_negatives=10, seed=3)
+    assert rep.n_test_items == n_users
+    # test-only items have zero train mass -> all tail
+    assert rep.n_head_items == 0
+
+
+def test_sample_unrated_pools_distinct_negatives():
+    """The reference draws DISTINCT negatives (unordered_set,
+    longTail.cpp:373-408); pools must not contain repeats, and
+    exhausted tiny catalogs must not hang (review r3)."""
+    from matfac_tpu.analysis.batch import sample_unrated_pools
+
+    rng = np.random.default_rng(1)
+    n_users, n_items = 10, 200
+    r = np.repeat(np.arange(n_users), 3)
+    c = rng.integers(0, n_items, len(r))
+    train = RatingMatrix.from_coo(r, c, np.ones(len(r), np.float32),
+                                  n_users, n_items)
+    valid = np.ones(n_items, bool)
+    users = np.arange(10)
+    tis = rng.integers(0, n_items, 10)
+    pools = sample_unrated_pools(train, valid, users, tis, 50, rng)
+    for p in range(10):
+        negs = pools[p, 1:]
+        assert len(np.unique(negs)) == len(negs), "duplicate negative"
+        assert not np.isin(negs, train.row(int(users[p]))[0]).any()
+    # exhausted case: more negatives requested than distinct items
+    pools2 = sample_unrated_pools(train, valid[:20].copy(),
+                                  users[:2], tis[:2] % 20, 50,
+                                  np.random.default_rng(2))
+    assert pools2.shape == (2, 51)   # padded by cycling, no hang
+
+
+def test_sample_missing_pairs_unsorted_rows():
+    """CSR rows are not guaranteed column-sorted; membership rejection
+    must not rely on sortedness (review r3: observed entries leaked
+    into the 'missing' sample)."""
+    from matfac_tpu.analysis.confidence import sample_missing_pairs
+
+    # row 0 deliberately unsorted: items [9, 2, 5]
+    indptr = np.array([0, 3, 4])
+    indices = np.array([9, 2, 5, 1])
+    vals = np.ones(4, np.float32)
+    mat = RatingMatrix(indptr, indices, vals, ncols=10)
+    rows, cols = sample_missing_pairs(mat, np.zeros(2, bool),
+                                      np.zeros(10, bool), 12, seed=0)
+    observed = {(0, 9), (0, 2), (0, 5), (1, 1)}
+    for u, i in zip(rows, cols):
+        assert (int(u), int(i)) not in observed, (u, i)

@@ -394,3 +394,39 @@ def test_submat_rmse_and_half_split():
     a, b = split_in_half(data.val_mat, seed=1)
     assert a.nnz + b.nnz == data.val_mat.nnz
     assert abs(a.nnz - b.nnz) <= 1
+
+
+def test_loo_padding_slots_never_match_item_zero():
+    """When a user has fewer scorable items than n, the top-k padding
+    slots (score -inf) must carry id -1, not 0 — a held-out item 0
+    that is train-rated (thus excluded) previously matched the padding
+    and counted a false hit (review r3)."""
+    from matfac_tpu.data.csr import RatingMatrix
+    from matfac_tpu.eval.ranking import CatalogScorer
+    from matfac_tpu.models.base import EvalView
+
+    n_users, n_items = 4, 8
+    rng = np.random.default_rng(0)
+    # every user rates items 0..4 -> only 3 unrated items, n=10 > 3
+    r = np.repeat(np.arange(n_users), 5)
+    c = np.tile(np.arange(5), n_users)
+    train = RatingMatrix.from_coo(r, c, np.ones(len(r), np.float32),
+                                  n_users, n_items)
+    # LOO test: held-out item is 0 — TRAIN-RATED, so the reference's
+    # protocol can never rank it (model.cpp:1182-1186): expected MISS
+    test = RatingMatrix.from_coo(np.arange(n_users),
+                                 np.zeros(n_users, np.int64),
+                                 np.ones(n_users, np.float32),
+                                 n_users, n_items)
+    iu = np.zeros(n_users, bool)
+    ii = np.zeros(n_items, bool)
+    view = EvalView(jnp.asarray(rng.normal(size=(n_users, 3)),
+                                jnp.float32),
+                    jnp.asarray(rng.normal(size=(n_items, 3)),
+                                jnp.float32),
+                    jnp.zeros(n_users), jnp.zeros(n_items),
+                    jnp.float32(0))
+    scorer = CatalogScorer(train, iu, ii, n_users, n_items,
+                           user_block=4, item_block=8)
+    assert scorer.hit_rate(view, test, 10) == 0.0
+    assert scorer.arhr(view, test, n=10) == 0.0
