@@ -130,13 +130,6 @@ def bucketed_rows(mat: RatingMatrix, min_cap: int = 8,
     return out
 
 
-def padded_rows(mat: RatingMatrix, cap: Optional[int] = None
-                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Single padded [nrows, cap] layout (cols, vals, mask) — used for
-    rated-item exclusion masks in eval and negative-sampling rejection."""
-    return mat.pad_rows(cap)
-
-
 def user_item_block_partition(n_users: int, n_items: int, n_blocks: int,
                               seed: int) -> Tuple[np.ndarray, np.ndarray]:
     """Shuffled equal partition of users and items into ``n_blocks`` parts

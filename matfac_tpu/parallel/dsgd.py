@@ -85,8 +85,11 @@ class DSGDShardedSolver:
             inv = np.empty_like(self.item_perm)
             inv[self.item_perm] = np.arange(n_items, dtype=np.int32)
             self.item_perm_inv_dev = jnp.asarray(inv)
-            c = self.item_perm[c]
-        # static per-example weight / rank from the model hooks
+        # static per-example weight / rank from the model hooks —
+        # computed on ORIGINAL item ids, BEFORE any balance relabeling
+        # (the model's freq/rank/pop tables are in original ids; the
+        # pre-r3 ordering fed relabeled ids to the hooks under
+        # balance_items, silently swapping hot/tail weights — review r3)
         w = np.asarray(model.example_weight(jnp.asarray(r.astype(np.int32)),
                                             jnp.asarray(c.astype(np.int32))))
         self.sample_poisson = model.name == "tmf_dropout"
@@ -101,6 +104,8 @@ class DSGDShardedSolver:
                 jnp.asarray(c.astype(np.int32)))).astype(np.int32)
         else:
             lam = np.full(len(r), model.k, np.int32)
+        if self.item_perm is not None:
+            c = self.item_perm[c]
 
         ub = r // self.bu            # owning shard of the user row
         ib = c // self.bi            # item block

@@ -215,6 +215,11 @@ class SubspaceALSSolver(ALSSolver):
                  invalid_users, invalid_items, block_dim: int = 16, **_):
         super().__init__(model, params, train_mat, invalid_users,
                          invalid_items)
+        if self.reg_exp:
+            raise ValueError(
+                "reg_exponent (per-row lambda) is implemented in the "
+                "bucketed ALSSolver and the SGD engine; "
+                "SubspaceALSSolver would silently train flat lambda")
         k = params.fac_dim
         self.d = min(block_dim, k)
         if k % self.d != 0:
@@ -350,19 +355,31 @@ class DenseALSSolver:
         self.model = model
         self.params = params
         self.cg_iters = cg_iters
+        if float(getattr(params, "reg_exponent", 0.0)):
+            raise ValueError(
+                "reg_exponent (per-row lambda) is implemented in the "
+                "bucketed ALSSolver and the SGD engine; DenseALSSolver "
+                "would silently train flat lambda")
         n_users, n_items = model.n_users, model.n_items
+        self.row_block = row_block
+        # guards must use the PADDED allocation (rows/cols round up to
+        # row_block multiples) — the raw n_users*n_items estimate was
+        # up to 20x under the real footprint at skinny shapes (review
+        # r3)
+        self.nu_pad = _cdiv(n_users, row_block) * row_block
+        self.ni_pad = _cdiv(n_items, row_block) * row_block
         if dense_dtype is None:
             dense_dtype = (jnp.float32
-                           if n_users * n_items * 4 <= 2 * 1024 ** 3
+                           if self.nu_pad * self.ni_pad * 4
+                           <= 2 * 1024 ** 3
                            else jnp.bfloat16)
-        self.row_block = row_block
-        need = n_users * n_items * jnp.dtype(dense_dtype).itemsize
+        need = (self.nu_pad * self.ni_pad
+                * jnp.dtype(dense_dtype).itemsize)
         if need > self.MAX_DENSE_BYTES:
             raise ValueError(
                 f"DenseALSSolver needs {need/2**30:.1f} GiB dense "
-                "storage; use ALSSolver for this shape")
-        self.nu_pad = _cdiv(n_users, row_block) * row_block
-        self.ni_pad = _cdiv(n_items, row_block) * row_block
+                "storage (padded to row_block multiples); use "
+                "ALSSolver for this shape")
         dense = np.zeros((self.nu_pad, self.ni_pad), np.float32)
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]

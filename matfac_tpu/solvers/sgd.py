@@ -100,25 +100,25 @@ class SGDSolver:
             # Batch CONTENTS are static (fixed contiguous slices; only
             # the batch order is random), so the within-batch collision
             # counts are static too — precompute 1/count per element on
-            # the host. The first implementation counted on-device
-            # (zeros(n).at[u].add(v)[u] twice per batch) and doubled
-            # the epoch's indexed-op traffic: 258 -> 543 ms at 9.9M nnz.
+            # the host via the shared vectorized helper (one pass, not
+            # ~2 numpy calls per batch; review r3). Elements whose
+            # entity has no valid occurrence are themselves invalid
+            # (their gradient is zeroed by w/vmask), so dividing by the
+            # clamped count instead of forcing 0 is update-equivalent.
+            from matfac_tpu.solvers.block_sgd import (
+                stage_batch_collision_counts)
             rn, cn, vn = b.rows[sperm], b.cols[sperm], b.valid[sperm]
-            inv_u = np.zeros(len(rn), np.float32)
-            inv_i = np.zeros(len(rn), np.float32)
-            B = b.batch_size
-            for s in range(0, len(rn), B):
-                sl = slice(s, s + B)
-                vv = vn[sl].astype(np.float64)
-                for idx, out in ((rn[sl], inv_u), (cn[sl], inv_i)):
-                    uq, inv_map = np.unique(idx, return_inverse=True)
-                    c = np.bincount(inv_map, weights=vv)[inv_map]
-                    # same formula as the on-device version: elements
-                    # whose entity has no valid occurrence get 0
-                    out[sl] = np.where(c > 0,
-                                       1.0 / np.maximum(c, 1.0), 0.0)
-            self.inv_nu = jnp.asarray(inv_u)
-            self.inv_ni = jnp.asarray(inv_i)
+            wts = vn.astype(np.float32).reshape(1, -1)
+            cnt_u = stage_batch_collision_counts(
+                wts, rn.reshape(1, -1), b.batch_size,
+                model.n_users).ravel()
+            cnt_i = stage_batch_collision_counts(
+                wts, cn.reshape(1, -1), b.batch_size,
+                model.n_items).ravel()
+            self.inv_nu = jnp.asarray(
+                np.where(vn > 0, 1.0 / cnt_u, 0.0).astype(np.float32))
+            self.inv_ni = jnp.asarray(
+                np.where(vn > 0, 1.0 / cnt_i, 0.0).astype(np.float32))
         else:
             self.inv_nu = jnp.zeros((1,), jnp.float32)
             self.inv_ni = jnp.zeros((1,), jnp.float32)

@@ -539,6 +539,14 @@ def train_model(data, params: Params, algo: str = "mf",
                 f"{model.name} carries per-example weights/rank masks "
                 f"that '{m}' (coordinate family) does not honor — use "
                 "an SGD-family method (sgd/blocksgd/sgdpar/auto)")
+    if params.reg_exponent and m not in ("als", "sgd", "sgdpar",
+                                         "sgdu", "hogsgd"):
+        # the per-entity lambda is implemented in the bucketed ALS and
+        # the scatter SGD engine; everything else would silently train
+        # flat lambda (review r3)
+        raise ValueError(
+            f"reg_exponent is implemented for 'als' and the sgd "
+            f"engine, not '{m}' — drop the exponent or switch method")
     sing_vals = None
     if mesh is not None and m == "blocksgd":
         # multi-device one-hot engine: DSGD rotation outside,

@@ -260,3 +260,21 @@ def test_gen_stats_with_ignore_set():
     assert s2["n_items_with_max"] == 1
     txt = format_gen_stats(s2, op_prefix="t")
     assert "NNZ: 6" in txt and "after ig" in txt and "opPrefix: t" in txt
+
+
+def test_latin_square_schedule_and_block_partition():
+    """DSGD schedule helpers (sgdUpdateBlockSeq util.cpp:1077-1107 /
+    trainSGDPar partition modelMF.cpp:229-265): every round pairs each
+    row block with a distinct col block, and the shuffled partition is
+    balanced."""
+    from matfac_tpu.data.batching import (latin_square_schedule,
+                                          user_item_block_partition)
+
+    rng = np.random.default_rng(0)
+    for n in (1, 4, 7):
+        perm = latin_square_schedule(n, rng)
+        assert sorted(perm.tolist()) == list(range(n))
+    ub, ib = user_item_block_partition(103, 57, 8, seed=2)
+    assert set(ub) == set(range(8)) and set(ib) == set(range(8))
+    cnts = np.bincount(ub, minlength=8)
+    assert cnts.max() - cnts.min() <= 1

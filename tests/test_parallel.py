@@ -511,3 +511,28 @@ def test_block_dsgd_streams_balanced_under_power_law():
         per_shard
     # and the padded cell size is not blown up by a hot cell
     assert s.pad_frac < 6.0, s.pad_frac
+
+
+def test_dsgd_balance_items_hooks_use_original_ids(setup):
+    """balance_items relabels item ids; model hooks (IFWMF weights)
+    must be computed BEFORE relabeling or every staged weight comes
+    from an unrelated item (review r3)."""
+    uf, itf = freq.row_col_freq(setup[0].train_mat)
+    data = setup[0]
+    iu, ii = setup[4], setup[5]
+    p = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, seed=5,
+               batch_size=256)
+    uf = np.pad(uf, (0, data.n_users - len(uf)))
+    itf = np.pad(itf, (0, data.n_items - len(itf)))
+    m = ModelInvPopMF(p, data.n_users, data.n_items, uf, itf,
+                      invalid_users=iu, invalid_items=ii)
+    mesh = make_mesh((8,), ("u",))
+    s = DSGDShardedSolver(m, p, data.train_mat, iu, ii, mesh,
+                          balance_items=True, batch_size=256)
+    wts = np.asarray(s.wts)
+    r, c, _ = data.train_mat.to_coo()
+    expect = np.asarray(m.example_weight(
+        jnp.asarray(r.astype(np.int32)), jnp.asarray(c.astype(np.int32))))
+    keep = ~iu[r] & ~ii[c]
+    assert sorted(np.round(wts[wts > 0], 6).tolist()) == \
+        sorted(np.round(expect[keep], 6).tolist())
