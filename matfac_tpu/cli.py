@@ -28,10 +28,14 @@ def build_parser() -> argparse.ArgumentParser:
     # names mirror main.cpp:26-46 gflags
     ap.add_argument("--algo", default="mf",
                     help="mf | mf_bias | IFWMF | TMF | TMFDropout | "
-                         "mf_headwt | bpr | bprPoissonDropout | "
+                         "tmf_bias | mf_headwt | mf_loc | mf_freq | "
+                         "bpr | bprPoissonDropout | "
                          "increment (increment needs --graphmat as "
-                         "the probe set; mf_headwt = othersrc "
-                         "ModelMFWt head-item down-weighting)")
+                         "the probe set; mf_headwt/mf_loc/mf_freq/"
+                         "tmf_bias = othersrc ModelMFWt head-item "
+                         "down-weighting / ModelMFLoc tail half-rank / "
+                         "ModelMFFreq head-first curriculum / "
+                         "ModelDropoutMFBias)")
     ap.add_argument("--mf_method", default="sgd",
                     help="sgd|sgdpar|sgdparsvd|sgdu|hogsgd|blocksgd|als|"
                          "ialspp|alsdense|ccd|ccd++|ccd++freqadap|auto "

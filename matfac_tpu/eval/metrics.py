@@ -206,16 +206,31 @@ class Evaluator:
 
     # -- objective -----------------------------------------------------
     def objective(self, view: EvalView, state,
-                  weights: Optional[jax.Array] = None) -> float:
+                  weights: Optional[jax.Array] = None,
+                  use_factors: bool = True,
+                  use_bias: bool = False) -> float:
         """SSE(train) + reg penalty (model.cpp:1770-1815). ``weights``
-        aligned with train_coo switches to the IFWMF weighted objective."""
+        aligned with train_coo switches to the IFWMF weighted objective.
+        ``use_factors=False`` drops the factor penalty and
+        ``use_bias=True`` adds u_reg*||uBias||^2 + i_reg*||iBias||^2
+        over valid entities — ModelMFBias counts ONLY bias reg
+        (modelMFBias.cpp:87-88, factor term commented out) while
+        ModelDropoutMFBias counts both (modelDropoutMFBias.cpp:77)."""
         if weights is None:
             s, _ = sse(view, self.train_coo)
         else:
             s = weighted_sse(view, self.train_coo, weights)
-        reg = reg_penalty(state.u_fac, state.i_fac, self.valid_u,
-                          self.valid_i, float(self.params.u_reg),
-                          float(self.params.i_reg))
+        reg = 0.0
+        if use_factors:
+            reg = reg_penalty(state.u_fac, state.i_fac, self.valid_u,
+                              self.valid_i, float(self.params.u_reg),
+                              float(self.params.i_reg))
+        if use_bias:
+            reg = reg + (
+                float(self.params.u_reg)
+                * jnp.sum(state.u_bias * state.u_bias * self.valid_u)
+                + float(self.params.i_reg)
+                * jnp.sum(state.i_bias * state.i_bias * self.valid_i))
         return float(s + reg)
 
     def objective_sing(self, view: EvalView, state,

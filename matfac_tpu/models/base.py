@@ -133,6 +133,25 @@ class ModelMF:
         during training, or None for full rank."""
         return None
 
+    def update_side_masks(self, u_idx: jax.Array, i_idx: jax.Array):
+        """Optional per-SIDE update gates: (m_u, m_i), each [B, k] (or
+        broadcastable [B, 1]) {0,1}, multiplying the FULL user-/item-side
+        gradient (data fit + reg) without touching the prediction — the
+        othersrc per-side semantics where one side's update is skipped
+        or truncated while the other side trains at full rank
+        (ModelMFFreq's entity gates, othersrc/modelMFFreq.cpp:22-39;
+        ModelMFLoc's per-entity effFacDim, othersrc/modelMFLoc.cpp:124-159).
+        None = both sides fully updated. Unlike ``update_rank_mask``,
+        these masks do NOT enter the predicted rating."""
+        return None
+
+    def transform_init_state(self, state: MFState) -> MFState:
+        """Hook applied once to the freshly-initialized state before
+        training (identity by default). ModelMFLoc zeroes tail entities'
+        upper factor dims here (zeroedTail*Facs,
+        othersrc/modelMFLoc.cpp:4-31)."""
+        return state
+
 
 class ModelMFBias:
     """Bias-only model: estRating = b_u + b_i — factors and the global
@@ -154,3 +173,5 @@ class ModelMFBias:
     eval_view = ModelMF.eval_view
     example_weight = ModelMF.example_weight
     update_rank_mask = ModelMF.update_rank_mask
+    update_side_masks = ModelMF.update_side_masks
+    transform_init_state = ModelMF.transform_init_state

@@ -163,6 +163,88 @@ class ModelPoissonDropout(ModelDropoutSigmoid):
         return rank_mask(r, self.k)
 
 
+class ModelDropoutSigmoidBias(ModelDropoutSigmoid):
+    """TMF + biases — othersrc's ModelDropoutMFBias: estRating is the
+    rank-truncated dot PLUS u/i biases with NO global mean
+    (othersrc/modelDropoutMFBias.cpp:3-23), biases trained by the same
+    SGD rule as the factors (grad -2*diff + 2*reg*bias,
+    othersrc/modelDropoutMFBias.cpp:243-261). The abandoned reference
+    keys its rank off an externally supplied userRankMap/itemRankMap
+    (modelDropoutMF.h ctor); here the map is the TMF sigmoid table —
+    the map the main-tree models derive from the same frequencies."""
+
+    name = "tmf_bias"
+    use_bias = True
+
+
+class ModelLocalityMF(ModelMF):
+    """MFLoc — static head/tail rank split (othersrc/modelMFLoc.cpp).
+
+    Tail entities (outside the ``head_pc`` rating-mass head,
+    getHeadItems/getHeadUsers util.cpp:4-66) live in the first
+    fac_dim/2 dims only: their upper factor halves are zeroed at init
+    (zeroedTail*Facs, modelMFLoc.cpp:4-31) and every update writes only
+    the first effFacDim dims of each SIDE independently
+    (modelMFLoc.cpp:124-159 — the full gradient incl. reg is computed,
+    then applied to dims < effFacDim). Prediction stays the FULL-rank
+    dot (modelMFLoc.cpp:120-121); because masked dims start at zero and
+    are never updated, the full dot equals the rank-truncated dot, so
+    ``entity_ranks`` exposes the truncation for the fused eval path.
+    """
+
+    name = "mf_loc"
+
+    def __init__(self, params: Params, n_users: int, n_items: int,
+                 head_user_mask: np.ndarray, head_item_mask: np.ndarray,
+                 **_):
+        super().__init__(params, n_users, n_items)
+        tail_rank = max(self.k // 2, 1)
+        hu = np.zeros(n_users, bool)
+        hu[: len(head_user_mask)] = head_user_mask[:n_users]
+        hi = np.zeros(n_items, bool)
+        hi[: len(head_item_mask)] = head_item_mask[:n_items]
+        self.rank_u = jnp.asarray(
+            np.where(hu, self.k, tail_rank).astype(np.int32))
+        self.rank_i = jnp.asarray(
+            np.where(hi, self.k, tail_rank).astype(np.int32))
+
+    def entity_ranks(self):
+        return self.rank_u, self.rank_i
+
+    def update_side_masks(self, u_idx, i_idx):
+        return (rank_mask(self.rank_u[u_idx], self.k),
+                rank_mask(self.rank_i[i_idx], self.k))
+
+    def transform_init_state(self, state):
+        return state._replace(
+            u_fac=state.u_fac * rank_mask(self.rank_u, self.k
+                                          ).astype(state.u_fac.dtype),
+            i_fac=state.i_fac * rank_mask(self.rank_i, self.k
+                                          ).astype(state.i_fac.dtype))
+
+
+class ModelSideGatedMF(ModelMF):
+    """Plain MF whose user-side / item-side updates are gated by static
+    per-entity {0,1} masks — the building block of ModelMFFreq's
+    head-first curriculum (othersrc/modelMFFreq.cpp:1-41: updateModelInval
+    skips the USER update when u is in the phase's invalid set and the
+    ITEM update when i is, while the prediction always uses both).
+    ``gate_u``/``gate_i`` are boolean [n_users]/[n_items] = "this
+    entity's factors train in this phase"."""
+
+    name = "mf_freq"
+
+    def __init__(self, params: Params, n_users: int, n_items: int,
+                 gate_u: np.ndarray, gate_i: np.ndarray, **_):
+        super().__init__(params, n_users, n_items)
+        self._gate_u = jnp.asarray(gate_u.astype(np.float32))
+        self._gate_i = jnp.asarray(gate_i.astype(np.float32))
+
+    def update_side_masks(self, u_idx, i_idx):
+        return (self._gate_u[u_idx][:, None],
+                self._gate_i[i_idx][:, None])
+
+
 class ModelHeadWeightedMF(ModelMF):
     """Head-item down-weighted MF — othersrc's ModelMFWt experiment
     (othersrc/modelMFWt.cpp:151-176): per-rating data-fit weight

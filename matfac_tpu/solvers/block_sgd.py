@@ -130,6 +130,11 @@ class BlockSGDSolver:
             raise ValueError("BlockSGDSolver is factor-only")
         if getattr(model, "name", "") == "tmf_dropout":
             raise ValueError("Poisson-sampled ranks need SGDSolver")
+        from matfac_tpu.models.base import ModelMF as _MF
+        if type(model).update_side_masks is not _MF.update_side_masks:
+            # mf_loc/mf_freq gate the user/item updates per side; this
+            # engine applies one pair mask to both sides
+            raise ValueError("per-side update gates need SGDSolver")
         self.model = model
         self.params = params
         self.interpret = interpret

@@ -169,6 +169,7 @@ class SGDSolver:
                 v = sl(valid)
                 w = model.example_weight(u, i) * v
                 m = model.update_rank_mask(k_b, u, i)
+                side = model.update_side_masks(u, i)
                 if collision_norm:
                     # host-precomputed static per-element 1/counts
                     inv_nu = sl(inv_nu_s)
@@ -203,6 +204,13 @@ class SGDSolver:
                     if m is not None:
                         gu = gu * m
                         gi = gi * m
+                    if side is not None:
+                        # per-SIDE gates on the FULL gradient (data fit
+                        # + reg), prediction untouched — othersrc
+                        # modelMFLoc.cpp:124-159 / modelMFFreq.cpp:22-39
+                        su, si_ = side
+                        gu = gu * su
+                        gi = gi * si_
                     if collision_norm:
                         gu = gu * inv_nu[:, None]
                         gi = gi * inv_ni[:, None]
@@ -212,6 +220,11 @@ class SGDSolver:
                 if use_bias:
                     gbu = -2.0 * w * diff + 2.0 * u_reg * ru * st.u_bias[u]
                     gbi = -2.0 * w * diff + 2.0 * i_reg * ri * st.i_bias[i]
+                    if side is not None:
+                        # entity-level gate (dim 0 is always the least
+                        # truncated) rides onto the bias update too
+                        gbu = gbu * side[0][:, 0]
+                        gbi = gbi * side[1][:, 0]
                     if collision_norm:
                         gbu = gbu * inv_nu
                         gbi = gbi * inv_ni

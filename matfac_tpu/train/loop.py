@@ -78,7 +78,9 @@ class TrainLoop:
 
     def _objective(self, state: MFState) -> float:
         view = self.model.eval_view(state)
-        return self.ev.objective(view, state, self.obj_weights)
+        return self.ev.objective(view, state, self.obj_weights,
+                                 use_factors=self.model.use_factors,
+                                 use_bias=self.model.use_bias)
 
     def run(self, state: MFState, seed: Optional[int] = None,
             resume: bool = False) -> TrainReport:
@@ -399,10 +401,11 @@ def _auto_method(algo: str, data, params, mesh) -> str:
         return "blocksgd"
     if algo == "mf":
         return "als"
-    if algo in ("mf_bias", "tmfdropout"):
-        # biases only train through the SGD engine; Poisson-SAMPLED
-        # ranks need the per-epoch update_rank_mask path (block-SGD
-        # stages static ranks — see BlockSGDSolver guard)
+    if algo in ("mf_bias", "tmfdropout", "tmf_bias", "mf_loc", "mf_freq"):
+        # biases and per-side update gates only train through the SGD
+        # engine; Poisson-SAMPLED ranks need the per-epoch
+        # update_rank_mask path (block-SGD stages static ranks — see
+        # BlockSGDSolver guard)
         return "sgd"
     est_stream_bytes = 7 * 4 * 1.5 * max(data.train_mat.nnz, 1)
     if est_stream_bytes < 8e9:
@@ -487,6 +490,14 @@ def train_model(data, params: Params, algo: str = "mf",
         report.increment = inc_report    # rank tables + growth history
         return report, model, ev, (inval_u, inval_i)
 
+    if a in ("mf_freq", "mffreq"):
+        # othersrc ModelMFFreq: 5-phase head-first curriculum
+        # (othersrc/modelMFFreq.cpp:200-278)
+        return _train_mf_freq(data, params, mf_method, log_fn,
+                              init_state_override, inval_u, inval_i,
+                              user_freq, item_freq, prefix, resume,
+                              mesh)
+
     if a in ("mf_headwt", "mfwt"):
         # othersrc ModelMFWt: head-item down-weighting (head_pc and
         # lambda0 pinned to the reference's constants,
@@ -496,10 +507,23 @@ def train_model(data, params: Params, algo: str = "mf",
         model = ModelHeadWeightedMF(
             params, data.n_users, data.n_items,
             ufreq.head_items_from_freq(item_freq, 0.5), lambda0=0.8)
+    elif a in ("mf_loc", "mfloc"):
+        # othersrc ModelMFLoc: tail entities confined to the first
+        # fac_dim/2 dims (othersrc/modelMFLoc.cpp; head sets at the
+        # same 0.8 rating-mass cut ModelMFFreq uses,
+        # othersrc/modelMFFreq.cpp:211-212)
+        from matfac_tpu.models.longtail import ModelLocalityMF
+        a = "mf_loc"
+        model = ModelLocalityMF(
+            params, data.n_users, data.n_items,
+            ufreq.head_items_from_freq(user_freq, 0.8),
+            ufreq.head_items_from_freq(item_freq, 0.8))
     else:
+        from matfac_tpu.models.longtail import ModelDropoutSigmoidBias
         models = {"mf": ModelMF, "mf_bias": ModelMFBias,
                   "ifwmf": ModelInvPopMF, "tmf": ModelDropoutSigmoid,
-                  "tmfdropout": ModelPoissonDropout}
+                  "tmfdropout": ModelPoissonDropout,
+                  "tmf_bias": ModelDropoutSigmoidBias}
         cls = models[a]
         model = cls(params, data.n_users, data.n_items,
                     user_freq=user_freq, item_freq=item_freq,
@@ -507,7 +531,8 @@ def train_model(data, params: Params, algo: str = "mf",
             if cls is ModelInvPopMF else \
             cls(params, data.n_users, data.n_items,
                 user_freq=user_freq, item_freq=item_freq) \
-            if cls in (ModelDropoutSigmoid, ModelPoissonDropout) else \
+            if cls in (ModelDropoutSigmoid, ModelPoissonDropout,
+                       ModelDropoutSigmoidBias) else \
             cls(params, data.n_users, data.n_items)
 
     m = mf_method.lower()
@@ -522,6 +547,19 @@ def train_model(data, params: Params, algo: str = "mf",
             "mesh training does not support bias models (the DSGD "
             "engines update factors only) — train mf_bias on a single "
             "device, as the reference does (modelMFBias.cpp:103-227)")
+    side_gated = (type(model).update_side_masks
+                  is not ModelMF.update_side_masks)
+    if side_gated and (mesh is not None
+                       or m not in ("sgd", "sgdpar", "sgdu", "hogsgd")):
+        # per-side update gates (mf_loc/mf_freq) are consumed by the
+        # scatter SGD engine only; the block/DSGD engines and the
+        # coordinate family would silently train both sides at full
+        # rank. The reference trains these models sequentially too
+        # (othersrc/modelMFLoc.cpp:34, modelMFFreq.cpp:141).
+        raise ValueError(
+            f"{model.name} carries per-side update gates that "
+            f"'{m}'{' under a mesh' if mesh is not None else ''} does "
+            "not honor — use mf_method=sgd on a single device")
     if m in ("als", "ialspp", "alsdense", "ccd", "ccd++", "ccdpp",
              "ccd++freqadap"):
         # the coordinate solvers ignore example_weight / rank-mask
@@ -532,8 +570,10 @@ def train_model(data, params: Params, algo: str = "mf",
         # modelDropoutSigmoid.cpp:26, modelMFWt.cpp:151).
         weighted = (type(model).example_weight
                     is not ModelMF.example_weight)
-        masked = hasattr(model, "pair_rank") or hasattr(model,
-                                                        "pair_lambda")
+        masked = (hasattr(model, "pair_rank")
+                  or hasattr(model, "pair_lambda")
+                  or type(model).update_side_masks
+                  is not ModelMF.update_side_masks)
         if weighted or masked:
             raise ValueError(
                 f"{model.name} carries per-example weights/rank masks "
@@ -639,6 +679,10 @@ def train_model(data, params: Params, algo: str = "mf",
     ev = Evaluator(data, inval_u, inval_i, params)
     state = init_state_override or init_state(params, data.n_users,
                                               data.n_items)
+    # model-specific init transform (identity for most; mf_loc zeroes
+    # tail entities' upper dims — applied to loaded inits too, like
+    # zeroedTail*Facs runs inside train, othersrc/modelMFLoc.cpp:52-53)
+    state = model.transform_init_state(state)
     if mesh is not None and m in ("als", "ialspp", "alsdense"):
         # row-shard the tables so SPMD auto-partitioning spreads the
         # bucketed Gram + batched solve over the mesh
@@ -653,6 +697,94 @@ def train_model(data, params: Params, algo: str = "mf",
         loop._objective = lambda st: ev.objective_sing(
             model.eval_view(st), st, sing_vals)
     report = loop.run(state, resume=resume)
+    return report, model, ev, (inval_u, inval_i)
+
+
+def _train_mf_freq(data, params: Params, mf_method: str, log_fn,
+                   init_state_override, inval_u, inval_i,
+                   user_freq, item_freq, prefix, resume, mesh):
+    """ModelMFFreq's head-first curriculum
+    (othersrc/modelMFFreq.cpp:200-278): five successive subTrain
+    stages over the SAME factor state, each a full max_iter loop with
+    the learn rate reset (learnRate = origLearnRate before every
+    stage), gating which SIDE of each example updates:
+
+      1. all valid entities            (plain warm-up)
+      2. head users x head items       (80% rating-mass heads)
+      3. items only, tail items        (users frozen)
+      4. users only, tail users        (items frozen)
+      5. all valid entities            (final polish)
+
+    Each stage continues from the CURRENT state (the reference's
+    subTrain mutates this->uFac; bestModel is only for
+    saving/termination); the returned best snapshot is the best
+    val-RMSE state seen across ALL stages (the reference threads one
+    bestModel through every call).
+    """
+    from matfac_tpu.models.base import init_state
+    from matfac_tpu.models.longtail import ModelSideGatedMF
+    from matfac_tpu.solvers.sgd import SGDSolver
+    from matfac_tpu.utils import freq as ufreq
+
+    if mesh is not None:
+        raise ValueError("mf_freq trains on a single device "
+                         "(sequential curriculum, modelMFFreq.cpp:141)")
+    if resume:
+        raise ValueError("resume is not supported for the mf_freq "
+                         "curriculum — restart the stage sequence")
+    m = mf_method.lower()
+    if m == "auto":
+        m = "sgd"
+        log_fn("mf_method=auto resolved to 'sgd' (curriculum stages)")
+    if m not in ("sgd", "sgdpar", "sgdu", "hogsgd"):
+        raise ValueError(
+            f"mf_freq trains through the SGD engine, not '{m}'")
+
+    head_u = ufreq.head_items_from_freq(user_freq, 0.8)
+    head_i = ufreq.head_items_from_freq(item_freq, 0.8)
+    valid_u, valid_i = ~inval_u, ~inval_i
+    none_u = np.zeros(data.n_users, bool)
+    none_i = np.zeros(data.n_items, bool)
+    stages = [
+        ("full", valid_u, valid_i),
+        ("head-only", head_u & valid_u, head_i & valid_i),
+        ("tail-items", none_u, ~head_i & valid_i),
+        ("tail-users", ~head_u & valid_u, none_i),
+        ("full", valid_u, valid_i),
+    ]
+
+    ev = Evaluator(data, inval_u, inval_i, params)
+    state = init_state_override or init_state(params, data.n_users,
+                                              data.n_items)
+    snapshot = lambda st: jax.tree_util.tree_map(jnp.copy, st)
+    best_state, best_metric, best_iter = None, float("inf"), -1
+    history: List[EpochLog] = []
+    epoch_off = 0
+    model = None
+    stop = "max_iter"
+    for si, (tag, gu, gi) in enumerate(stages):
+        log_fn(f"mf_freq stage {si + 1}/5 ({tag}): "
+               f"{int(gu.sum())} users x {int(gi.sum())} items trainable")
+        model = ModelSideGatedMF(params, data.n_users, data.n_items,
+                                 gu, gi)
+        solver = SGDSolver(model, params, data.train_mat, inval_u,
+                           inval_i)
+        loop = TrainLoop(model, solver, ev, params, prefix=prefix,
+                         invalid_users=inval_u, invalid_items=inval_i,
+                         log_fn=log_fn)
+        rep = loop.run(state, seed=params.seed + si)
+        state = rep.state
+        for el in rep.history:
+            el.epoch += epoch_off
+            history.append(el)
+        if rep.best_metric < best_metric:
+            best_metric = rep.best_metric
+            best_state = snapshot(rep.best_state)
+            best_iter = rep.best_iter + epoch_off
+        epoch_off += params.max_iter
+        stop = rep.stop_reason
+    report = TrainReport(state, best_state, best_metric, best_iter,
+                         stop, history)
     return report, model, ev, (inval_u, inval_i)
 
 

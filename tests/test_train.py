@@ -58,7 +58,8 @@ class StubEvaluator:
             cols = jnp.zeros(1, jnp.int32)
         self.train_coo = _C()
 
-    def objective(self, view, state, weights=None):
+    def objective(self, view, state, weights=None, use_factors=True,
+                  use_bias=False):
         self.i += 1
         return self.objs[min(self.i, len(self.objs) - 1)]
 
