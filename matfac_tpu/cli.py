@@ -29,13 +29,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--algo", default="mf",
                     help="mf | mf_bias | IFWMF | TMF | TMFDropout | "
                          "tmf_bias | mf_headwt | mf_loc | mf_freq | "
+                         "dropoutmf[_ordered|_onlyordered] | "
                          "bpr | bprPoissonDropout | "
                          "increment (increment needs --graphmat as "
                          "the probe set; mf_headwt/mf_loc/mf_freq/"
-                         "tmf_bias = othersrc ModelMFWt head-item "
-                         "down-weighting / ModelMFLoc tail half-rank / "
-                         "ModelMFFreq head-first curriculum / "
-                         "ModelDropoutMFBias)")
+                         "tmf_bias/dropoutmf = othersrc ModelMFWt "
+                         "head-item down-weighting / ModelMFLoc tail "
+                         "half-rank / ModelMFFreq head-first "
+                         "curriculum / ModelDropoutMFBias / "
+                         "ModelDropoutMF soft three-tier adaptive rank)")
     ap.add_argument("--mf_method", default="sgd",
                     help="sgd|sgdpar|sgdparsvd|sgdu|hogsgd|blocksgd|als|"
                          "ialspp|alsdense|ccd|ccd++|ccd++freqadap|auto "

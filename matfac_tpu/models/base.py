@@ -85,6 +85,10 @@ class ModelMF:
     name = "mf"
     use_bias = False
     use_factors = True
+    # True when update_rank_mask draws RANDOM ranks per update — such
+    # models need an engine that samples in-kernel (scatter SGD / DSGD),
+    # not one that stages static per-pair ranks (block engines)
+    stochastic_rank = False
 
     def __init__(self, params: Params, n_users: int, n_items: int,
                  user_freq: Optional[np.ndarray] = None,

@@ -138,6 +138,7 @@ class ModelPoissonDropout(ModelDropoutSigmoid):
     deterministic Poisson-0.99-CDF truncation (modelPoissonDropout.cpp)."""
 
     name = "tmf_dropout"
+    stochastic_rank = True
 
     def __init__(self, params: Params, n_users: int, n_items: int,
                  user_freq: np.ndarray, item_freq: np.ndarray, **_):
@@ -161,6 +162,125 @@ class ModelPoissonDropout(ModelDropoutSigmoid):
         r = jax.random.poisson(key, lam).astype(jnp.int32)
         r = jnp.clip(r, 1, self.k)   # modelPoissonDropout.cpp:200-206
         return rank_mask(r, self.k)
+
+
+def adaptive_rank_map(freq: np.ndarray, fac_dim: int) -> np.ndarray:
+    """setAdapRank (main.cpp:1109-1135): entities sorted by DESCENDING
+    frequency are split into four quartiles assigned ranks
+    k, k/2, k/4, k/8 (integer halving, floor 1; the 4th part absorbs
+    the remainder). Ties break by entity id (the reference's std::sort
+    on (id, freq) pairs is unstable; we pin stable id order)."""
+    freq = np.asarray(freq, np.float64)
+    n = len(freq)
+    order = np.argsort(-freq, kind="stable")
+    ranks = np.zeros(n, np.int32)
+    cur, i, part = fac_dim, 0, 0
+    while i < n:
+        end = int(i + 0.25 * n)
+        if end > n or part == 3:
+            end = n
+        end = max(end, i + 1)   # tiny-n guard (reference assumes n>=4)
+        ranks[order[i:end]] = cur
+        cur = max(cur // 2, 1)
+        i, part = end, part + 1
+    return ranks
+
+
+class ModelAdaptiveDropoutMF(ModelMF):
+    """othersrc ModelDropoutMF — adaptive-rank MF with a SOFT
+    three-tier prediction (othersrc/modelDropoutMF.cpp:4-20):
+
+        estRating = sum_k w_k u_k v_k,
+        w_k = 1.0  for k <  c           (c = max(facDim/8, 1))
+              0.5  for c <= k < minRank (minRank = min(rank_u, rank_i))
+              0.15 for k >= minRank
+
+    TPU design: the pair-dependent soft weights factorize into a
+    width-DOUBLED per-entity embedding, so scoring stays one dense
+    matmul on the MXU — with m_e = [k < rank_e] and g = [k >= c]:
+
+        w_k = alpha_k + 0.35 * g_k * m_u,k * m_i,k
+        (alpha_k = 1 for k < c else 0.15;
+         checks: k<c -> alpha=1, g=0; c<=k<minR -> 0.15+0.35=0.5;
+         k>=minR -> m_u*m_i=0 -> 0.15)
+
+        estRating = <[u*alpha ; 0.35*u*m_u*g], [v ; v*m_i*g]>
+
+    (the asymmetric split keeps f32 exactness — no sqrt rounding).
+    Rank maps are the frequency-quartile assignment of
+    main.cpp setAdapRank. Training rank per update
+    (update_rank_mask, SGD engine only — the masks are RANDOM):
+
+      * mode='prob'        (trainSGDProbPar, :423-650): minRank
+        lifted to facDim with prob rhoRMS (default 0.3 when unset,
+        :548-550); predict+update HARD-truncated at that rank
+        (adapDotProd, :579).
+      * mode='ordered'     (trainSGDProbOrderedPar, :650-884): prob
+        lift, then with prob 0.5 cap at c (:800-808).
+      * mode='onlyordered' (trainSGDOnlyOrderedPar, :884-1115): full
+        rank, with prob 0.5 capped at c (:1037-1042).
+
+    The ranks-list curriculum trainer (trainSGDAdapPar, :201-423) is
+    intentionally subsumed: stage-wise dim growth is ModelIncrement's
+    mechanism and stage-wise entity gating is mf_freq's.
+    """
+
+    name = "dropoutmf"
+    stochastic_rank = True
+
+    def __init__(self, params: Params, n_users: int, n_items: int,
+                 user_freq: np.ndarray, item_freq: np.ndarray,
+                 mode: str = "prob", **_):
+        super().__init__(params, n_users, n_items, user_freq, item_freq)
+        if mode not in ("prob", "ordered", "onlyordered"):
+            raise ValueError(f"unknown dropoutmf mode {mode!r}")
+        self.mode = mode
+        self.cand = max(self.k // 8, 1)
+        # rhoRMS < EPS -> 0.3 (modelDropoutMF.cpp:548-550)
+        self.rho = (params.rho_rms if params.rho_rms >= params.eps
+                    else 0.3)
+        self.rank_u = jnp.asarray(adaptive_rank_map(user_freq, self.k))
+        self.rank_i = jnp.asarray(adaptive_rank_map(item_freq, self.k))
+
+    def pair_rank(self, u_idx, i_idx):
+        return jnp.minimum(self.rank_u[u_idx], self.rank_i[i_idx])
+
+    def update_rank_mask(self, key, u_idx, i_idx):
+        if self.mode == "onlyordered":
+            cap = jax.random.uniform(key, u_idx.shape) <= 0.5
+            r = jnp.where(cap, self.cand, self.k)
+        else:
+            r = self.pair_rank(u_idx, i_idx)
+            k1, k2 = jax.random.split(key)
+            lift = ((r != self.k)
+                    & (jax.random.uniform(k1, u_idx.shape) <= self.rho))
+            r = jnp.where(lift, self.k, r)
+            if self.mode == "ordered":
+                cap = jax.random.uniform(k2, u_idx.shape) <= 0.5
+                r = jnp.where(cap, jnp.minimum(r, self.cand), r)
+        return rank_mask(r, self.k)
+
+    def entity_ranks(self):
+        return None   # soft three-tier eval below, not hard truncation
+
+    def eval_view(self, state):
+        iota = np.arange(self.k)
+        alpha = jnp.asarray(np.where(iota < self.cand, 1.0, 0.15),
+                            jnp.float32)
+        gate = jnp.asarray((iota >= self.cand).astype(np.float32))
+        m_u = rank_mask(self.rank_u, self.k)
+        m_i = rank_mask(self.rank_i, self.k)
+        uf = state.u_fac.astype(jnp.float32)
+        vf = state.i_fac.astype(jnp.float32)
+        u_hat = jnp.concatenate(
+            [uf * alpha[None, :], 0.35 * uf * m_u * gate[None, :]],
+            axis=1)
+        v_hat = jnp.concatenate([vf, vf * m_i * gate[None, :]], axis=1)
+        from matfac_tpu.models.base import EvalView
+        z_u = jnp.zeros_like(state.u_bias)
+        z_i = jnp.zeros_like(state.i_bias)
+        return EvalView(u_hat, v_hat, z_u, z_i,
+                        jnp.zeros_like(state.mu))
 
 
 class ModelDropoutSigmoidBias(ModelDropoutSigmoid):

@@ -93,6 +93,14 @@ class DSGDShardedSolver:
         w = np.asarray(model.example_weight(jnp.asarray(r.astype(np.int32)),
                                             jnp.asarray(c.astype(np.int32))))
         self.sample_poisson = model.name == "tmf_dropout"
+        if (getattr(model, "stochastic_rank", False)
+                and not self.sample_poisson):
+            # this engine samples Poisson ranks in-kernel but stages
+            # everything else STATIC; an adaptive-dropout model here
+            # would silently train deterministic truncation
+            raise ValueError(
+                f"{model.name} samples non-Poisson update ranks — "
+                "train it on the single-device sgd engine")
         if self.sample_poisson:
             # Poisson rate per pair; sampled inside the kernel each epoch
             lam = np.asarray(model.pair_lambda(

@@ -186,15 +186,16 @@ class BlockSGDSolver:
         self.i_perm_inv_dev = jnp.asarray(i_inv.astype(np.int32))
 
         # model hooks BEFORE relabeling (freq tables are in old ids)
-        if hasattr(model, "pair_lambda"):
-            # ModelPoissonDropout SAMPLES its rank per update
-            # (update_rank_mask); this engine stages STATIC ranks, so
-            # routing it here would silently train the deterministic
-            # TMF variant instead
+        if hasattr(model, "pair_lambda") or getattr(
+                model, "stochastic_rank", False):
+            # Poisson/adaptive-dropout models SAMPLE their rank per
+            # update (update_rank_mask); this engine stages STATIC
+            # ranks, so routing one here would silently train the
+            # deterministic variant instead
             raise ValueError(
                 "block-SGD stages static per-pair ranks; "
-                f"{model.name} needs Poisson-sampled ranks — use the "
-                "sgd engine (or DSGD, which samples in-kernel)")
+                f"{model.name} needs per-update sampled ranks — use "
+                "the sgd engine (or DSGD, which samples in-kernel)")
         w = np.asarray(model.example_weight(
             jnp.asarray(r.astype(np.int32)),
             jnp.asarray(c.astype(np.int32)))).astype(np.float32)

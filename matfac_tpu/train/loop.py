@@ -401,7 +401,9 @@ def _auto_method(algo: str, data, params, mesh) -> str:
         return "blocksgd"
     if algo == "mf":
         return "als"
-    if algo in ("mf_bias", "tmfdropout", "tmf_bias", "mf_loc", "mf_freq"):
+    if algo in ("mf_bias", "tmfdropout", "tmf_bias", "mf_loc", "mf_freq",
+                "dropoutmf", "dropoutmf_prob", "dropoutmf_ordered",
+                "dropoutmf_onlyordered"):
         # biases and per-side update gates only train through the SGD
         # engine; Poisson-SAMPLED ranks need the per-epoch
         # update_rank_mask path (block-SGD stages static ranks — see
@@ -507,6 +509,18 @@ def train_model(data, params: Params, algo: str = "mf",
         model = ModelHeadWeightedMF(
             params, data.n_users, data.n_items,
             ufreq.head_items_from_freq(item_freq, 0.5), lambda0=0.8)
+    elif a in ("dropoutmf", "dropoutmf_prob", "dropoutmf_ordered",
+               "dropoutmf_onlyordered"):
+        # othersrc ModelDropoutMF: quartile rank maps + soft three-tier
+        # scoring; algo suffix picks the trainer's rank-sampling rule
+        from matfac_tpu.models.longtail import ModelAdaptiveDropoutMF
+        mode = {"dropoutmf": "prob", "dropoutmf_prob": "prob",
+                "dropoutmf_ordered": "ordered",
+                "dropoutmf_onlyordered": "onlyordered"}[a]
+        a = "dropoutmf"
+        model = ModelAdaptiveDropoutMF(params, data.n_users,
+                                       data.n_items, user_freq,
+                                       item_freq, mode=mode)
     elif a in ("mf_loc", "mfloc"):
         # othersrc ModelMFLoc: tail entities confined to the first
         # fac_dim/2 dims (othersrc/modelMFLoc.cpp; head sets at the
@@ -547,6 +561,14 @@ def train_model(data, params: Params, algo: str = "mf",
             "mesh training does not support bias models (the DSGD "
             "engines update factors only) — train mf_bias on a single "
             "device, as the reference does (modelMFBias.cpp:103-227)")
+    if (mesh is not None and getattr(model, "stochastic_rank", False)
+            and not hasattr(model, "pair_lambda")):
+        # the DSGD engines sample only Poisson ranks in-kernel; an
+        # adaptive-dropout model would silently train deterministic
+        # truncation (othersrc has no distributed trainer either)
+        raise ValueError(
+            f"mesh training does not support {model.name}'s sampled "
+            "ranks — train it single-device with mf_method=sgd")
     side_gated = (type(model).update_side_masks
                   is not ModelMF.update_side_masks)
     if side_gated and (mesh is not None

@@ -198,3 +198,115 @@ def test_side_gated_guards(small):
     with pytest.raises(ValueError, match="resume"):
         train_model(data, p, algo="mf_freq", mf_method="sgd",
                     resume=True, log_fn=lambda s: None)
+
+
+# ---- othersrc ModelDropoutMF (soft three-tier adaptive rank) ---------
+
+def test_adaptive_rank_map_quartiles():
+    from matfac_tpu.models.longtail import adaptive_rank_map
+    freq = np.array([100, 90, 80, 70, 60, 50, 40, 30, 20, 10, 5, 1])
+    r = adaptive_rank_map(freq, 16)
+    # descending-frequency quartiles -> 16, 8, 4, 2
+    assert list(r) == [16, 16, 16, 8, 8, 8, 4, 4, 4, 2, 2, 2]
+    # floor at 1
+    r2 = adaptive_rank_map(freq, 4)
+    assert list(r2) == [4, 4, 4, 2, 2, 2, 1, 1, 1, 1, 1, 1]
+
+
+def test_dropoutmf_soft_eval_oracle(small):
+    """The width-doubled eval view must reproduce the reference's
+    three-tier estRating (othersrc/modelDropoutMF.cpp:4-20) exactly."""
+    from matfac_tpu.models.longtail import ModelAdaptiveDropoutMF
+    data, iu, ii, uf, itf = small
+    user_freq, item_freq = freq.row_col_freq(data.train_mat)
+    p = Params(fac_dim=16, seed=5, rho_rms=0.3)
+    model = ModelAdaptiveDropoutMF(p, data.n_users, data.n_items,
+                                   user_freq, item_freq)
+    state = init_state(p, data.n_users, data.n_items)
+    view = model.eval_view(state)
+    assert view.u_fac.shape == (data.n_users, 2 * p.fac_dim)
+
+    rng = np.random.default_rng(0)
+    us = rng.integers(0, data.n_users, 64)
+    its = rng.integers(0, data.n_items, 64)
+    uF = np.asarray(state.u_fac, np.float64)
+    iF = np.asarray(state.i_fac, np.float64)
+    ru = np.asarray(model.rank_u)
+    ri = np.asarray(model.rank_i)
+    cand = model.cand
+    got = np.einsum("ek,ek->e", np.asarray(view.u_fac, np.float64)[us],
+                    np.asarray(view.i_fac, np.float64)[its])
+    for e, (u, i) in enumerate(zip(us, its)):
+        min_rank = min(ru[u], ri[i])
+        rat = 0.0
+        for k in range(cand):
+            rat += uF[u, k] * iF[i, k]
+        for k in range(cand, min_rank):
+            rat += 0.5 * uF[u, k] * iF[i, k]
+        for k in range(min_rank, p.fac_dim):
+            rat += 0.15 * uF[u, k] * iF[i, k]
+        assert got[e] == pytest.approx(rat, rel=1e-4, abs=1e-7)
+
+
+def test_dropoutmf_update_rank_sampling(small):
+    """mode semantics of the sampled update rank."""
+    from matfac_tpu.models.longtail import ModelAdaptiveDropoutMF
+    data, iu, ii, uf, itf = small
+    user_freq, item_freq = freq.row_col_freq(data.train_mat)
+    p = Params(fac_dim=16, seed=5, rho_rms=0.3)
+    u_idx = jnp.asarray(np.random.default_rng(1).integers(
+        0, data.n_users, 4096))
+    i_idx = jnp.asarray(np.random.default_rng(2).integers(
+        0, data.n_items, 4096))
+    key = jax.random.PRNGKey(3)
+
+    m = ModelAdaptiveDropoutMF(p, data.n_users, data.n_items,
+                               user_freq, item_freq, mode="prob")
+    mask = np.asarray(m.update_rank_mask(key, u_idx, i_idx))
+    ranks = mask.sum(axis=1).astype(int)
+    pair = np.minimum(np.asarray(m.rank_u)[u_idx],
+                      np.asarray(m.rank_i)[i_idx])
+    # every rank is either the pair rank or the lifted full rank
+    assert np.all((ranks == pair) | (ranks == p.fac_dim))
+    low = pair < p.fac_dim
+    lift_frac = np.mean(ranks[low] == p.fac_dim)
+    assert 0.2 < lift_frac < 0.4          # ~rho = 0.3
+
+    m3 = ModelAdaptiveDropoutMF(p, data.n_users, data.n_items,
+                                user_freq, item_freq,
+                                mode="onlyordered")
+    ranks3 = np.asarray(m3.update_rank_mask(key, u_idx, i_idx)
+                        ).sum(axis=1).astype(int)
+    assert set(np.unique(ranks3)) <= {m3.cand, p.fac_dim}
+    frac_cap = np.mean(ranks3 == m3.cand)
+    assert 0.4 < frac_cap < 0.6           # prob 0.5 cap
+
+    m2 = ModelAdaptiveDropoutMF(p, data.n_users, data.n_items,
+                                user_freq, item_freq, mode="ordered")
+    ranks2 = np.asarray(m2.update_rank_mask(key, u_idx, i_idx)
+                        ).sum(axis=1).astype(int)
+    ok = ((ranks2 == m2.cand) | (ranks2 == pair)
+          | (ranks2 == p.fac_dim)
+          | (ranks2 == np.minimum(pair, m2.cand)))
+    assert np.all(ok)
+
+
+def test_dropoutmf_trains_and_guards(small):
+    data, iu, ii, uf, itf = small
+    p = Params(fac_dim=8, u_reg=0.01, i_reg=0.01, learn_rate=0.05,
+               max_iter=25, seed=1, rho_rms=0.3, disp_iter=1000,
+               batch_size=256)
+    rep, model, ev, _ = train_model(data, p, algo="dropoutmf",
+                                    mf_method="auto",
+                                    log_fn=lambda s: None)
+    assert np.isfinite(rep.best_metric)
+    init_val = ev.rmse(model.eval_view(
+        init_state(p, data.n_users, data.n_items)), "val")
+    assert rep.best_metric < init_val
+    # sampled ranks cannot stage into the block engines / coord family
+    with pytest.raises(ValueError, match="sampled ranks|static"):
+        train_model(data, p, algo="dropoutmf", mf_method="blocksgd",
+                    log_fn=lambda s: None)
+    with pytest.raises(ValueError, match="coordinate"):
+        train_model(data, p, algo="dropoutmf_ordered", mf_method="als",
+                    log_fn=lambda s: None)
