@@ -230,7 +230,8 @@ def block_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
                      bs: int, bu: int, bi: int, NI: int,
                      u_reg: float, i_reg: float,
                      collision_norm: bool, use_mask: bool,
-                     mm_bf16: bool = True
+                     mm_bf16: bool = True,
+                     ib_identity: bool = False
                      ) -> Tuple[jax.Array, jax.Array]:
     """Diagonal-batched one-hot MXU SGD epoch (Gemulla DSGD schedule on
     one chip — the single-chip analog of parallel/dsgd.py, cf.
@@ -276,13 +277,24 @@ def block_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
 
     vslice = jax.vmap(slice_one)
 
+    lanes_c = jnp.arange(G, dtype=jnp.int32)
+
     def round_body(t, tabs):
         u3, i3 = tabs
         ub = ub_idx[t]
-        ib = ib_idx[t]
         bo = boff[t]
         U = u3[ub]
-        I = i3[ib]
+        if ib_identity:
+            # item lane l owns item block l for the whole epoch (the
+            # diagonal rotation is carried by the ROTATED ub_idx — a
+            # pure lane relabeling, device_diag_schedule): the i-table
+            # never moves through gather/scatter, halving the
+            # per-round table traffic
+            ib = lanes_c
+            I = i3
+        else:
+            ib = ib_idx[t]
+            I = i3[ib]
         # dummy lanes (ub == NU) address the all-invalid dummy cell
         cell = jnp.minimum(ub * NI + ib, n_cells_pad - 1)
         rows = [x[cell] for x in (u_loc, i_loc, vals, wts, cnu, cni,
@@ -296,7 +308,7 @@ def block_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
 
         U, I = jax.lax.fori_loop(0, n_steps, step, (U, I))
         u3 = u3.at[ub].set(U)
-        i3 = i3.at[ib].set(I)
+        i3 = I if ib_identity else i3.at[ib].set(I)
         return (u3, i3)
 
     return jax.lax.fori_loop(0, R, round_body, (u_tab3, i_tab3))
@@ -320,9 +332,17 @@ def device_diag_schedule(key: jax.Array, NU: int, G: int, n_steps: int
     ub_all = jax.random.permutation(k1, ub_all).reshape(n_groups, G)
     dperm = jax.vmap(lambda kk: jax.random.permutation(kk, G))(
         jax.random.split(k2, n_groups)).astype(jnp.int32)
-    ub_idx = jnp.repeat(ub_all, G, axis=0)              # [R, G]
     lanes = jnp.arange(G, dtype=jnp.int32)
-    ib_idx = (lanes[None, :] + dperm.reshape(-1, 1)) % G
+    # The rotation is applied to the USER side: lane l keeps item
+    # block l for the whole epoch and round d pairs it with user block
+    # ub_all[g, (l - d) % G] — a pure lane relabeling of the classic
+    # (u_l, i_(l+d)%G) diagonal (same cell set per round; lanes are
+    # independent), which lets block_sweep_diag(ib_identity=True) skip
+    # the per-round i-table gather/scatter entirely.
+    ub_rep = jnp.repeat(ub_all, G, axis=0)              # [R, G]
+    src = (lanes[None, :] - dperm.reshape(-1, 1)) % G   # [R, G]
+    ub_idx = jnp.take_along_axis(ub_rep, src, axis=1)
+    ib_idx = jnp.broadcast_to(lanes, ub_idx.shape)      # identity lanes
     boff = jax.random.randint(k3, (n_groups * G, G), 0,
                               max(n_steps, 1)).astype(jnp.int32)
     return ub_idx, ib_idx, boff
@@ -351,7 +371,7 @@ def block_sgd_epoch_diag_keyed(u_tab3: jax.Array, i_tab3: jax.Array,
     return block_sweep_diag(
         u_tab3, i_tab3, ub_idx, ib_idx, boff, lr, u_loc, i_loc, vals,
         wts, cnu, cni, lam, bs, bu, bi, NI, u_reg, i_reg,
-        collision_norm, use_mask, mm_bf16)
+        collision_norm, use_mask, mm_bf16, ib_identity=True)
 
 
 def block_sweep_rows(u_tab: jax.Array, i_tab: jax.Array,

@@ -339,7 +339,7 @@ class BlockDSGDSolver:
                 u3, i3 = block_sweep_diag(
                     u3, i3, ub_idx, ib_idx, boff, lr,
                     st[0], st[1], st[2], st[3], st[4], st[5], st[6],
-                    **kw)
+                    ib_identity=True, **kw)
                 i_blk = i3.reshape(SI * sub_bi, k_dim)
                 i_blk = jax.lax.ppermute(
                     i_blk, axis, [(j, (j - 1) % N) for j in range(N)])
