@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "curriculum / ModelDropoutMFBias / "
                          "ModelDropoutMF soft three-tier adaptive rank)")
     ap.add_argument("--mf_method", default="sgd",
-                    help="sgd|sgdpar|sgdparsvd|sgdu|hogsgd|blocksgd|als|"
+                    help="sgd|sgdpar|sgdparsvd|sgdu|hogsgd|blocksgd|"
+                         "densesgd|als|"
                          "ialspp|alsdense|ccd|ccd++|ccd++freqadap|auto "
                          "(auto = measured TPU-first choice, PERF.md). "
                          "For --algo bpr*: train|hog|posneg|sigmoid|auto "

@@ -1,0 +1,149 @@
+"""Dense-cell SGD epoch: per-cell masked-residual GD on the MXU.
+
+The one-hot MXU engine (ops/block_sgd_kernel.py) pays 4k(bu+bi) FLOP
+per *rating* to move gathers/scatters onto the MXU, plus the one-hot
+materialization traffic that is ~85% of its epoch at the bench shapes
+(PERF.md "Diagonal schedule"). But at cell-sized batches — which the
+auto batch sizing already picks at the bench shapes (n_steps=1) — the
+minibatch one-hot update is EXACTLY a dense masked-residual GD step on
+the cell:
+
+    P  = U I^T                    [bu, bi]   (MXU)
+    E  = W  *  (R - P)            elementwise; E[u,i] = coeff_{u,i}
+    gu = -2 E I  + 2*u_reg*cnt_u[:,None]*U    (MXU + VPU)
+    gi = -2 E^T U + 2*i_reg*cnt_i[:,None]*I
+    U -= lr * gu / max(cnt_u,1)   (collision normalization = the
+    I -= lr * gi / max(cnt_i,1)    within-batch same-entity mean)
+
+where R/W are the cell's ratings/weights as STATIC dense [bu, bi]
+tiles and cnt = per-row/col valid counts (W > 0). Per dense slot this
+is 6k MXU FLOP and ~3-6 B of HBM — versus the one-hot engine's
+4k(bu+bi) FLOP and ~(bu+bi)*8 B per *stream slot*; dense wins FLOP
+whenever cells hold more than ~0.75*b ratings, and always wins
+traffic. The trade is HBM residency: the dense tiles materialize the
+whole padded matrix (n_users_pad * n_items_pad * (2..6) bytes), so the
+solver gates this engine on a byte budget and falls back to the
+one-hot engine above it (solvers/block_sgd.py).
+
+Update semantics = modelMF.cpp:83-105 per-occurrence-regularized SGD,
+minibatched at batch = cell (README deviation #1), identical to
+BlockSGDSolver(schedule="diag") with bs = S: the equivalence argument
+is the separability of the one-hot aggregation —
+oh_u^T diag(coeff) oh_i == E restricted to the cell's support, and
+per-occurrence reg sums to cnt * lambda * row. Parity is pinned
+against the one-hot engine in tests/test_dense_block.py.
+
+Rank-masked models (TMF family) would need per-side mask matmuls for
+the reg term; they stay on the one-hot/scatter engines (the solver
+guards). Per-example weights (IFWMF) ride W.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from matfac_tpu.ops.block_sgd_kernel import device_diag_schedule
+
+
+def cell_dense_update(U, I, R, W, lr, u_reg, i_reg, collision_norm,
+                      mm_dtype):
+    """One full-batch GD step on one (bu x bi) cell. U [bu,k], I [bi,k]
+    f32; R [bu,bi] ratings (any float dtype); W [bu,bi] weights (float
+    or int8 validity). Math mirrors block_sgd_kernel._batch_update at
+    bs = cell size; see module docstring for the equivalence."""
+    Wf = W.astype(jnp.float32)
+    P = jnp.dot(U.astype(mm_dtype), I.astype(mm_dtype).T,
+                preferred_element_type=jnp.float32)
+    E = Wf * (R.astype(jnp.float32) - P)
+    vm = (Wf > 0).astype(jnp.float32)
+    cnt_u = jnp.sum(vm, axis=1)
+    cnt_i = jnp.sum(vm, axis=0)
+    Em = E.astype(mm_dtype)
+    gu = (-2.0 * jnp.dot(Em, I.astype(mm_dtype),
+                         preferred_element_type=jnp.float32)
+          + (2.0 * u_reg) * cnt_u[:, None] * U)
+    gi = (-2.0 * jnp.dot(Em.T, U.astype(mm_dtype),
+                         preferred_element_type=jnp.float32)
+          + (2.0 * i_reg) * cnt_i[:, None] * I)
+    if collision_norm:
+        gu = gu / jnp.maximum(cnt_u, 1.0)[:, None]
+        gi = gi / jnp.maximum(cnt_i, 1.0)[:, None]
+    return U - lr * gu, I - lr * gi
+
+
+def dense_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
+                     ub_idx: jax.Array, lr,
+                     R_cells: jax.Array, W_cells: jax.Array,
+                     NI: int, u_reg: float, i_reg: float,
+                     collision_norm: bool, mm_bf16: bool = True
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Diagonal-scheduled dense epoch (Gemulla DSGD rounds with
+    identity item lanes, exactly block_sgd_kernel.block_sweep_diag's
+    schedule — modelMF.cpp:154-350 / util.cpp:1077-1107 semantics).
+
+    u_tab3 [NU+1, bu, k] (row NU = dummy), i_tab3 [NI, bi, k];
+    ub_idx [R, G=NI] per-round user-block per lane (lane l owns item
+    block l); R_cells/W_cells [n_cells+1, bu, bi] dense tiles in
+    cell-major order (cell = ub*NI + ib; last row = all-invalid dummy
+    addressed by padding lanes)."""
+    Rr, G = ub_idx.shape
+    n_cells_pad = R_cells.shape[0]
+    mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
+    lr_f = jnp.asarray(lr, jnp.float32)
+    lanes = jnp.arange(G, dtype=jnp.int32)
+
+    vstep = jax.vmap(
+        lambda U, I, R, W: cell_dense_update(
+            U, I, R, W, lr_f, u_reg, i_reg, collision_norm, mm_dtype))
+
+    def round_body(t, tabs):
+        u3, i3 = tabs
+        ub = ub_idx[t]
+        cell = jnp.minimum(ub * NI + lanes, n_cells_pad - 1)
+        U, I = vstep(u3[ub], i3, R_cells[cell], W_cells[cell])
+        return (u3.at[ub].set(U), I)
+
+    return jax.lax.fori_loop(0, Rr, round_body, (u_tab3, i_tab3))
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("NI", "u_reg", "i_reg", "collision_norm",
+                     "mm_bf16"))
+def dense_epoch_diag_keyed(u_tab3: jax.Array, i_tab3: jax.Array,
+                           key: jax.Array, lr,
+                           R_cells: jax.Array, W_cells: jax.Array,
+                           NI: int, u_reg: float, i_reg: float,
+                           collision_norm: bool, mm_bf16: bool = True
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """dense_sweep_diag with the round schedule generated ON-DEVICE
+    from a PRNG key (same schedule generator as the one-hot diag
+    engine, so the two engines visit identical cell sequences for the
+    same key — pinned in tests)."""
+    NU = u_tab3.shape[0] - 1
+    ub_idx, _, _ = device_diag_schedule(key, NU, NI, 1)
+    return dense_sweep_diag(u_tab3, i_tab3, ub_idx, lr, R_cells,
+                            W_cells, NI, u_reg, i_reg, collision_norm,
+                            mm_bf16)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi",
+                                             "vdtype", "wdtype"))
+def densify_cells(cell: jax.Array, u_loc: jax.Array, i_loc: jax.Array,
+                  vals: jax.Array, wts: jax.Array, n_cells_pad: int,
+                  bu: int, bi: int, vdtype, wdtype
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Scatter the staged COO stream into dense cell tiles ON DEVICE
+    (one-time; ~7 ns/index, so ~0.1 s at 10M nnz — vs shipping the
+    multi-GB dense tensors over h2d). Padding slots carry vals=wts=0,
+    so scatter-ADD leaves their (cell, 0, 0) targets untouched; real
+    (u, i) pairs are unique in a CSR matrix, so add == set."""
+    R = jnp.zeros((n_cells_pad, bu, bi), vdtype)
+    W = jnp.zeros((n_cells_pad, bu, bi), wdtype)
+    R = R.at[cell, u_loc, i_loc].add(vals.astype(vdtype))
+    W = W.at[cell, u_loc, i_loc].add(wts.astype(wdtype))
+    return R, W

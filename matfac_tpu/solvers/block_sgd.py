@@ -32,6 +32,8 @@ from matfac_tpu.models.base import MFState
 from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
                                              block_sgd_epoch_diag_keyed,
                                              block_sgd_epoch_xla)
+from matfac_tpu.ops.dense_block_kernel import (dense_epoch_diag_keyed,
+                                               densify_cells)
 
 
 def _cdiv(a, b):
@@ -88,12 +90,13 @@ def _balance_perm(freq: np.ndarray, n: int, n_blocks: int,
 class BlockSGDSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
-                 batch_size: Optional[int] = 256, bu: int = 1024,
-                 bi: int = 1024,
+                 batch_size: Optional[int] = 256,
+                 bu: Optional[int] = 1024, bi: Optional[int] = 1024,
                  collision_norm: Optional[bool] = None,
                  mm_bf16: bool = True, interpret: bool = False,
                  engine: str = "xla", schedule: str = "row",
-                 pad_k: int = 0):
+                 pad_k: int = 0,
+                 dense_budget_bytes: int = 6 << 30):
         """``engine``: "xla" (default — pure-XLA one-hot MXU epoch,
         works on every backend) or "pallas" (VMEM-resident tables;
         currently crashes the axon remote Mosaic compile at any scale,
@@ -120,10 +123,21 @@ class BlockSGDSolver:
         the data term is ∝ qi=0 and the reg term ∝ pu=0 — so it stays
         zero), but fills the MXU's 128 result lanes: measured k=64
         padded to 128 runs FASTER than native k=64 on the diag
-        schedule (PERF.md)."""
+        schedule (PERF.md). The dense engine ignores it (its FLOP is
+        ∝ k, so padding is NOT free there).
+
+        ``engine="dense"``: per-cell masked-residual GD on dense
+        [bu, bi] rating/weight tiles (ops/dense_block_kernel.py) —
+        the same update as schedule="diag" at batch = cell, with no
+        one-hots at all. Requires the padded dense tiles to fit
+        ``dense_budget_bytes`` of HBM; rank-masked models stay on the
+        one-hot engines. Pass bu/bi=None to auto-size blocks (square
+        cell grid: NU ≈ NI minimizes the round count)."""
         if schedule not in ("row", "diag"):
             raise ValueError(f"unknown schedule {schedule!r}")
-        if schedule == "diag" and engine != "xla":
+        if engine == "dense":
+            schedule = "diag"  # dense reuses the diag round schedule
+        elif schedule == "diag" and engine != "xla":
             raise ValueError("schedule='diag' requires engine='xla'")
         self.schedule = schedule
         if model.use_bias or not model.use_factors:
@@ -148,6 +162,22 @@ class BlockSGDSolver:
                                else collision_norm)
         n_users, n_items = model.n_users, model.n_items
         k = model.k
+        if engine == "dense":
+            # square-ish cell grid: rounds = ceil(NU/NI)*NI >= NU, so
+            # NU ~ NI minimizes the sequential round count (per-round
+            # fixed cost ~115 us on the tunnel device, PERF.md)
+            if bi is None:
+                bi = min(512, _cdiv(n_items, 128) * 128)
+            if bu is None:
+                bu = min(4096, max(
+                    _cdiv(_cdiv(n_users, _cdiv(n_items, bi)), 256)
+                    * 256, 256))
+            self.pad_k = 0  # dense FLOP is ∝ k: padding is not free
+        else:
+            if bu is None:
+                bu = 1024
+            if bi is None:
+                bi = 1024
         self.bu, self.bi = bu, bi
         self.NU = _cdiv(n_users, bu)
         self.NI = _cdiv(n_items, bi)
@@ -200,6 +230,12 @@ class BlockSGDSolver:
             jnp.asarray(r.astype(np.int32)),
             jnp.asarray(c.astype(np.int32)))).astype(np.float32)
         if hasattr(model, "pair_rank"):
+            if engine == "dense":
+                # the dense reg term would need per-side mask matmuls
+                # (sum of the partner side's masks over the row), not
+                # just counts — keep masked models on the one-hot path
+                raise ValueError("dense engine does not support "
+                                 "rank-masked models; use engine='xla'")
             lam = np.asarray(model.pair_rank(
                 jnp.asarray(r.astype(np.int32)),
                 jnp.asarray(c.astype(np.int32)))).astype(np.int32)
@@ -214,6 +250,18 @@ class BlockSGDSolver:
         ib = c // bi
         cell = ub * self.NI + ib
         n_cells = self.NU * self.NI
+        if engine == "dense":
+            self._stage_dense(cell, (r % bu).astype(np.int32),
+                              (c % bi).astype(np.int32),
+                              v.astype(np.float32), w, n_cells,
+                              dense_budget_bytes)
+            self.S = self.bs = 0
+            self.pad_frac = n_cells * bu * bi / max(self.nnz, 1)
+            self._sched_rng = np.random.default_rng(params.seed + 41)
+            self._resident = None
+            self._last_u_view = None
+            self._last_i_view = None
+            return
         counts = np.bincount(cell, minlength=n_cells)
         S0 = max(int(counts.max()), 1)
         if batch_size is None:
@@ -291,6 +339,39 @@ class BlockSGDSolver:
         self._last_i_view = None
 
     # ------------------------------------------------------------------
+    def _stage_dense(self, cell, u_loc, i_loc, vals, wts, n_cells,
+                     budget):
+        """Dense [bu, bi] rating/weight tiles per cell (+ one dummy),
+        built by a one-time device scatter from the relabeled COO
+        (ops/dense_block_kernel.densify_cells). Weights store as int8
+        validity when uniform 0/1 (plain MF), else f32/bf16 by budget
+        (IFWMF); ratings store f32 when the budget allows, bf16
+        otherwise."""
+        uniform01 = bool(np.all((wts == 0.0) | (wts == 1.0)))
+        slots = (n_cells + 1) * self.bu * self.bi
+        if uniform01:
+            wdtype, wbytes = jnp.int8, 1
+        elif slots * 8 <= budget:
+            wdtype, wbytes = jnp.float32, 4
+        else:
+            wdtype, wbytes = jnp.bfloat16, 2
+        if slots * (4 + wbytes) <= budget:
+            vdtype = jnp.float32
+        elif slots * (2 + wbytes) <= budget:
+            vdtype = jnp.bfloat16
+        else:
+            raise ValueError(
+                f"dense tiles need {slots * (2 + wbytes) / 2**30:.1f} "
+                f"GiB > dense_budget {budget / 2**30:.1f} GiB; use "
+                "engine='xla'")
+        self.R_cells, self.W_cells = densify_cells(
+            jnp.asarray(cell.astype(np.int32)), jnp.asarray(u_loc),
+            jnp.asarray(i_loc), jnp.asarray(vals),
+            jnp.asarray(wts.astype(np.float32)),
+            n_cells_pad=n_cells + 1, bu=self.bu, bi=self.bi,
+            vdtype=vdtype, wdtype=wdtype)
+
+    # ------------------------------------------------------------------
     def _build_schedule(self):
         """Per-epoch randomness: random user-row order, random cell
         order within each row, random batch offset within each cell."""
@@ -329,6 +410,25 @@ class BlockSGDSolver:
             u_tab, i_tab = self._resident
         else:
             u_tab, i_tab = self._stage_factors(state)
+        if self.engine == "dense":
+            ek = jax.random.PRNGKey(int(self._sched_rng.integers(2**31)))
+            u3, i3 = dense_epoch_diag_keyed(
+                u_tab, i_tab, ek, jnp.float32(lr),
+                self.R_cells, self.W_cells, NI=self.NI,
+                u_reg=float(self.params.u_reg),
+                i_reg=float(self.params.i_reg),
+                collision_norm=self.collision_norm,
+                mm_bf16=self.mm_bf16)
+            self._resident = (u3, i3)
+            kk = u3.shape[2]
+            u_flat = u3[:self.NU].reshape(self.NU * self.bu, kk)
+            i_flat = i3.reshape(self.n_items_pad, kk)
+            u_view = u_flat[self.u_perm_dev][:, :self.model.k]
+            i_view = i_flat[self.i_perm_dev][:, :self.model.k]
+            self._last_u_view, self._last_i_view = u_view, i_view
+            return state._replace(
+                u_fac=u_view.astype(state.u_fac.dtype),
+                i_fac=i_view.astype(state.i_fac.dtype))
         common = dict(
             bs=self.bs, bu=self.bu, bi=self.bi, NI=self.NI,
             u_reg=float(self.params.u_reg),

@@ -372,8 +372,8 @@ class TrainLoopHR:
 # ----------------------------------------------------------------------
 
 _SOLVERS = ("auto", "sgd", "sgdpar", "sgdparsvd", "sgdu", "hogsgd",
-            "blocksgd", "als", "ialspp", "alsdense", "ccd", "ccd++",
-            "ccd++freqadap")
+            "blocksgd", "densesgd", "als", "ialspp", "alsdense", "ccd",
+            "ccd++", "ccd++freqadap")
 
 
 def _auto_method(algo: str, data, params, mesh) -> str:
@@ -656,6 +656,18 @@ def train_model(data, params: Params, algo: str = "mf",
                                 bu=384, bi=384, schedule="diag",
                                 pad_k=128 if params.fac_dim <= 128
                                 else 0)
+    elif m == "densesgd":
+        # dense-cell masked-residual engine (ops/dense_block_kernel.py):
+        # the blocksgd update at batch = cell, as 3 dense matmuls per
+        # cell with no one-hots — gated on the dense-tile HBM budget
+        # (the solver raises when the padded matrix exceeds it)
+        if mesh is not None:
+            raise ValueError("densesgd is a single-chip engine; use "
+                             "mf_method='blocksgd' under a mesh")
+        from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+        solver = BlockSGDSolver(model, params, data.train_mat, inval_u,
+                                inval_i, engine="dense", bu=None,
+                                bi=None)
     elif m == "sgdparsvd":
         # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
         # singular-value-weighted regularization + objectiveSing

@@ -1,0 +1,201 @@
+"""Dense-cell SGD engine tests (ops/dense_block_kernel.py).
+
+The dense engine claims EXACT update parity with the one-hot diag
+engine at batch = cell (README deviation #1 batch-size hyperparameter;
+the equivalence argument is in the kernel module docstring). These
+tests pin (a) the single-cell update against _batch_update, (b) whole
+epochs against BlockSGDSolver(schedule="diag") sharing the same
+on-device schedule key stream, (c) IFWMF weighted parity, (d)
+convergence to the synthetic noise floor, and (e) the budget/mask
+guards."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matfac_tpu.config import Params
+from matfac_tpu.data.synthetic import low_rank_ratings
+
+from matfac_tpu.models.base import ModelMF, init_state
+from matfac_tpu.ops.block_sgd_kernel import _batch_update
+from matfac_tpu.ops.dense_block_kernel import cell_dense_update
+from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+from matfac_tpu.utils import freq
+
+
+@pytest.mark.parametrize("collision_norm", [False, True])
+def test_dense_cell_update_matches_batch_update(collision_norm):
+    """One dense cell step == _batch_update over the cell's COO at
+    bs = cell size (f32 matmuls)."""
+    rng = np.random.default_rng(0)
+    bu, bi, k, nnz = 16, 8, 4, 40
+    u = rng.integers(0, bu, nnz).astype(np.int32)
+    i = rng.integers(0, bi, nnz).astype(np.int32)
+    # dedupe (u, i) pairs: dense tiles assume CSR-unique entries
+    _, keep = np.unique(u.astype(np.int64) * bi + i, return_index=True)
+    u, i = u[keep], i[keep]
+    nnz = len(u)
+    r = rng.normal(size=nnz).astype(np.float32)
+    w = rng.choice([0.5, 1.0, 2.0], nnz).astype(np.float32)
+    w[rng.random(nnz) < 0.2] = 0.0  # invalid slots ride with w=0
+    U0 = rng.normal(size=(bu, k)).astype(np.float32) * 0.3
+    I0 = rng.normal(size=(bi, k)).astype(np.float32) * 0.3
+    lr, ur, ir = 0.05, 0.01, 0.02
+
+    Uo, Io = _batch_update(
+        jnp.asarray(U0), jnp.asarray(I0), jnp.asarray(u), jnp.asarray(i),
+        jnp.asarray(r), jnp.asarray(w),
+        None if not collision_norm else _counts(u, w, bu),
+        None if not collision_norm else _counts(i, w, bi),
+        None, jnp.float32(lr), k, bu, bi, ur, ir, collision_norm,
+        False, jnp.float32)
+
+    R = np.zeros((bu, bi), np.float32)
+    W = np.zeros((bu, bi), np.float32)
+    R[u, i] = r
+    W[u, i] = w
+    Ud, Id = cell_dense_update(
+        jnp.asarray(U0), jnp.asarray(I0), jnp.asarray(R), jnp.asarray(W),
+        jnp.float32(lr), ur, ir, collision_norm, jnp.float32)
+    np.testing.assert_allclose(np.asarray(Uo), np.asarray(Ud),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(Io), np.asarray(Id),
+                               rtol=2e-5, atol=2e-6)
+
+
+def _counts(idx, w, width):
+    """per-element max(within-batch valid same-entity count, 1) — the
+    staged collision divisor (solvers/block_sgd.py)."""
+    cnt = np.zeros(width)
+    np.add.at(cnt, idx, (w > 0).astype(np.float64))
+    return jnp.asarray(np.maximum(cnt[idx], 1.0).astype(np.float32))
+
+
+def _setup(n_users=60, n_items=40, seed=7):
+    mat, _, _ = low_rank_ratings(n_users, n_items, 3, density=0.3,
+                                 seed=seed, noise=0.05, nonneg=True)
+    params = Params(fac_dim=4, u_reg=0.01, i_reg=0.01, learn_rate=0.05,
+                    seed=2)
+    iu, ii = freq.invalid_users_items(mat, n_users, n_items)
+    return mat, params, iu, ii
+
+
+@pytest.mark.parametrize("collision_norm", [False, True])
+def test_dense_epoch_matches_onehot_diag(collision_norm):
+    """Full epochs: dense engine == one-hot diag engine at bs = cell
+    (both consume the same host rng -> same on-device schedule key)."""
+    mat, params, iu, ii = _setup()
+    model = ModelMF(params, 60, 40)
+    dense = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=16,
+                           collision_norm=collision_norm,
+                           mm_bf16=False, engine="dense")
+    onehot = BlockSGDSolver(model, params, mat, iu, ii,
+                            batch_size=1 << 20, bu=16, bi=16,
+                            collision_norm=collision_norm,
+                            mm_bf16=False, engine="xla",
+                            schedule="diag")
+    assert onehot.bs == onehot.S  # one batch per cell
+    sd = init_state(params, 60, 40, seed=3)
+    so = init_state(params, 60, 40, seed=3)
+    for _ in range(3):
+        sd = dense.epoch(sd, params.learn_rate, None)
+        so = onehot.epoch(so, params.learn_rate, None)
+    np.testing.assert_allclose(np.asarray(sd.u_fac),
+                               np.asarray(so.u_fac),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sd.i_fac),
+                               np.asarray(so.i_fac),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dense_epoch_weighted_matches_onehot():
+    """IFWMF per-example weights ride the dense W tiles (f32 under the
+    default budget) — parity with the one-hot engine holds."""
+    from matfac_tpu.models.longtail import ModelInvPopMF
+    mat, params, iu, ii = _setup()
+    uf, itf = freq.row_col_freq(mat)
+    uf = np.resize(uf, 60)
+    itf = np.resize(itf, 40)
+    model = ModelInvPopMF(params, 60, 40, uf, itf,
+                          invalid_users=iu, invalid_items=ii)
+    dense = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=16,
+                           collision_norm=True, mm_bf16=False,
+                           engine="dense")
+    assert dense.W_cells.dtype == jnp.float32
+    onehot = BlockSGDSolver(model, params, mat, iu, ii,
+                            batch_size=1 << 20, bu=16, bi=16,
+                            collision_norm=True, mm_bf16=False,
+                            engine="xla", schedule="diag")
+    sd = init_state(params, 60, 40, seed=3)
+    so = init_state(params, 60, 40, seed=3)
+    for _ in range(2):
+        sd = dense.epoch(sd, params.learn_rate, None)
+        so = onehot.epoch(so, params.learn_rate, None)
+    np.testing.assert_allclose(np.asarray(sd.u_fac),
+                               np.asarray(so.u_fac),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dense_plain_mf_w_is_int8():
+    mat, params, iu, ii = _setup()
+    model = ModelMF(params, 60, 40)
+    dense = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=16,
+                           engine="dense")
+    assert dense.W_cells.dtype == jnp.int8
+    # every training rating landed in exactly one dense slot
+    assert int(jnp.sum(dense.W_cells)) == dense.nnz
+
+
+def test_dense_converges():
+    mat, params, iu, ii = _setup(n_users=120, n_items=80)
+    model = ModelMF(params, 120, 80)
+    # auto block sizing at this tiny shape collapses to ONE cell
+    # (full-batch GD — converges, but slowly); sweep real cells instead
+    dense = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=16,
+                           collision_norm=True, engine="dense")
+    state = init_state(params, 120, 80, seed=1)
+    for _ in range(60):
+        state = dense.epoch(state, params.learn_rate, None)
+    r, c, v = mat.to_coo()
+    keep = ~iu[r] & ~ii[c]
+    r, c, v = r[keep], c[keep], v[keep]
+    U = np.asarray(state.u_fac)
+    I = np.asarray(state.i_fac)
+    pred = np.sum(U[r] * I[c], axis=1)
+    rmse = float(np.sqrt(np.mean((pred - v) ** 2)))
+    assert rmse < 0.15  # noise=0.05 floor + margin
+
+
+def test_dense_auto_block_sizing_smoke():
+    """bu/bi=None picks a square-ish cell grid and the epoch runs."""
+    mat, params, iu, ii = _setup(n_users=120, n_items=80)
+    model = ModelMF(params, 120, 80)
+    dense = BlockSGDSolver(model, params, mat, iu, ii, bu=None, bi=None,
+                           engine="dense")
+    assert dense.NU >= 1 and dense.NI >= 1
+    assert dense.bu % 256 == 0 and dense.bi % 128 == 0
+    state = init_state(params, 120, 80, seed=1)
+    out = dense.epoch(state, params.learn_rate, None)
+    assert np.isfinite(np.asarray(out.u_fac)).all()
+
+
+def test_dense_budget_guard():
+    mat, params, iu, ii = _setup()
+    model = ModelMF(params, 60, 40)
+    with pytest.raises(ValueError, match="dense_budget"):
+        BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=16,
+                       engine="dense", dense_budget_bytes=1024)
+
+
+def test_dense_rejects_rank_masked_models():
+    from matfac_tpu.models.longtail import ModelDropoutSigmoid
+    mat, params, iu, ii = _setup()
+    uf, itf = freq.row_col_freq(mat)
+    uf = np.resize(uf, 60)
+    itf = np.resize(itf, 40)
+    model = ModelDropoutSigmoid(params, 60, 40, uf, itf)
+    with pytest.raises(ValueError, match="rank-masked|dense"):
+        BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=16,
+                       engine="dense")
