@@ -47,7 +47,10 @@ def stage_coo(mat: RatingMatrix, invalid_users: np.ndarray,
     r, c, v = r[keep], c[keep], v[keep]
     n = len(r)
     if n > _EVAL_CHUNK:
-        pad_multiple = _EVAL_CHUNK
+        # keep any caller-required divisibility (mesh shard count) —
+        # shard-local streams that end up non-chunk-aligned are padded
+        # in-trace by _chunked_err_reduce
+        pad_multiple = int(np.lcm(pad_multiple, _EVAL_CHUNK))
     n_pad = (-n) % pad_multiple if n else pad_multiple
     pad = lambda a, z: np.concatenate([a, np.full(n_pad, z, a.dtype)])
     return CooDevice(
@@ -73,6 +76,16 @@ def _chunked_err_reduce(view: EvalView, coo: CooDevice,
     _EVAL_CHUNK-entry slices so the gathered factor rows never
     materialize at full-nnz size."""
     n = coo.rows.shape[0]
+    if n > _EVAL_CHUNK and n % _EVAL_CHUNK:
+        # pad to a chunk multiple in-trace (valid=0 ⇒ zero contribution)
+        # — reached by shard-local streams whose length the host-side
+        # staging didn't chunk-align (Evaluator mesh mode)
+        n_pad = (-n) % _EVAL_CHUNK
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((n_pad,), a.dtype)])
+        coo = CooDevice(*(zpad(a) for a in coo))
+        weights = zpad(weights) if weights is not None else None
+        n = coo.rows.shape[0]
 
     def one(r, c, v, w, wt):
         pred = predict_pairs(view, r, c)
@@ -177,24 +190,71 @@ class Evaluator:
     """
 
     def __init__(self, data, invalid_users: np.ndarray,
-                 invalid_items: np.ndarray, params):
+                 invalid_items: np.ndarray, params, mesh=None):
+        """``mesh``: shard the SSE/RMSE/objective reductions over all
+        mesh devices — the COO stream splits across shards (each shard
+        runs the chunked error reduce on its slice under shard_map) and
+        partial (sse, count) psum; the result equals the single-device
+        reduction up to f32 summation order."""
         self.params = params
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size) if mesh is not None else 1
+        self._sse_fns = {}
         self.n_users = data.n_users
         self.n_items = data.n_items
         self.invalid_users = invalid_users
         self.invalid_items = invalid_items
         self.valid_u = jnp.asarray(~invalid_users, jnp.float32)
         self.valid_i = jnp.asarray(~invalid_items, jnp.float32)
-        self.train_coo = stage_coo(data.train_mat, invalid_users,
-                                   invalid_items, self.n_users, self.n_items)
-        self.test_coo = (stage_coo(data.test_mat, invalid_users,
-                                   invalid_items, self.n_users, self.n_items)
+
+        def _stage(mat):
+            coo = stage_coo(mat, invalid_users, invalid_items,
+                            self.n_users, self.n_items,
+                            pad_multiple=1024 * self.n_shards)
+            if mesh is None:
+                return coo
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+            return CooDevice(*(jax.device_put(a, sh) for a in coo))
+
+        self.train_coo = _stage(data.train_mat)
+        self.test_coo = (_stage(data.test_mat)
                          if data.test_mat is not None else None)
-        self.val_coo = (stage_coo(data.val_mat, invalid_users,
-                                  invalid_items, self.n_users, self.n_items)
+        self.val_coo = (_stage(data.val_mat)
                         if data.val_mat is not None else None)
         self._ndcg_cache = {}
         self._data = data
+
+    def _sse(self, view: EvalView, coo: CooDevice,
+             weights: Optional[jax.Array] = None
+             ) -> Tuple[jax.Array, jax.Array]:
+        """(sse, count) — sharded over the mesh when one is active."""
+        if self.mesh is None:
+            if weights is None:
+                return sse(view, coo)
+            return weighted_sse(view, coo, weights), jnp.zeros(())
+        from jax.sharding import PartitionSpec as P
+        axes = tuple(self.mesh.axis_names)
+        key = weights is not None
+        fn = self._sse_fns.get(key)
+        if fn is None:
+            def run(view, rows, cols, vals, valid, wt):
+                s, cnt = _chunked_err_reduce(
+                    view, CooDevice(rows, cols, vals, valid),
+                    wt if key else None)
+                return (jax.lax.psum(s, axes), jax.lax.psum(cnt, axes))
+
+            fn = jax.jit(jax.shard_map(
+                run, mesh=self.mesh,
+                in_specs=(P(), P(axes), P(axes), P(axes), P(axes),
+                          P(axes) if key else P()),
+                out_specs=(P(), P()),
+                # scan carry mixes replicated zeros with varying
+                # inputs (see ranking._sharded); psum still reduces
+                check_vma=False))
+            self._sse_fns[key] = fn
+        wt = weights if key else jnp.zeros((), jnp.float32)
+        return fn(view, coo.rows, coo.cols, coo.vals, coo.valid, wt)
 
     # -- RMSE ----------------------------------------------------------
     def rmse(self, view: EvalView, which: str = "test") -> float:
@@ -202,7 +262,8 @@ class Evaluator:
                "val": self.val_coo}[which]
         if coo is None:
             raise ValueError(f"no {which} matrix")
-        return rmse_value(view, coo)
+        s, n = self._sse(view, coo)
+        return float(jnp.sqrt(s / jnp.maximum(n, 1)))
 
     # -- objective -----------------------------------------------------
     def objective(self, view: EvalView, state,
@@ -216,10 +277,7 @@ class Evaluator:
         over valid entities — ModelMFBias counts ONLY bias reg
         (modelMFBias.cpp:87-88, factor term commented out) while
         ModelDropoutMFBias counts both (modelDropoutMFBias.cpp:77)."""
-        if weights is None:
-            s, _ = sse(view, self.train_coo)
-        else:
-            s = weighted_sse(view, self.train_coo, weights)
+        s, _ = self._sse(view, self.train_coo, weights)
         reg = 0.0
         if use_factors:
             reg = reg_penalty(state.u_fac, state.i_fac, self.valid_u,
@@ -237,7 +295,7 @@ class Evaluator:
                        singular_vals) -> float:
         """objectiveSing (model.cpp:1818-1865): L2 penalty weighted
         per-dim by the singular values, with NO uReg/iReg scaling."""
-        s, _ = sse(view, self.train_coo)
+        s, _ = self._sse(view, self.train_coo)
         sv = jnp.asarray(singular_vals, jnp.float32)[None, :]
         u = jnp.sum(jnp.sum(state.u_fac * state.u_fac * sv, axis=1)
                     * self.valid_u)

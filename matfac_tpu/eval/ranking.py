@@ -17,6 +17,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from matfac_tpu.data.csr import RatingMatrix
 from matfac_tpu.models.base import EvalView
@@ -186,14 +187,31 @@ def _topk_all_blocks_coo(view: EvalView, user_id_blocks: jax.Array,
 
 class CatalogScorer:
     """Host wrapper: pads the item table, stages exclusion lists, and
-    streams user blocks through topk_catalog_block."""
+    streams user blocks through topk_catalog_block.
+
+    ``mesh``: a jax.sharding.Mesh shards the catalog pass over ALL its
+    devices — user blocks are split across the mesh (each device scans
+    the full item catalog for its user shard under shard_map) and the
+    LOO credit reduces with a psum, so multi-chip training stops paying
+    single-device eval (SURVEY §7 "Eval cost"; the reference's hot loop
+    is the per-user full-catalog heap scan, model.cpp:1182-1193).
+    User-sharding is the communication-free axis: the only collective
+    is the scalar credit psum (+ a one-time item-table all-gather when
+    the incoming view is item-sharded); an item-sharded scan would
+    ppermute [B, n] candidate sets every block for no FLOP savings.
+    Results are EXACTLY the single-device results (same per-user block
+    computation, integer-valued credit sums)."""
 
     def __init__(self, train_mat: RatingMatrix, invalid_users: np.ndarray,
                  invalid_items: np.ndarray, n_users: int, n_items: int,
-                 user_block: int = 1024, item_block: int = 32768):
+                 user_block: int = 1024, item_block: int = 32768,
+                 mesh=None):
         self.n_users = n_users
         self.n_items = n_items
         self.user_block = user_block
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size) if mesh is not None else 1
+        self._shard_fns = {}
         self.item_block = min(item_block, _round_up(n_items, 128))
         self.n_items_pad = _round_up(n_items, self.item_block)
         inval = np.ones(self.n_items_pad, bool)
@@ -207,8 +225,10 @@ class CatalogScorer:
         # power-law data. Rows with col sentinel 2**30 drop out of every
         # item block.
         B = user_block
-        n_users_pad = _round_up(n_users, B)
-        n_blocks = n_users_pad // B
+        # user blocks round up to a shard multiple so shard_map splits
+        # them evenly (pad blocks score dummy user 0; valid=False)
+        n_blocks = _round_up(_round_up(n_users, B) // B, self.n_shards)
+        self._n_blocks = n_blocks
         r, c, _ = train_mat.to_coo()
         keep = (r < n_users) & (c < n_items)
         r, c = r[keep], c[keep]
@@ -233,9 +253,19 @@ class CatalogScorer:
                 ex_rows[b, : hi - lo] = (rs[lo:hi] - b * B
                                          ).astype(np.int32)
                 ex_cols[b, : hi - lo] = cs[lo:hi].astype(np.int32)
-            self.ex_rows = jnp.asarray(ex_rows)
-            self.ex_cols = jnp.asarray(ex_cols)
+            self.ex_rows = self._place(jnp.asarray(ex_rows))
+            self.ex_cols = self._place(jnp.asarray(ex_cols))
         self._rated_rows = None   # lazy [n_users, C] staging (serving)
+        self._blocks_dev = None   # lazy [n_blocks, B] user-id blocks
+
+    def _place(self, arr: jax.Array) -> jax.Array:
+        """Pre-distribute a [n_blocks, ...] staged array over the mesh
+        (no-op without one) so every eval dispatch starts shard-local."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+        return jax.device_put(arr, sh)
 
     def _ensure_padded_rows(self):
         """[n_users, max_degree] padded rated rows — only needed by the
@@ -267,21 +297,57 @@ class CatalogScorer:
             i_fac=jnp.pad(view.i_fac, ((0, n_pad), (0, 0))),
             i_bias=jnp.pad(view.i_bias, (0, n_pad)))
 
+    def _sharded(self, n: int):
+        """jit(shard_map(...)) over the mesh: the leading user-block
+        axis splits across every mesh axis; view/exclusion tables are
+        replicated (a sharded incoming view is re-laid-out by the
+        dispatch — one all-gather of the small factor tables)."""
+        key = (n, self._use_coo)
+        fn = self._shard_fns.get(key)
+        if fn is not None:
+            return fn
+        axes = tuple(self.mesh.axis_names)
+        inner = _topk_all_blocks_coo if self._use_coo else _topk_all_blocks
+
+        def run(view, blocks, e1, e2, invalid):
+            return inner(view, blocks, e1, e2, invalid, n,
+                         self.item_block)
+
+        fn = jax.jit(jax.shard_map(
+            run, mesh=self.mesh,
+            in_specs=(P(), P(axes), P(axes) if self._use_coo else P(),
+                      P(axes) if self._use_coo else P(), P()),
+            out_specs=(P(axes), P(axes)),
+            # the scan carry mixes replicated init constants with
+            # varying scanned inputs; there is no cross-device op in
+            # the topk body, so skip the varying-axes type check
+            check_vma=False))
+        self._shard_fns[key] = fn
+        return fn
+
     def _topk_dev(self, view: EvalView, n: int
                   ) -> Tuple[jax.Array, jax.Array]:
         """Device-resident [blocks, B, n] (scores, item ids)."""
         view = self._pad_view(view)
         B = self.user_block
-        n_users_pad = _round_up(self.n_users, B)
-        user_ids_all = np.arange(n_users_pad, dtype=np.int32)
-        user_ids_all[self.n_users:] = 0
-        blocks = jnp.asarray(user_ids_all.reshape(-1, B))
+        if self._blocks_dev is None:
+            user_ids_all = np.arange(self._n_blocks * B, dtype=np.int32)
+            user_ids_all[self.n_users:] = 0
+            self._blocks_dev = self._place(
+                jnp.asarray(user_ids_all.reshape(-1, B)))
+        blocks = self._blocks_dev
         if self._use_coo:
-            return _topk_all_blocks_coo(
-                view, blocks, self.ex_rows, self.ex_cols,
-                self.invalid_items_dev, n, self.item_block)
-        rc, rm = self._ensure_padded_rows()
-        return _topk_all_blocks(view, blocks, rc, rm,
+            e1, e2 = self.ex_rows, self.ex_cols
+        else:
+            e1, e2 = self._ensure_padded_rows()
+        if self.mesh is not None:
+            return self._sharded(n)(view, blocks, e1, e2,
+                                    self.invalid_items_dev)
+        if self._use_coo:
+            return _topk_all_blocks_coo(view, blocks, e1, e2,
+                                        self.invalid_items_dev, n,
+                                        self.item_block)
+        return _topk_all_blocks(view, blocks, e1, e2,
                                 self.invalid_items_dev, n,
                                 self.item_block)
 
@@ -314,11 +380,13 @@ class CatalogScorer:
         first[:nr][nz] = test_mat.indices[test_mat.indptr[:nr][nz]]
         valid[:nr] = nz & ~self.invalid_users[:nr]
         B = self.user_block
-        n_users_pad = _round_up(self.n_users, B)
+        n_users_pad = self._n_blocks * B
         first = np.pad(first, (0, n_users_pad - self.n_users))
         valid = np.pad(valid, (0, n_users_pad - self.n_users))
-        self._loo_cache = (jnp.asarray(first.reshape(-1, B)),
-                           jnp.asarray(valid.reshape(-1, B)),
+        # co-sharded with the topk output so the credit reduction stays
+        # shard-local (only the scalar psums)
+        self._loo_cache = (self._place(jnp.asarray(first.reshape(-1, B))),
+                           self._place(jnp.asarray(valid.reshape(-1, B))),
                            int(valid.sum()))
         self._loo_mat = test_mat
         return self._loo_cache

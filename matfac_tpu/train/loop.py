@@ -710,7 +710,9 @@ def train_model(data, params: Params, algo: str = "mf",
         raise ValueError(f"unknown mf_method {mf_method!r}; "
                          f"one of {_SOLVERS}")
 
-    ev = Evaluator(data, inval_u, inval_i, params)
+    # under a mesh the per-epoch metric reductions shard across it
+    # (mesh-sharded eval — SURVEY §7 "Eval cost")
+    ev = Evaluator(data, inval_u, inval_i, params, mesh=mesh)
     state = init_state_override or init_state(params, data.n_users,
                                               data.n_items)
     # model-specific init transform (identity for most; mf_loc zeroes
