@@ -34,12 +34,23 @@ def main():
     n_cells = NU * NI + 1
     rng = np.random.default_rng(0)
 
-    R = jnp.asarray(rng.normal(size=(n_cells, bu, bi)), jnp.bfloat16)
-    W = jnp.asarray((rng.random((n_cells, bu, bi)) < 0.005),
-                    jnp.int8)
-    U3 = jnp.asarray(rng.normal(size=(NU + 1, bu, k)) * 0.1,
-                     jnp.float32)
-    I3 = jnp.asarray(rng.normal(size=(NI, bi, k)) * 0.1, jnp.float32)
+    # generate the big tensors ON DEVICE (host staging of 2.1G slots
+    # took ~10 min over the tunnel and 17 GB of host RAM; values do
+    # not matter for a perf probe of dense ops). HBM budget note
+    # (v5e = 16 GB): R bf16 4.2 GB + W int8 2.1 GB resident; each
+    # case below materializes at most one extra 4.2 GB reshape and
+    # deletes it before the next (first run OOMed with all three
+    # precomputed).
+    kk = jax.random.split(jax.random.PRNGKey(0), 3)
+    R = jax.jit(lambda key: jax.random.normal(
+        key, (n_cells, bu, bi), jnp.bfloat16))(kk[0])
+    W = jax.jit(lambda key: (jax.random.uniform(
+        key, (n_cells, bu, bi), jnp.float32) < 0.005
+    ).astype(jnp.int8))(kk[1])
+    U3 = jax.jit(lambda key: 0.1 * jax.random.normal(
+        key, (NU + 1, bu, k), jnp.float32))(kk[2])
+    I3 = jax.jit(lambda key: 0.1 * jax.random.normal(
+        key, (NI, bi, k), jnp.float32))(kk[2])
     cell_idx = jnp.asarray(
         rng.permutation(NU * NI).reshape(NU, NI).astype(np.int32))
 
@@ -49,8 +60,6 @@ def main():
             g = R[cell_idx[t]]
             return acc + jnp.sum(g.astype(jnp.float32))
         return jax.lax.fori_loop(0, NU, body, jnp.float32(0))
-
-    Rflat = R.reshape(n_cells * bu, bi)
 
     @jax.jit
     def dslice(Rflat, cell_idx):
@@ -109,10 +118,6 @@ def main():
             return (u3.at[ub].set(U), I)
         return jax.lax.fori_loop(0, NU, body, (U3, I3))
 
-    Rrow = R[:NU * NI].reshape(NU, bu, NI * bi)[:, :, :]
-    Wrow = W[:NU * NI].reshape(NU, bu, NI * bi)
-    Iflat = I3.reshape(NI * bi, k)
-
     @jax.jit
     def rowmm(Rrow, Wrow, U3, Iflat, row_of):
         def body(t, tabs):
@@ -159,13 +164,23 @@ def main():
 
     timeit("gather (40 rounds x 40-cell gather+reduce)", gather, R,
            cell_idx)
+    # one 4.2 GB reshape at a time (HBM budget — see staging note)
+    Rflat = jax.jit(lambda r: r.reshape(n_cells * bu, bi))(R)
     timeit("dslice (40x40 per-cell dynamic_slice+reduce)", dslice,
            Rflat, cell_idx)
+    del Rflat
     timeit("dslice_round (40 contiguous-slab slices)", dslice_round,
            R, cell_idx)
     timeit("ew (40 rounds elementwise on resident slab)", ew, R, W, U3)
     timeit("mm (40 rounds 3-matmul cellup on resident slab)", mm, R, W,
            U3, I3, cell_idx)
+    Rrow = jax.jit(
+        lambda r: r[:NU * NI].reshape(NU, bu, NI * bi))(R)
+    del R
+    Wrow = jax.jit(
+        lambda w: w[:NU * NI].reshape(NU, bu, NI * bi))(W)
+    del W
+    Iflat = I3.reshape(NI * bi, k)
     timeit("rowmm (40 user rows, full-row-width matmuls)", rowmm, Rrow,
            Wrow, U3, Iflat, row_of)
 
