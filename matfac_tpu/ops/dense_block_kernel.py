@@ -131,6 +131,65 @@ def dense_epoch_diag_keyed(u_tab3: jax.Array, i_tab3: jax.Array,
                             mm_bf16)
 
 
+def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
+                     row_order: jax.Array, lr,
+                     R_rows: jax.Array, W_rows: jax.Array,
+                     u_reg: float, i_reg: float, collision_norm: bool,
+                     mm_bf16: bool = True
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Row-STRIPE dense epoch: each round takes one user stripe's full
+    catalog row (bi = n_items_pad, i.e. the cell grid degenerates to
+    NI = 1) in one masked-residual GD step. Identical math to
+    dense_sweep_diag at G = 1; split out because the per-round stripe
+    moves by SCALAR indexing (u3[ub], R_rows[ub] — lowered to
+    dynamic-slice) instead of a vector gather: the probe measured the
+    advanced-indexing cell gather at 546 ms/epoch vs 34 ms for slicing
+    at the full bench shape (scripts/tpu_dense_probe.py), which is the
+    whole difference between this engine losing and winning. Full-width
+    matmuls ([bu, k] @ [k, ni_pad]) also run the MXU at its best shape
+    (the probe's rowmm = 34 ms for the entire epoch's compute).
+
+    u_tab3 [NU+1, bu, k] (row NU = unused dummy, matching the diag
+    staging), i_tab [ni_pad, k]; R_rows/W_rows [NU+1, bu, ni_pad];
+    row_order [NU]. Schedule semantics: a random stripe order per epoch
+    — the DSGD round structure of modelMF.cpp:154-350 with one item
+    block (README deviation #1's batch-size hyperparameter at
+    batch = stripe)."""
+    NU = row_order.shape[0]
+    mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
+    lr_f = jnp.asarray(lr, jnp.float32)
+
+    def body(t, tabs):
+        u3, I = tabs
+        ub = row_order[t]
+        U, I = cell_dense_update(u3[ub], I, R_rows[ub], W_rows[ub],
+                                 lr_f, u_reg, i_reg, collision_norm,
+                                 mm_dtype)
+        return (u3.at[ub].set(U), I)
+
+    return jax.lax.fori_loop(0, NU, body, (u_tab3, i_tab))
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("u_reg", "i_reg", "collision_norm", "mm_bf16"))
+def dense_epoch_rows_keyed(u_tab3: jax.Array, i_tab: jax.Array,
+                           key: jax.Array, lr,
+                           R_rows: jax.Array, W_rows: jax.Array,
+                           u_reg: float, i_reg: float,
+                           collision_norm: bool, mm_bf16: bool = True
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """dense_sweep_rows with the stripe order generated on-device from
+    a PRNG key. Uses device_diag_schedule(G=1) so the visit order for a
+    given key EQUALS the diag engines' (parity tests pin rows == diag
+    at NI = 1)."""
+    NU = u_tab3.shape[0] - 1
+    ub_idx, _, _ = device_diag_schedule(key, NU, 1, 1)
+    return dense_sweep_rows(u_tab3, i_tab, ub_idx[:, 0], lr, R_rows,
+                            W_rows, u_reg, i_reg, collision_norm,
+                            mm_bf16)
+
+
 @functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi",
                                              "vdtype", "wdtype"))
 def densify_cells(cell: jax.Array, u_loc: jax.Array, i_loc: jax.Array,

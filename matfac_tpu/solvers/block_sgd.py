@@ -33,6 +33,7 @@ from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
                                              block_sgd_epoch_diag_keyed,
                                              block_sgd_epoch_xla)
 from matfac_tpu.ops.dense_block_kernel import (dense_epoch_diag_keyed,
+                                               dense_epoch_rows_keyed,
                                                densify_cells)
 
 
@@ -96,7 +97,7 @@ class BlockSGDSolver:
                  mm_bf16: bool = True, interpret: bool = False,
                  engine: str = "xla", schedule: str = "row",
                  pad_k: int = 0,
-                 dense_budget_bytes: int = 6 << 30):
+                 dense_budget_bytes: int = 8 << 30):
         """``engine``: "xla" (default — pure-XLA one-hot MXU epoch,
         works on every backend) or "pallas" (VMEM-resident tables;
         currently crashes the axon remote Mosaic compile at any scale,
@@ -163,14 +164,21 @@ class BlockSGDSolver:
         n_users, n_items = model.n_users, model.n_items
         k = model.k
         if engine == "dense":
-            # square-ish cell grid: rounds = ceil(NU/NI)*NI >= NU, so
-            # NU ~ NI minimizes the sequential round count (per-round
-            # fixed cost ~115 us on the tunnel device, PERF.md)
+            # ROW-stripe layout by default: bi = the full padded
+            # catalog width (NI = 1), so each round moves one stripe by
+            # dynamic-slice and runs full-width matmuls — the cell-grid
+            # alternative's per-round vector gather of scattered cells
+            # measured 16x slower (546 vs 34 ms at the full bench
+            # shape, scripts/tpu_dense_probe.py). Pass bi < width
+            # explicitly to get the diag cell grid back.
             if bi is None:
-                bi = min(512, _cdiv(n_items, 128) * 128)
+                bi = _cdiv(n_items, 128) * 128
             if bu is None:
-                bu = min(4096, max(
-                    _cdiv(_cdiv(n_users, _cdiv(n_items, bi)), 256)
+                # >=8 stripes keeps the epoch SGD-like (per-round
+                # batch = stripe); 2560 caps the [bu, ni_pad] f32
+                # residual intermediates at ~200 MB
+                bu = min(2560, max(
+                    _cdiv(_cdiv(n_users, 8 * _cdiv(n_items, bi)), 256)
                     * 256, 256))
             self.pad_k = 0  # dense FLOP is ∝ k: padding is not free
         else:
@@ -412,13 +420,26 @@ class BlockSGDSolver:
             u_tab, i_tab = self._stage_factors(state)
         if self.engine == "dense":
             ek = jax.random.PRNGKey(int(self._sched_rng.integers(2**31)))
-            u3, i3 = dense_epoch_diag_keyed(
-                u_tab, i_tab, ek, jnp.float32(lr),
-                self.R_cells, self.W_cells, NI=self.NI,
-                u_reg=float(self.params.u_reg),
-                i_reg=float(self.params.i_reg),
-                collision_norm=self.collision_norm,
-                mm_bf16=self.mm_bf16)
+            if self.NI == 1:
+                # row-stripe sweep (scalar-indexed stripes; see
+                # ops/dense_block_kernel.dense_sweep_rows)
+                k0 = u_tab.shape[2]
+                u3, i2 = dense_epoch_rows_keyed(
+                    u_tab, i_tab.reshape(self.n_items_pad, k0), ek,
+                    jnp.float32(lr), self.R_cells, self.W_cells,
+                    u_reg=float(self.params.u_reg),
+                    i_reg=float(self.params.i_reg),
+                    collision_norm=self.collision_norm,
+                    mm_bf16=self.mm_bf16)
+                i3 = i2.reshape(1, self.bi, k0)
+            else:
+                u3, i3 = dense_epoch_diag_keyed(
+                    u_tab, i_tab, ek, jnp.float32(lr),
+                    self.R_cells, self.W_cells, NI=self.NI,
+                    u_reg=float(self.params.u_reg),
+                    i_reg=float(self.params.i_reg),
+                    collision_norm=self.collision_norm,
+                    mm_bf16=self.mm_bf16)
             self._resident = (u3, i3)
             kk = u3.shape[2]
             u_flat = u3[:self.NU].reshape(self.NU * self.bu, kk)

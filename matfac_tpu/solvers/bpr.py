@@ -65,6 +65,36 @@ from matfac_tpu.config import Params
 from matfac_tpu.models.base import MFState
 
 
+def bpr_pair_terms(pu, qp, qn, w, m, u_reg: float, i_reg: float):
+    """Batched pairwise BPR loss + analytic gradients
+    (modelMFBPR.cpp:501-521). The per-triple loss being minimized:
+
+        w * [ ln(1 + e^{-r_uij}) + u_reg ||pu ⊙ m||^2
+              + i_reg (||qp ⊙ m||^2 + ||qn ⊙ m||^2) ]
+
+    with r_uij = <pu ⊙ m, qp − qn> (m = all-ones when None — plain
+    BPR; the BPR×Poisson hybrid passes the triple rank mask). Returns
+    (gu, gp, gn, r_uij, loss_sum) where loss_sum is the DATA term only
+    (the epoch log's loss line, modelMFBPR.cpp:545-553) and the
+    gradients are the exact gradient of the full per-triple loss —
+    pinned by a central finite-difference test (the gradCheck analog,
+    modelMFBPR.cpp:5-43; tests/test_bpr.py)."""
+    pm = pu if m is None else pu * m
+    r_ui = jnp.einsum("ek,ek->e", pm, qp,
+                      preferred_element_type=jnp.float32)
+    r_uj = jnp.einsum("ek,ek->e", pm, qn,
+                      preferred_element_type=jnp.float32)
+    r_uij = r_ui - r_uj
+    loss_sum = jnp.sum(w * jnp.logaddexp(0.0, -r_uij))
+    coeff = w * (-1.0 / (1.0 + jnp.exp(r_uij)))
+    gu = coeff[:, None] * (qp - qn) + 2.0 * u_reg * w[:, None] * pu
+    gp = coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qp
+    gn = -coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qn
+    if m is not None:
+        gu, gp, gn = gu * m, gp * m, gn * m
+    return gu, gp, gn, r_uij, loss_sum
+
+
 class BPRSolver:
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
@@ -347,27 +377,11 @@ class BPRSolver:
                 pu = st.u_fac[u]
                 qp = st.i_fac[p]
                 qn = st.i_fac[neg]
-                if m is None:
-                    r_ui = jnp.einsum("ek,ek->e", pu, qp,
-                                      preferred_element_type=jnp.float32)
-                    r_uj = jnp.einsum("ek,ek->e", pu, qn,
-                                      preferred_element_type=jnp.float32)
-                else:
-                    r_ui = jnp.einsum("ek,ek->e", pu * m, qp,
-                                      preferred_element_type=jnp.float32)
-                    r_uj = jnp.einsum("ek,ek->e", pu * m, qn,
-                                      preferred_element_type=jnp.float32)
-                r_uij = r_ui - r_uj
-                inv = inv + jnp.sum((r_uj - r_ui > eps) & (w > 0)
+                gu, gp, gn, r_uij, batch_loss = bpr_pair_terms(
+                    pu, qp, qn, w, m, u_reg, i_reg)
+                inv = inv + jnp.sum((-r_uij > eps) & (w > 0)
                                     ).astype(jnp.int32)
-                loss = loss + jnp.sum(w * jnp.logaddexp(0.0, -r_uij))
-                coeff = w * (-1.0 / (1.0 + jnp.exp(r_uij)))
-                gu = coeff[:, None] * (qp - qn) \
-                    + 2.0 * u_reg * w[:, None] * pu
-                gp = coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qp
-                gn = -coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qn
-                if m is not None:
-                    gu, gp, gn = gu * m, gp * m, gn * m
+                loss = loss + batch_loss
                 # one fused scatter over [p; neg] instead of two passes
                 i_idx = jnp.concatenate([p, neg])
                 i_upd = jnp.concatenate([gp, gn])
@@ -452,22 +466,11 @@ class BPRSolver:
                 pu = st.u_fac[u]
                 qp = st.i_fac[p]
                 qn = st.i_fac[neg]
-                pm = pu if m is None else pu * m
-                r_ui = jnp.einsum("ek,ek->e", pm, qp,
-                                  preferred_element_type=jnp.float32)
-                r_uj = jnp.einsum("ek,ek->e", pm, qn,
-                                  preferred_element_type=jnp.float32)
-                r_uij = r_ui - r_uj
-                inv = inv + jnp.sum((r_uj - r_ui > eps) & (w > 0)
+                gu, gp, gn, r_uij, batch_loss = bpr_pair_terms(
+                    pu, qp, qn, w, m, u_reg, i_reg)
+                inv = inv + jnp.sum((-r_uij > eps) & (w > 0)
                                     ).astype(jnp.int32)
-                loss = loss + jnp.sum(w * jnp.logaddexp(0.0, -r_uij))
-                coeff = w * (-1.0 / (1.0 + jnp.exp(r_uij)))
-                gu = coeff[:, None] * (qp - qn) \
-                    + 2.0 * u_reg * w[:, None] * pu
-                gp = coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qp
-                gn = -coeff[:, None] * pu + 2.0 * i_reg * w[:, None] * qn
-                if m is not None:
-                    gu, gp, gn = gu * m, gp * m, gn * m
+                loss = loss + batch_loss
                 # one fused scatter over [p; neg] instead of two passes
                 i_idx = jnp.concatenate([p, neg])
                 i_upd = jnp.concatenate([gp, gn])

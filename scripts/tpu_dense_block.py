@@ -75,7 +75,10 @@ def main():
               f"epoch={dt*1000:.1f}ms rate={ref_rate:.1f}M r/s",
               flush=True)
 
-        for bu, bi in [(None, None), (1024, 512), (2048, 384)]:
+        # (None, None) = the ROW-stripe default (NI=1, dynamic-slice
+        # stripes); one explicit cell grid kept for contrast with the
+        # gather-bound diag layout (tpu_dense_probe.py decomposition)
+        for bu, bi in [(None, None), (2048, 512)]:
             try:
                 t0 = time.time()
                 den = BlockSGDSolver(model, params, mat, iu, ii,

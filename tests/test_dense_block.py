@@ -181,6 +181,58 @@ def test_dense_auto_block_sizing_smoke():
     assert np.isfinite(np.asarray(out.u_fac)).all()
 
 
+@pytest.mark.parametrize("collision_norm", [False, True])
+def test_dense_rows_matches_onehot_full_width(collision_norm):
+    """The ROW-stripe layout (bi = catalog width, the dense default) ==
+    the one-hot diag engine at NI = 1 with batch = stripe; both consume
+    the same schedule key stream, and dense_epoch_rows_keyed derives
+    its stripe order from device_diag_schedule(G=1) precisely so the
+    visit orders coincide."""
+    mat, params, iu, ii = _setup()
+    model = ModelMF(params, 60, 40)
+    dense = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                           collision_norm=collision_norm,
+                           mm_bf16=False, engine="dense")
+    assert dense.NI == 1 and dense.bi >= 40
+    onehot = BlockSGDSolver(model, params, mat, iu, ii,
+                            batch_size=1 << 20, bu=16, bi=dense.bi,
+                            collision_norm=collision_norm,
+                            mm_bf16=False, engine="xla",
+                            schedule="diag")
+    sd = init_state(params, 60, 40, seed=3)
+    so = init_state(params, 60, 40, seed=3)
+    for _ in range(3):
+        sd = dense.epoch(sd, params.learn_rate, None)
+        so = onehot.epoch(so, params.learn_rate, None)
+    np.testing.assert_allclose(np.asarray(sd.u_fac),
+                               np.asarray(so.u_fac),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sd.i_fac),
+                               np.asarray(so.i_fac),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dense_rows_converges():
+    """Row-stripe batches (stripe x full catalog) still reach the
+    synthetic noise floor with collision normalization."""
+    mat, params, iu, ii = _setup(n_users=120, n_items=80)
+    model = ModelMF(params, 120, 80)
+    dense = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                           collision_norm=True, engine="dense")
+    assert dense.NI == 1
+    state = init_state(params, 120, 80, seed=1)
+    for _ in range(60):
+        state = dense.epoch(state, params.learn_rate, None)
+    r, c, v = mat.to_coo()
+    keep = ~iu[r] & ~ii[c]
+    r, c, v = r[keep], c[keep], v[keep]
+    U = np.asarray(state.u_fac)
+    I = np.asarray(state.i_fac)
+    pred = np.sum(U[r] * I[c], axis=1)
+    rmse = float(np.sqrt(np.mean((pred - v) ** 2)))
+    assert rmse < 0.15  # noise=0.05 floor + margin
+
+
 def test_dense_budget_guard():
     mat, params, iu, ii = _setup()
     model = ModelMF(params, 60, 40)
