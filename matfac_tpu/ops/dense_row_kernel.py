@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: row-stripe dense SGD with panel-resident residuals.
+
+The XLA row-stripe engine (ops/dense_block_kernel.dense_sweep_rows,
+242M ratings/s at the full bench shape) is HBM-traffic-bound: per
+stripe it materializes the [bu, ni_pad] f32 prediction P and the
+residual E in HBM (~16 GB/epoch of intermediates at the full shape —
+~2.5x the irreducible R+W read). This kernel tiles each stripe into
+item PANELS and keeps P/E alive only inside VMEM:
+
+  grid = (NU rounds, NP panels); per (t, j):
+      U   = u stripe ro[t]              (VMEM block, [bu, k])
+      I_j = i_tab[j*p : (j+1)*p]        (VMEM-resident whole table)
+      R_j / W_j                         (pipelined HBM->VMEM panels)
+      P = U @ I_j^T; E = W*(R-P)        (MXU + VPU, dies in VMEM)
+      item update: I_j -= lr * norm(-2 E^T U + 2 i_reg cnt_i I_j)
+      user accumulation: acc += E @ I_j (old I_j); cnt_u += rowsum(W)
+      at j = NP-1: U' = U - lr * norm(-2 acc + 2 u_reg cnt_u U)
+
+Update math == dense_block_kernel.cell_dense_update on the full stripe
+(modelMF.cpp:83-105 per-occurrence reg, collision normalization =
+within-batch same-entity mean): the item update uses the OLD U, the
+user update the OLD I (acc accumulates E @ I_j before I_j is written),
+exactly like the one-shot formulation. Parity is pinned in
+tests/test_pallas_dense_rows.py (interpret mode).
+
+Traffic/epoch = R + W once (~6.3 GB at full) + i-table writes; the
+expected wall is max(that, the 3 matmuls' MXU time). VMEM budget at
+bu=2560, panel=128, k=64: i-table 5.2 MB + P 1.3 + panels ~2 + stripes
+~2 ≈ 11 MB — inside the envelope the round-2 bisect mapped (the Mosaic
+AOT helper dies, not errors, above ~12-13 MB; ops/block_sgd_kernel.py
+docstring). The solver gates on the i-table fit and falls back to the
+XLA row engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(NP: int, panel: int, bu: int, k: int, u_reg: float,
+                 i_reg: float, collision_norm: bool, mm_dtype):
+    def kernel(row_of_ref, lr_ref, u_in, r_in, w_in, i_in,
+               u_out, i_out, acc_ref, cnt_ref):
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((t == 0) & (j == 0))
+        def _():
+            # the item table lives in the output buffer for the whole
+            # epoch (constant index map — no cross-step aliasing)
+            i_out[:, :] = i_in[:, :]
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+            cnt_ref[:, :] = jnp.zeros_like(cnt_ref)
+
+        lr = lr_ref[0]
+        U = u_in[0]                                   # [bu, k] (old)
+        I = i_out[pl.ds(j * panel, panel), :]         # [panel, k] (old)
+        Wf = w_in[0].astype(jnp.float32)              # [bu, panel]
+        P = jnp.dot(U.astype(mm_dtype), I.astype(mm_dtype).T,
+                    preferred_element_type=jnp.float32)
+        E = Wf * (r_in[0].astype(jnp.float32) - P)
+        Em = E.astype(mm_dtype)
+
+        # counts use the VALIDITY mask, not the weights (IFWMF weights
+        # scale only the data term; reg + collision divisors count
+        # occurrences — cell_dense_update's vm = W > 0)
+        vm = (Wf > 0).astype(jnp.float32)
+
+        # item update (old U)
+        cnt_i = jnp.sum(vm, axis=0, keepdims=True).T  # [panel, 1]
+        gi = (-2.0 * jnp.dot(Em.T, U.astype(mm_dtype),
+                             preferred_element_type=jnp.float32)
+              + (2.0 * i_reg) * cnt_i * I)
+        if collision_norm:
+            gi = gi / jnp.maximum(cnt_i, 1.0)
+        i_out[pl.ds(j * panel, panel), :] = I - lr * gi
+
+        # user-side accumulation (old I — read above before the write)
+        acc_ref[:, :] += jnp.dot(Em, I.astype(mm_dtype),
+                                 preferred_element_type=jnp.float32)
+        cnt_ref[:, :] += jnp.sum(vm, axis=1, keepdims=True)
+
+        @pl.when(j == NP - 1)
+        def _():
+            cnt_u = cnt_ref[:, :]
+            gu = (-2.0 * acc_ref[:, :] + (2.0 * u_reg) * cnt_u * U)
+            if collision_norm:
+                gu = gu / jnp.maximum(cnt_u, 1.0)
+            u_out[0] = U - lr * gu
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("panel", "u_reg", "i_reg", "collision_norm",
+                     "mm_bf16", "interpret"))
+def dense_rows_epoch_pallas(u_tab3: jax.Array, i_tab: jax.Array,
+                            row_of: jax.Array, lr,
+                            R_rows: jax.Array, W_rows: jax.Array,
+                            panel: int, u_reg: float, i_reg: float,
+                            collision_norm: bool, mm_bf16: bool = True,
+                            interpret: bool = False
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """One row-stripe dense epoch with VMEM-panel residuals.
+
+    u_tab3 [NU, bu, k] f32 (no dummy row — the kernel grid visits every
+    stripe exactly once), i_tab [ni_pad, k] f32, R_rows/W_rows
+    [>=NU, bu, ni_pad] (extra dummy rows are simply never addressed),
+    row_of [NU] a permutation of range(NU).
+    """
+    NU, bu, k = u_tab3.shape
+    ni_pad = i_tab.shape[0]
+    assert ni_pad % panel == 0
+    NP = ni_pad // panel
+    mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
+    kernel = _make_kernel(NP, panel, bu, k, u_reg, i_reg,
+                          collision_norm, mm_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # row_of, lr
+        grid=(NU, NP),
+        in_specs=[
+            pl.BlockSpec((1, bu, k), lambda t, j, ro, lr: (ro[t], 0, 0)),
+            pl.BlockSpec((1, bu, panel),
+                         lambda t, j, ro, lr: (ro[t], 0, j)),
+            pl.BlockSpec((1, bu, panel),
+                         lambda t, j, ro, lr: (ro[t], 0, j)),
+            pl.BlockSpec((ni_pad, k), lambda t, j, ro, lr: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bu, k), lambda t, j, ro, lr: (ro[t], 0, 0)),
+            pl.BlockSpec((ni_pad, k), lambda t, j, ro, lr: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bu, k), jnp.float32),    # user grad accumulator
+            pltpu.VMEM((bu, 1), jnp.float32),    # user valid counts
+        ],
+    )
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
+    u_out, i_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(u_tab3.shape, u_tab3.dtype),
+                   jax.ShapeDtypeStruct(i_tab.shape, i_tab.dtype)],
+        interpret=interpret,
+    )(row_of, lr_arr, u_tab3, R_rows, W_rows, i_tab)
+    return u_out, i_out

@@ -35,6 +35,7 @@ from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
 from matfac_tpu.ops.dense_block_kernel import (dense_epoch_diag_keyed,
                                                dense_epoch_rows_keyed,
                                                densify_cells)
+from matfac_tpu.ops.dense_row_kernel import dense_rows_epoch_pallas
 
 
 def _cdiv(a, b):
@@ -97,7 +98,8 @@ class BlockSGDSolver:
                  mm_bf16: bool = True, interpret: bool = False,
                  engine: str = "xla", schedule: str = "row",
                  pad_k: int = 0,
-                 dense_budget_bytes: int = 8 << 30):
+                 dense_budget_bytes: int = 8 << 30,
+                 dense_kernel: str = "xla", dense_panel: int = 128):
         """``engine``: "xla" (default — pure-XLA one-hot MXU epoch,
         works on every backend) or "pallas" (VMEM-resident tables;
         currently crashes the axon remote Mosaic compile at any scale,
@@ -181,11 +183,15 @@ class BlockSGDSolver:
                     _cdiv(_cdiv(n_users, 8 * _cdiv(n_items, bi)), 256)
                     * 256, 256))
             self.pad_k = 0  # dense FLOP is ∝ k: padding is not free
+            if dense_kernel not in ("xla", "pallas"):
+                raise ValueError(f"unknown dense_kernel {dense_kernel!r}")
         else:
             if bu is None:
                 bu = 1024
             if bi is None:
                 bi = 1024
+        self.dense_kernel = dense_kernel if engine == "dense" else "xla"
+        self.dense_panel = dense_panel
         self.bu, self.bi = bu, bi
         self.NU = _cdiv(n_users, bu)
         self.NI = _cdiv(n_items, bi)
@@ -200,6 +206,21 @@ class BlockSGDSolver:
             raise ValueError(
                 f"item table {vmem_need/2**20:.1f} MiB exceeds the VMEM "
                 "budget of the block kernel; use engine='xla'")
+        if self.dense_kernel == "pallas":
+            # panel kernel budget (ops/dense_row_kernel.py): i-table +
+            # P/E panels + stripe buffers must stay under the Mosaic
+            # AOT envelope (~12 MB; crashes, not errors, above it)
+            if self.NI != 1:
+                raise ValueError("dense_kernel='pallas' needs the row "
+                                 "layout (bi=None)")
+            if self.n_items_pad % dense_panel:
+                raise ValueError("panel must divide the padded catalog")
+            est = (self.n_items_pad * k * 4 + bu * dense_panel * 10
+                   + bu * (k * 16 + 8))
+            if est > 12 << 20:
+                raise ValueError(
+                    f"pallas dense-row working set ~{est/2**20:.1f} MiB "
+                    "exceeds the VMEM envelope; use dense_kernel='xla'")
 
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]
@@ -421,16 +442,36 @@ class BlockSGDSolver:
         if self.engine == "dense":
             ek = jax.random.PRNGKey(int(self._sched_rng.integers(2**31)))
             if self.NI == 1:
-                # row-stripe sweep (scalar-indexed stripes; see
-                # ops/dense_block_kernel.dense_sweep_rows)
                 k0 = u_tab.shape[2]
-                u3, i2 = dense_epoch_rows_keyed(
-                    u_tab, i_tab.reshape(self.n_items_pad, k0), ek,
-                    jnp.float32(lr), self.R_cells, self.W_cells,
-                    u_reg=float(self.params.u_reg),
-                    i_reg=float(self.params.i_reg),
-                    collision_norm=self.collision_norm,
-                    mm_bf16=self.mm_bf16)
+                if self.dense_kernel == "pallas":
+                    # VMEM-panel kernel; same stripe order as the XLA
+                    # rows engine for a given key
+                    from matfac_tpu.ops.block_sgd_kernel import \
+                        device_diag_schedule
+                    ub_idx, _, _ = device_diag_schedule(
+                        ek, self.NU, 1, 1)
+                    u3in = (u_tab if u_tab.shape[0] == self.NU
+                            else u_tab[:self.NU])
+                    u3, i2 = dense_rows_epoch_pallas(
+                        u3in, i_tab.reshape(self.n_items_pad, k0),
+                        ub_idx[:, 0], jnp.float32(lr),
+                        self.R_cells, self.W_cells,
+                        panel=self.dense_panel,
+                        u_reg=float(self.params.u_reg),
+                        i_reg=float(self.params.i_reg),
+                        collision_norm=self.collision_norm,
+                        mm_bf16=self.mm_bf16,
+                        interpret=self.interpret)
+                else:
+                    # row-stripe sweep (scalar-indexed stripes; see
+                    # ops/dense_block_kernel.dense_sweep_rows)
+                    u3, i2 = dense_epoch_rows_keyed(
+                        u_tab, i_tab.reshape(self.n_items_pad, k0), ek,
+                        jnp.float32(lr), self.R_cells, self.W_cells,
+                        u_reg=float(self.params.u_reg),
+                        i_reg=float(self.params.i_reg),
+                        collision_norm=self.collision_norm,
+                        mm_bf16=self.mm_bf16)
                 i3 = i2.reshape(1, self.bi, k0)
             else:
                 u3, i3 = dense_epoch_diag_keyed(
