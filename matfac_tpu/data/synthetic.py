@@ -98,6 +98,89 @@ def synthetic_data(n_users: int = 200, n_items: int = 150, k: int = 5,
     return data, u_fac, i_fac
 
 
+def tail_lowrank_data(n_users: int = 943, n_items: int = 1682,
+                      k: int = 16, tail_rank: int = 3,
+                      head_pc: float = 0.25, density: float = 0.06,
+                      power_law: float = 1.1, noise: float = 0.4,
+                      seed: int = 0, test_pc: float = 0.15,
+                      val_pc: float = 0.15, spectrum_pow: float = 0.5,
+                      tail_boost: float = 1.0
+                      ) -> Tuple[Data, np.ndarray]:
+    """Long-tail generator whose TAIL entities carry genuinely
+    lower-rank signal — the WWW'19 premise the adaptive models exist
+    for (modelDropoutSigmoid.cpp:158-191's purpose: rarely-seen
+    entities cannot support full-rank estimates, so truncate them).
+
+    Construction: item popularity ~ Zipf(power_law). The most popular
+    ``head_pc`` of items get full-rank ground-truth factors; the rest
+    (the tail) get factors confined to the span of the TOP
+    ``tail_rank`` spectrum dims (z_i @ B with B a rotation within
+    those dims) — low-rank but strong signal, shared across the whole
+    tail, and CO-LOCATED with the head data's dominant directions.
+    The co-location matters: suffix-truncation models (TMF's
+    adapDotProd semantics) can only exploit tail structure that lives
+    in the model's early/dominant dims, and the head data pins those
+    to the spectrum top; a tail subspace in random orientation would
+    be unrepresentable under truncation no matter how adaptive the
+    rank (measured: MF wins on that variant too). Users are full-rank
+    with uniform degrees, so the less-frequent entity of a pair (the
+    reference's adapDotProd rank driver) is effectively the item.
+    Plain MF must spread each tail item's few ratings over all k dims;
+    a frequency-adaptive model can concentrate them in the subspace.
+    Returns (Data bundle, is_tail_item bool mask).
+    """
+    rng = np.random.default_rng(seed)
+    # decaying spectrum: strong early dims, weak late dims. The decay
+    # steepness (spectrum_pow) controls how strongly the head data
+    # orders the learned dims — the alignment pressure truncation
+    # models need (see above)
+    spectrum = (1.0 / np.arange(1, k + 1) ** spectrum_pow
+                ).astype(np.float32)
+    u_fac = (rng.standard_normal((n_users, k)) * spectrum
+             ).astype(np.float32)
+    n_head = max(int(head_pc * n_items), 1)
+    i_fac = np.zeros((n_items, k), np.float32)
+    i_fac[:n_head] = rng.standard_normal((n_head, k)) * spectrum
+    basis, _ = np.linalg.qr(rng.standard_normal((tail_rank, tail_rank)))
+    z = rng.standard_normal((n_items - n_head, tail_rank))
+    i_fac[n_head:, :tail_rank] = (z @ basis) * spectrum[:tail_rank]
+    # rescale tail rows so tail ratings carry the same variance as head
+    # ratings (signal strength is not the handicap — SAMPLE COUNT is)
+    head_var = float(np.mean((u_fac[:256] @ i_fac[:n_head].T) ** 2))
+    tail_var = float(np.mean((u_fac[:256] @ i_fac[n_head:].T) ** 2))
+    # tail_boost > 1: tail items carry STRONGER (more polarized)
+    # preferences than head — the regime where the per-entity optimal
+    # ridge lambda is frequency-dependent (lambda* = sigma^2/tau^2) and
+    # one flat lambda must compromise
+    i_fac[n_head:] *= tail_boost * np.sqrt(head_var / max(tail_var,
+                                                          1e-12))
+
+    # Zipf popularity aligned with the head/tail split: item j's
+    # sampling weight ~ 1/(j+1)^a, so tail items land in the bottom
+    # frequency quartiles
+    w = 1.0 / np.arange(1, n_items + 1) ** power_law
+    w /= w.sum()
+    nnz = int(density * n_users * n_items)
+    cols = rng.choice(n_items, size=nnz, p=w)
+    rows = rng.integers(0, n_users, size=nnz)
+    key = rows.astype(np.int64) * n_items + cols
+    _, uniq = np.unique(key, return_index=True)
+    rows, cols = rows[uniq], cols[uniq]
+    vals = np.einsum("ek,ek->e", u_fac[rows], i_fac[cols])
+    vals = (vals + noise * rng.standard_normal(len(vals))
+            ).astype(np.float32)
+    mat = RatingMatrix.from_coo(rows, cols, vals, n_users, n_items)
+
+    from matfac_tpu.data.io import split_train_test_val
+    train, test, val = split_train_test_val(mat, test_pc, val_pc, seed)
+    data = Data(train_mat=train, test_mat=test, val_mat=val,
+                orig_u_fac=u_fac, orig_i_fac=i_fac)
+    data.fac_dim = k
+    is_tail = np.zeros(n_items, bool)
+    is_tail[n_head:] = True
+    return data, is_tail
+
+
 def leave_one_out_data(n_users: int = 100, n_items: int = 80, k: int = 5,
                        per_user: int = 12, seed: int = 3,
                        structured: bool = False, temp: float = 0.3

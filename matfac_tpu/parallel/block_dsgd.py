@@ -300,7 +300,16 @@ class BlockDSGDSolver:
         self._last_i_view = None
 
     # ------------------------------------------------------------------
-    def _build_epoch(self):
+    def _build_epoch(self, mode: str = "full"):
+        """``mode`` isolates epoch phases for the scaling attribution
+        (PERF.md "Virtual-mesh scaling curve", VERDICT r3 #7): "full" =
+        the real epoch; "nopermute" = identical rounds with the
+        ppermute replaced by identity (pure per-shard compute);
+        "permuteonly" = rounds carry ONLY the item-block rotation
+        (collective + loop overhead). comm fraction ~
+        (full - nopermute) / full, cross-checked against permuteonly.
+        Only "full" is ever used for training."""
+        assert mode in ("full", "nopermute", "permuteonly")
         N = self.n_shards
         SU, SI, S, bs = self.SU, self.SI, self.S, self.bs
         sub_bu, sub_bi = self.sub_bu, self.sub_bi
@@ -331,18 +340,21 @@ class BlockDSGDSolver:
             def round_body(t, carry):
                 u3, i_blk, key = carry
                 key, ks = jax.random.split(key)
-                ub_idx, ib_idx, boff = diag_schedule(
-                    jax.random.fold_in(ks, me))
-                st = [jax.lax.dynamic_index_in_dim(x, t, 0, False)
-                      for x in streams]
-                i3 = i_blk.reshape(SI, sub_bi, k_dim)
-                u3, i3 = block_sweep_diag(
-                    u3, i3, ub_idx, ib_idx, boff, lr,
-                    st[0], st[1], st[2], st[3], st[4], st[5], st[6],
-                    ib_identity=True, **kw)
-                i_blk = i3.reshape(SI * sub_bi, k_dim)
-                i_blk = jax.lax.ppermute(
-                    i_blk, axis, [(j, (j - 1) % N) for j in range(N)])
+                if mode != "permuteonly":
+                    ub_idx, ib_idx, boff = diag_schedule(
+                        jax.random.fold_in(ks, me))
+                    st = [jax.lax.dynamic_index_in_dim(x, t, 0, False)
+                          for x in streams]
+                    i3 = i_blk.reshape(SI, sub_bi, k_dim)
+                    u3, i3 = block_sweep_diag(
+                        u3, i3, ub_idx, ib_idx, boff, lr,
+                        st[0], st[1], st[2], st[3], st[4], st[5], st[6],
+                        ib_identity=True, **kw)
+                    i_blk = i3.reshape(SI * sub_bi, k_dim)
+                if mode != "nopermute":
+                    i_blk = jax.lax.ppermute(
+                        i_blk, axis,
+                        [(j, (j - 1) % N) for j in range(N)])
                 return (u3, i_blk, key)
 
             u3, i_fac, key = jax.lax.fori_loop(

@@ -203,7 +203,12 @@ class DSGDShardedSolver:
         self._last_i_view = None
 
     # ------------------------------------------------------------------
-    def _build_epoch(self):
+    def _build_epoch(self, mode: str = "full"):
+        """``mode``: "full" (training), "nopermute" (rounds without the
+        item-block rotation — pure per-shard compute), "permuteonly"
+        (rotation only) — the phase-attribution variants for the
+        scaling curve (scripts/scaling_curve.py --phase-split)."""
+        assert mode in ("full", "nopermute", "permuteonly")
         N = self.n_shards
         S, bs = self.S, self.bs
         k = self.model.k
@@ -264,14 +269,16 @@ class DSGDShardedSolver:
                         (-lr * gi).astype(i_fac_blk.dtype))
                     return (u_fac, i_fac_blk, key)
 
-                u_fac, i_fac_blk, key = jax.lax.fori_loop(
-                    0, n_steps, batch_body, (u_fac, i_fac_blk, key))
+                if mode != "permuteonly":
+                    u_fac, i_fac_blk, key = jax.lax.fori_loop(
+                        0, n_steps, batch_body, (u_fac, i_fac_blk, key))
                 # pass the item block to the left neighbor over ICI:
                 # shard i held block (i+t); next round it needs (i+t+1),
                 # currently held by shard i+1
-                i_fac_blk = jax.lax.ppermute(
-                    i_fac_blk, axis,
-                    [(j, (j - 1) % N) for j in range(N)])
+                if mode != "nopermute":
+                    i_fac_blk = jax.lax.ppermute(
+                        i_fac_blk, axis,
+                        [(j, (j - 1) % N) for j in range(N)])
                 return (u_fac, i_fac_blk, key)
 
             u_fac, i_fac, key = jax.lax.fori_loop(

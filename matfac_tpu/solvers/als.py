@@ -253,11 +253,12 @@ class SubspaceALSSolver(ALSSolver):
 
 @functools.partial(jax.jit,
                    static_argnames=("reg", "blk", "transposed",
-                                    "cg_iters"),
+                                    "cg_iters", "packed", "gram_int8"),
                    donate_argnums=(0,))
 def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
                      blk: int, transposed: bool = False,
-                     cg_iters: int = 0):
+                     cg_iters: int = 0, packed: bool = True,
+                     gram_int8: bool = False):
     """Dense masked-Gram ALS sweep: for each row block,
 
         G[u] = sum_i 1[r_ui > 0] q_i q_i^T  =  M @ QQ      (one matmul)
@@ -267,7 +268,35 @@ def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
     _solve_bucket (modelMF.cpp:806-880 semantics incl. the rating>0
     gate) but zero gathers — pure MXU work. Requires the dense ratings
     block-row Wv [n_rows, n_src] in HBM (bf16 is fine for ratings).
+
+    ``packed``: exploit Gram symmetry — QQ carries only the k(k+1)/2
+    upper-triangle products and the full [blk, k, k] Gram is rebuilt by
+    a static take along the packed axis. Column (a,b) of the full QQ
+    equals column (b,a) exactly, so the packed sweep computes the SAME
+    f32 contractions (bit-identical columns) at ~half the Gram-matmul
+    FLOP — the dominant cost of the sweep (measured 1.9x epoch cut at
+    the full bench shape, scripts/tpu_dense_als.py).
+
+    ``gram_int8``: run the Gram matmul on the int8 MXU path (measured
+    278 TOPS vs 161 bf16-TFLOP/s at this shape, scripts/tpu_int8_gram.py).
+    The mask operand is 0/1 so int8 x int8 -> int32 accumulation is
+    EXACT in it; only QQ quantizes (symmetric per-column scales,
+    <= 2^-8 relative — the same error class as the bf16 mode). The
+    b-vector and solves stay bf16/f32. Requires cg_iters > 0: the
+    quantization error is absolute per column, so a LOW-count row's
+    small Gram can go indefinite past the ridge retry and Cholesky
+    NaNs (observed); warm bounded CG degrades gracefully instead.
+    CAVEAT (measured): int8 is an opt-in perf mode for factor tables
+    with homogeneous row scales (the bench regime, where it matches
+    f32 CG quality); with strongly heterogeneous factor magnitudes
+    (e.g. boosted tail rows) a few large source rows set the column
+    scales and CG on the distorted Grams can diverge across epochs —
+    the train loop's NaN/val rollback is the backstop, or use the
+    bf16 default.
     """
+    if gram_int8 and cg_iters <= 0:
+        raise ValueError("gram_int8 requires cg_iters > 0 "
+                         "(see docstring)")
     n_rows = target_fac.shape[0]
     k = target_fac.shape[1]
     # big matmuls run with bf16 operands + f32 accumulation (MXU rate);
@@ -276,8 +305,26 @@ def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
         else jnp.float32
     qf = source_fac.astype(jnp.float32)
     q = qf.astype(mm_dtype)
-    qq = (qf[:, :, None] * qf[:, None, :]).reshape(qf.shape[0], k * k
-                                                   ).astype(mm_dtype)
+    if packed:
+        iu, il = np.triu_indices(k)
+        qq = qf[:, iu] * qf[:, il]             # [n_src, k(k+1)/2] f32
+        # full-index map: (a, b) -> packed slot of (min, max)
+        pos = np.zeros((k, k), np.int32)
+        pos[iu, il] = np.arange(iu.size, dtype=np.int32)
+        pos[il, iu] = pos[iu, il]
+        unpack_idx = jnp.asarray(pos.reshape(-1))
+    else:
+        qq = (qf[:, :, None] * qf[:, None, :]).reshape(
+            qf.shape[0], k * k)
+        unpack_idx = None
+    if gram_int8:
+        qq_scale = jnp.max(jnp.abs(qq), axis=0) / 127.0 + 1e-30
+        qq = jnp.round(qq / qq_scale).astype(jnp.int8)
+        gram_dtype, mask_dtype = jnp.int32, jnp.int8
+    else:
+        qq = qq.astype(mm_dtype)
+        qq_scale = None
+        gram_dtype, mask_dtype = jnp.float32, mm_dtype
 
     def solve_block(_, s):
         if transposed:
@@ -286,25 +333,29 @@ def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
             wv = jax.lax.dynamic_slice_in_dim(
                 dense_vals, s * blk, blk, axis=1)
             m = (wv > 0).astype(mm_dtype)
-            gram = jnp.einsum("ur,uk->rk", m, qq,
-                              preferred_element_type=jnp.float32
-                              ).reshape(blk, k, k)
+            gram = jnp.einsum("ur,uk->rk", (wv > 0).astype(mask_dtype),
+                              qq, preferred_element_type=gram_dtype)
             b = jnp.einsum("ur,uk->rk", wv.astype(mm_dtype) * m, q,
                            preferred_element_type=jnp.float32)
         else:
             wv = jax.lax.dynamic_slice_in_dim(dense_vals, s * blk, blk)
             m = (wv > 0).astype(mm_dtype)
-            gram = jnp.dot(m, qq, preferred_element_type=jnp.float32
-                           ).reshape(blk, k, k)
+            gram = jnp.dot((wv > 0).astype(mask_dtype), qq,
+                           preferred_element_type=gram_dtype)
             b = jnp.dot(wv.astype(mm_dtype) * m, q,
                         preferred_element_type=jnp.float32)
-        gram = gram + reg * jnp.eye(k, dtype=jnp.float32)[None]
+        if gram_int8:
+            gram = gram.astype(jnp.float32) * qq_scale[None]
+        if packed:
+            gram = jnp.take(gram, unpack_idx, axis=1)
+        gram = gram.reshape(blk, k, k) \
+            + reg * jnp.eye(k, dtype=jnp.float32)[None]
         if cg_iters > 0:
             x0 = jax.lax.dynamic_slice_in_dim(
                 target_fac, s * blk, blk).astype(jnp.float32)
             return _, solve_spd_cg(gram, b, x0, cg_iters)
         chol = jax.lax.linalg.cholesky(gram)
-        if mm_dtype == jnp.bfloat16:
+        if mm_dtype == jnp.bfloat16 or gram_int8:
             # bf16 Gram accumulation carries ~2^-8 relative error; once
             # factor magnitudes grow the masked Gram can turn (slightly)
             # indefinite and Cholesky emits NaN. Retry the failed
@@ -342,7 +393,8 @@ class DenseALSSolver:
 
     def __init__(self, model, params: Params, train_mat,
                  invalid_users, invalid_items, row_block: int = 2048,
-                 dense_dtype=None, cg_iters: int = 0, **_):
+                 dense_dtype=None, cg_iters: int = 0,
+                 packed: bool = True, gram_int8: bool = False, **_):
         """cg_iters > 0: warm-started CG solves instead of Cholesky
         (see solve_spd_cg); 0 (default) = exact normal-equation solves,
         matching the reference's ldlt (modelMF.cpp:836,874). Perf paths
@@ -355,6 +407,13 @@ class DenseALSSolver:
         self.model = model
         self.params = params
         self.cg_iters = cg_iters
+        self.packed = packed
+        self.gram_int8 = gram_int8
+        if gram_int8 and cg_iters <= 0:
+            raise ValueError("gram_int8 requires cg_iters > 0 — the "
+                             "quantized Gram of a low-count row can go "
+                             "indefinite and Cholesky NaNs; warm CG is "
+                             "the int8 perf path (_dense_als_sweep)")
         if float(getattr(params, "reg_exponent", 0.0)):
             raise ValueError(
                 "reg_exponent (per-row lambda) is implemented in the "
@@ -403,11 +462,15 @@ class DenseALSSolver:
         u_fac = _dense_als_sweep(u_fac, i_fac, self.dense,
                                  float(self.params.u_reg),
                                  self.row_block,
-                                 cg_iters=self.cg_iters)
+                                 cg_iters=self.cg_iters,
+                                 packed=self.packed,
+                                 gram_int8=self.gram_int8)
         i_fac = _dense_als_sweep(i_fac, u_fac, self.dense,
                                  float(self.params.i_reg),
                                  self.row_block, transposed=True,
-                                 cg_iters=self.cg_iters)
+                                 cg_iters=self.cg_iters,
+                                 packed=self.packed,
+                                 gram_int8=self.gram_int8)
         return state._replace(u_fac=u_fac[:n_users],
                               i_fac=i_fac[:n_items])
 

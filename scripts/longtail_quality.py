@@ -15,7 +15,15 @@ data/movielens.py) can reproduce the paper's comparison; the model
 SEMANTICS are pinned separately by unit tests against the reference
 formulas (tests/test_train.py, tests/test_solvers.py).
 
+Round-4 update (VERDICT r3 #5): `--lowrank-tail` switches to
+data.synthetic.tail_lowrank_data — tail items' ground-truth factors
+live in one shared rank-3 subspace of the rank-16 model (the WWW'19
+premise: rarely-rated entities cannot support, and here genuinely do
+not carry, full-rank signal). On that generator the adaptive models
+have real structure to exploit; results recorded in BASELINE.md.
+
 Usage: PYTHONPATH=. python scripts/longtail_quality.py [--cpu] [--hetero]
+       [--lowrank-tail]
 """
 
 import argparse
@@ -30,25 +38,46 @@ def main():
     ap.add_argument("--maxiter", type=int, default=250)
     ap.add_argument("--hetero", action="store_true",
                     help="tail-noisier ratings (the paper regime)")
+    ap.add_argument("--hetero-head", action="store_true",
+                    help="HEAD-noisier ratings (popularity-correlated "
+                         "noise: popular items are rated by diverse "
+                         "audiences) — the regime inverse-popularity "
+                         "weighting is the right estimator for")
+    ap.add_argument("--lowrank-tail", action="store_true",
+                    help="tail items carry rank-3 signal in a rank-16 "
+                         "model (tail_lowrank_data)")
+    ap.add_argument("--power-law", type=float, default=1.1)
+    ap.add_argument("--spectrum-pow", type=float, default=0.5)
+    ap.add_argument("--tail-boost", type=float, default=1.0)
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
     from matfac_tpu.config import Params
-    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.data.synthetic import synthetic_data, tail_lowrank_data
     from matfac_tpu.eval.quartile import filtered_rmse, quartile_partitions
     from matfac_tpu.train.loop import train_model
     from matfac_tpu.utils import freq as ufreq
 
-    data, _, _ = synthetic_data(
-        n_users=943, n_items=1682, k=6, density=0.063, seed=100,
-        noise=0.35, power_law=1.0, nonneg=True, test_pc=0.1, val_pc=0.1)
-    if args.hetero:
-        # the WWW'19 regime: TAIL entities' ratings are noisier (weak
-        # preference signal for rarely-seen items) — homoscedastic
-        # synthetic data rewards plain regularization instead (see the
-        # module docstring conclusion)
+    if args.lowrank_tail:
+        data, _ = tail_lowrank_data(seed=100, power_law=args.power_law,
+                                    spectrum_pow=args.spectrum_pow,
+                                    tail_boost=args.tail_boost)
+    else:
+        data, _, _ = synthetic_data(
+            n_users=943, n_items=1682, k=6, density=0.063, seed=100,
+            noise=0.35, power_law=1.0, nonneg=True, test_pc=0.1,
+            val_pc=0.1)
+    if args.hetero or args.hetero_head:
+        # --hetero: TAIL entities' ratings are noisier (the WWW'19
+        # narrative; measured — homoscedastic AND this variant reward
+        # plain regularization, see the module docstring conclusion).
+        # --hetero-head: popularity-correlated noise — HEAD items'
+        # ratings are noisier (diverse audiences). This is the regime
+        # where inverse-popularity data weighting (modelInvPopMF.cpp's
+        # literal estimator: weight = 1/(1+rho*pop)) is statistically
+        # right: per-rating information ~ 1/sigma^2 ~ 1/popularity.
         from matfac_tpu.data.csr import RatingMatrix
         rng = np.random.default_rng(0)
         ifreq = data.train_mat.col_degrees().astype(np.float64)
@@ -56,16 +85,32 @@ def main():
         for name in ("train_mat", "test_mat", "val_mat"):
             m = getattr(data, name)
             r, c, v = m.to_coo()
-            sig = 1.2 / np.sqrt(ifreq[np.clip(c, 0, len(ifreq) - 1)])
+            f = ifreq[np.clip(c, 0, len(ifreq) - 1)]
+            if args.hetero_head:
+                sig = 1.2 * np.sqrt(f / ifreq.max())
+            else:
+                sig = 1.2 / np.sqrt(f)
             v = v + (sig * rng.standard_normal(len(v))).astype(
                 np.float32)
             setattr(data, name, RatingMatrix.from_coo(
                 r, c, v, m.nrows, m.ncols))
-    print(f"config: {data} (strong tail, true k=6, fit k=16, "
-          f"hetero={args.hetero})")
+    print(f"config: {data} (lowrank_tail={args.lowrank_tail}, "
+          f"hetero={args.hetero}, hetero_head={args.hetero_head})")
     iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
                                        data.n_items)
     uq, iq = quartile_partitions(data, iu, ii)
+
+    if args.lowrank_tail:
+        # oracle floor: test RMSE of the generator's true factors —
+        # the noise level any model is chasing, split tail vs head
+        r, c, v = data.test_mat.to_coo()
+        pred = np.einsum("ek,ek->e", data.orig_u_fac[r],
+                         data.orig_i_fac[c])
+        se = (pred - v) ** 2
+        for name, qs in (("tail", (0, 1)), ("head", (3,))):
+            m = np.isin(iq[c], qs) & ~ii[c] & ~iu[r]
+            print(f"oracle {name} RMSE: "
+                  f"{np.sqrt(se[m].mean()):.4f} (n={m.sum()})")
 
     def tail_head_rmse(view, ev):
         """test RMSE for tail (q0+q1) vs head (q3) item quartiles."""
@@ -100,6 +145,9 @@ def main():
                                             1000.0, 3000.0)],
         "TMF": [dict(rho_rms=r, alpha=a)
                 for r in (0.5, 1.0, 2.0) for a in (-1.0, -0.5, 0.0)],
+        "TMFDropout": [dict(rho_rms=r, alpha=a)
+                       for r in (0.5, 1.0, 2.0)
+                       for a in (-1.0, -0.5, 0.0)],
     }
     rows = []
     for algo, grid in grids.items():

@@ -268,6 +268,40 @@ def test_dense_als_matches_bucketed(setup_pos):
     assert val < 3 * NOISE + 0.05, val
 
 
+def test_dense_als_int8_grams_match(setup_pos):
+    """gram_int8 quantizes only QQ (per-column int8 scales; the 0/1
+    mask side is exact in int32 accumulation) — one sweep must track
+    the f32 normal equations to quantization tolerance, and converge."""
+    from matfac_tpu.solvers.als import DenseALSSolver
+
+    data, params, ev, model, iu, ii = setup_pos
+    d32 = DenseALSSolver(model, params, data.train_mat, iu, ii,
+                         row_block=32, dense_dtype=jnp.float32,
+                         cg_iters=6)
+    d8 = DenseALSSolver(model, params, data.train_mat, iu, ii,
+                        row_block=32, dense_dtype=jnp.float32,
+                        cg_iters=6, gram_int8=True)
+    with pytest.raises(ValueError):
+        DenseALSSolver(model, params, data.train_mat, iu, ii,
+                       row_block=32, gram_int8=True)  # needs CG
+    s1 = init_state(params, model.n_users, model.n_items)
+    s2 = init_state(params, model.n_users, model.n_items)
+    s1 = d32.epoch(s1, 0, None)
+    s2 = d8.epoch(s2, 0, None)
+    # near-singular small-count Grams amplify the 2^-8 QQ quantization:
+    # bound the mixed abs/rel error for 99% of coordinates and the
+    # scaled error everywhere
+    x = np.asarray(s1.u_fac)
+    diff = np.abs(np.asarray(s2.u_fac) - x)
+    scaled = diff / (3e-2 + 3e-2 * np.abs(x))
+    assert np.quantile(scaled, 0.99) < 1.0 and scaled.max() < 4.0, (
+        np.quantile(scaled, 0.99), scaled.max())
+    for _ in range(8):
+        s2 = d8.epoch(s2, 0, None)
+    val = ev.rmse(model.eval_view(s2), "val")
+    assert val < 3 * NOISE + 0.05, val
+
+
 def test_dense_als_memory_guard():
     from matfac_tpu.solvers.als import DenseALSSolver
 
