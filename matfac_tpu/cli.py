@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--bprtries", type=int, default=2,
                     help="BPR sampler tries per positive (failures "
                          "drop with weight 0)")
+    ap.add_argument("--bprengine", default="stream",
+                    choices=["stream", "dense"],
+                    help="BPR epoch engine (dense = stripe score "
+                         "panels, solvers/bpr_dense.py)")
     ap.add_argument("--svdinit", action="store_true",
                     help="initialize factors from truncated SVD")
     ap.add_argument("--quartiles", action="store_true", default=True)
@@ -174,7 +178,7 @@ def main(argv=None) -> int:
         orig_i_fac_file=args.origifac, init_u_fac_file=args.initufac,
         init_i_fac_file=args.initifac, prefix=args.prefix,
         batch_size=args.batchsize, bpr_sampler=args.bprsampler,
-        n_negatives=args.bprtries)
+        n_negatives=args.bprtries, bpr_engine=args.bprengine)
     print(params.display())
 
     from matfac_tpu.data.dataset import Data

@@ -77,6 +77,10 @@ class Params:
     # reference's own 100-try failure handling, modelMFBPR.cpp:227-241)
     bpr_sampler: str = "rankgap"   # "rankgap" (1 gather/try; PERF.md)
     # or "gap" (literal per-try trainItems rejection)
+    bpr_engine: str = "stream"     # "stream" (per-pair scatter engine)
+    # or "dense" (stripe score panels, 4 index streams/pair —
+    # solvers/bpr_dense.py; plain BPR only, rank-masked hybrids fall
+    # back to stream with a log line)
 
     # --- training-loop constants (reference const.h:4-8) ---
     obj_iter: int = 1      # OBJ_ITER: check objective every N epochs

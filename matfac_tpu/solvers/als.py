@@ -258,7 +258,7 @@ class SubspaceALSSolver(ALSSolver):
 def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
                      blk: int, transposed: bool = False,
                      cg_iters: int = 0, packed: bool = True,
-                     gram_int8: bool = False):
+                     gram_int8: bool = False, mask8=None):
     """Dense masked-Gram ALS sweep: for each row block,
 
         G[u] = sum_i 1[r_ui > 0] q_i q_i^T  =  M @ QQ      (one matmul)
@@ -282,10 +282,17 @@ def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
     The mask operand is 0/1 so int8 x int8 -> int32 accumulation is
     EXACT in it; only QQ quantizes (symmetric per-column scales,
     <= 2^-8 relative — the same error class as the bf16 mode). The
-    b-vector and solves stay bf16/f32. Requires cg_iters > 0: the
-    quantization error is absolute per column, so a LOW-count row's
-    small Gram can go indefinite past the ridge retry and Cholesky
-    NaNs (observed); warm bounded CG degrades gracefully instead.
+    b-vector and solves stay bf16/f32. ``mask8``: PRESTAGED int8 mask
+    in the sweep's OWN orientation ([n_rows_pad, n_src] row-sliced in
+    both modes — the item sweep gets the transposed copy) — measured
+    requirement for the int8 MXU rate: the in-sweep (wv > 0) cast ran
+    the int8 Gram at bf16 speed, and the transposed einsum never hit
+    the int8 path at all (scripts/tpu_als_decomp.py: in-sweep 71-73 ms
+    vs prestaged transposed dot 46.9 ms per sweep). Requires
+    cg_iters > 0: the quantization error is absolute per column, so a
+    LOW-count row's small Gram can go indefinite past the ridge retry
+    and Cholesky NaNs (observed); warm bounded CG degrades gracefully
+    instead.
     CAVEAT (measured): int8 is an opt-in perf mode for factor tables
     with homogeneous row scales (the bench regime, where it matches
     f32 CG quality); with strongly heterogeneous factor magnitudes
@@ -332,17 +339,28 @@ def _dense_als_sweep(target_fac, source_fac, dense_vals, reg: float,
             # contract over axis 0 (no transpose materialization)
             wv = jax.lax.dynamic_slice_in_dim(
                 dense_vals, s * blk, blk, axis=1)
-            m = (wv > 0).astype(mm_dtype)
-            gram = jnp.einsum("ur,uk->rk", (wv > 0).astype(mask_dtype),
-                              qq, preferred_element_type=gram_dtype)
-            b = jnp.einsum("ur,uk->rk", wv.astype(mm_dtype) * m, q,
+            if mask8 is not None:
+                m8 = jax.lax.dynamic_slice_in_dim(mask8, s * blk, blk)
+                gram = jnp.dot(m8, qq,
+                               preferred_element_type=gram_dtype)
+            else:
+                gram = jnp.einsum("ur,uk->rk",
+                                  (wv > 0).astype(mask_dtype), qq,
+                                  preferred_element_type=gram_dtype)
+            # staging applies the rating>0 gate, so wv doubles as the
+            # masked values: b = wv @ Q with no elementwise pass
+            b = jnp.einsum("ur,uk->rk", wv.astype(mm_dtype), q,
                            preferred_element_type=jnp.float32)
         else:
             wv = jax.lax.dynamic_slice_in_dim(dense_vals, s * blk, blk)
-            m = (wv > 0).astype(mm_dtype)
-            gram = jnp.dot((wv > 0).astype(mask_dtype), qq,
-                           preferred_element_type=gram_dtype)
-            b = jnp.dot(wv.astype(mm_dtype) * m, q,
+            if mask8 is not None:
+                m8 = jax.lax.dynamic_slice_in_dim(mask8, s * blk, blk)
+                gram = jnp.dot(m8, qq,
+                               preferred_element_type=gram_dtype)
+            else:
+                gram = jnp.dot((wv > 0).astype(mask_dtype), qq,
+                               preferred_element_type=gram_dtype)
+            b = jnp.dot(wv.astype(mm_dtype), q,
                         preferred_element_type=jnp.float32)
         if gram_int8:
             gram = gram.astype(jnp.float32) * qq_scale[None]
@@ -433,7 +451,8 @@ class DenseALSSolver:
                            <= 2 * 1024 ** 3
                            else jnp.bfloat16)
         need = (self.nu_pad * self.ni_pad
-                * jnp.dtype(dense_dtype).itemsize)
+                * (jnp.dtype(dense_dtype).itemsize
+                   + (2 if gram_int8 else 0)))
         if need > self.MAX_DENSE_BYTES:
             raise ValueError(
                 f"DenseALSSolver needs {need/2**30:.1f} GiB dense "
@@ -441,11 +460,24 @@ class DenseALSSolver:
                 "ALSSolver for this shape")
         dense = np.zeros((self.nu_pad, self.ni_pad), np.float32)
         r, c, v = train_mat.to_coo()
-        keep = ~invalid_users[r] & ~invalid_items[c]
+        # the rating>0 gate (modelMF.cpp:820/:862) is applied at
+        # staging, so the sweep's b-vector needs no mask multiply and
+        # (dense > 0) IS the Gram mask
+        keep = (v > 0) & ~invalid_users[r] & ~invalid_items[c]
         dense[r[keep], c[keep]] = v[keep]
         # single copy; the item sweep slices columns (transposed mode)
         self.dense = jnp.asarray(dense, dense_dtype)
         del dense
+        if gram_int8:
+            # prestaged int8 masks in EACH sweep's row orientation —
+            # the int8 MXU rate needs both (solvers docstring / decomp
+            # probe); +2 bytes/slot accounted in the guard above
+            self.mask_rows = jax.jit(
+                lambda d: (d > 0).astype(jnp.int8))(self.dense)
+            self.mask_cols = jax.jit(
+                lambda m: m.T.copy())(self.mask_rows)
+        else:
+            self.mask_rows = self.mask_cols = None
 
     def epoch(self, state: MFState, lr: float, key) -> MFState:
         del lr, key
@@ -464,13 +496,15 @@ class DenseALSSolver:
                                  self.row_block,
                                  cg_iters=self.cg_iters,
                                  packed=self.packed,
-                                 gram_int8=self.gram_int8)
+                                 gram_int8=self.gram_int8,
+                                 mask8=self.mask_rows)
         i_fac = _dense_als_sweep(i_fac, u_fac, self.dense,
                                  float(self.params.i_reg),
                                  self.row_block, transposed=True,
                                  cg_iters=self.cg_iters,
                                  packed=self.packed,
-                                 gram_int8=self.gram_int8)
+                                 gram_int8=self.gram_int8,
+                                 mask8=self.mask_cols)
         return state._replace(u_fac=u_fac[:n_users],
                               i_fac=i_fac[:n_items])
 

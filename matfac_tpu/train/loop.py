@@ -844,9 +844,22 @@ def _train_ranking(data, params, algo, mf_method, log_fn,
             sample_poisson=(mf_method != "sigmoid"))
     mode = ("posneg" if mf_method.lower() in ("hogposneg", "posneg")
             else "stream")
-    solver = BPRSolver(model, params, data.train_mat, inval_u, inval_i,
-                       n_tries=params.n_negatives, mode=mode,
-                       sampler=params.bpr_sampler)
+    engine = getattr(params, "bpr_engine", "stream")
+    if engine == "dense" and mode == "stream":
+        from matfac_tpu.solvers.bpr_dense import DenseBPRSolver
+        try:
+            solver = DenseBPRSolver(model, params, data.train_mat,
+                                    inval_u, inval_i)
+        except ValueError as e:   # rank-masked model / HBM budget
+            log_fn(f"bpr_engine=dense unavailable ({e}); "
+                   "falling back to the stream engine")
+            solver = BPRSolver(model, params, data.train_mat, inval_u,
+                               inval_i, n_tries=params.n_negatives,
+                               mode=mode, sampler=params.bpr_sampler)
+    else:
+        solver = BPRSolver(model, params, data.train_mat, inval_u,
+                           inval_i, n_tries=params.n_negatives,
+                           mode=mode, sampler=params.bpr_sampler)
     scorer = CatalogScorer(data.train_mat, inval_u, inval_i,
                            data.n_users, data.n_items,
                            user_block=min(params.eval_user_block,

@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--power-law", type=float, default=1.1)
     ap.add_argument("--spectrum-pow", type=float, default=0.5)
     ap.add_argument("--tail-boost", type=float, default=1.0)
+    ap.add_argument("--data-seed", type=int, default=100)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -61,12 +62,14 @@ def main():
     from matfac_tpu.utils import freq as ufreq
 
     if args.lowrank_tail:
-        data, _ = tail_lowrank_data(seed=100, power_law=args.power_law,
+        data, _ = tail_lowrank_data(seed=args.data_seed,
+                                    power_law=args.power_law,
                                     spectrum_pow=args.spectrum_pow,
                                     tail_boost=args.tail_boost)
     else:
         data, _, _ = synthetic_data(
-            n_users=943, n_items=1682, k=6, density=0.063, seed=100,
+            n_users=943, n_items=1682, k=6, density=0.063,
+            seed=args.data_seed,
             noise=0.35, power_law=1.0, nonneg=True, test_pc=0.1,
             val_pc=0.1)
     if args.hetero or args.hetero_head:
