@@ -128,6 +128,22 @@ def main():
     als = ALSSolver(model, params, mat, inval_u, inval_i, cg_iters=6)
     als_epoch_s = time_epochs(als, TIMED_EPOCHS)
     als_rps = mat.nnz / als_epoch_s
+    del als
+
+    # dense masked-Gram ALS (round 4: packed QQ + prestaged int8
+    # masks): the faster ALS at bench densities — measured 164 ms vs
+    # 194 ms bucketed at the full shape before the int8 staging
+    # (scripts/tpu_dense_als.py). Rides as an extra; the bucketed
+    # number stays the cross-round comparable.
+    alsdense_rps = None
+    try:
+        from matfac_tpu.solvers.als import DenseALSSolver
+        dals = DenseALSSolver(model, params, mat, inval_u, inval_i,
+                              cg_iters=6, gram_int8=True)
+        alsdense_rps = mat.nnz / time_epochs(dals, TIMED_EPOCHS)
+        del dals
+    except Exception:  # noqa: BLE001 — HBM budget guard
+        alsdense_rps = None
 
     # BPR pairwise (rankgap sampler, round-2) + full-catalog HR@10 eval
     # (tile-exact top-k + COO exclusion + device-side LOO) as secondary
@@ -146,6 +162,20 @@ def main():
                         n_tries=2, sampler="rankgap")
         bpr_epoch_s = time_epochs(bpr, TIMED_EPOCHS)
         bpr_pps = bpr.n_pos / bpr_epoch_s
+        del bpr
+        # dense-stripe BPR engine (round 4): full-catalog score panels
+        # cut 9 index streams/pair to 4 (solvers/bpr_dense.py); rides
+        # as an extra so the stream number stays comparable across
+        # rounds
+        bpr_dense_pps = None
+        try:
+            from matfac_tpu.solvers.bpr_dense import DenseBPRSolver
+            dbpr = DenseBPRSolver(bmodel, params, mat, inval_u,
+                                  inval_i)
+            bpr_dense_pps = dbpr.n_pos / time_epochs(dbpr, TIMED_EPOCHS)
+            del dbpr
+        except Exception:  # noqa: BLE001 — HBM budget guard
+            bpr_dense_pps = None
         scorer = CatalogScorer(mat, inval_u, inval_i, n_users, n_items,
                                user_block=4096, item_block=32768)
         rng = np.random.default_rng(1)
@@ -190,11 +220,16 @@ def main():
                                          if dense_rps else None),
             "als_epoch_s": round(als_epoch_s, 4),
             "als_ratings_per_sec": round(als_rps, 1),
+            "alsdense_ratings_per_sec": (round(alsdense_rps, 1)
+                                         if alsdense_rps else None),
         },
     }
     if bpr_pps is not None:
         result["extra"]["bpr_pairs_per_sec"] = round(bpr_pps, 1)
         result["extra"]["hr10_eval_ms"] = round(hr_ms, 1)
+        if bpr_dense_pps is not None:
+            result["extra"]["bpr_dense_pairs_per_sec"] = round(
+                bpr_dense_pps, 1)
     try:
         with open(_last_good_path(), "w") as f:
             json.dump(result, f)

@@ -407,7 +407,11 @@ class DenseALSSolver:
     matrix (bf16) + its transpose in HBM — guarded below.
     """
 
-    MAX_DENSE_BYTES = 5 * 1024 ** 3
+    # v5e HBM = 16 GiB; the sweeps' live temps are per-block (~hundreds
+    # of MB), so dense staging (values + optional int8 masks) can take
+    # most of it. 10 GiB covers the full bench shape with gram_int8
+    # (bf16 values 4.2 GB + two int8 masks 4.2 GB).
+    MAX_DENSE_BYTES = 10 * 1024 ** 3
 
     def __init__(self, model, params: Params, train_mat,
                  invalid_users, invalid_items, row_block: int = 2048,

@@ -3,17 +3,18 @@ for plain MF vs the adaptive models (TMF truncation, IFWMF weighting;
 modelDropoutSigmoid.cpp / modelInvPopMF.cpp), each grid-tuned on
 validation-tail RMSE the way the paper tunes rho/alpha per dataset.
 
-Measured finding (recorded, not hidden): on SYNTHETIC low-rank data —
-homoscedastic or with tail-noisier ratings (--hetero) — the tuned
-grids converge to the gentlest adaptivity and plain MF + L2 stays
-best on the tail (MF 0.6083 vs IFWMF 0.6296 / TMF 0.6405 at the
-ML-100K shape). The generator gives tail entities the same low-rank
-signal as the head, so frequency-adaptive capacity control has
-nothing to exploit; the paper's gains come from real-data structure.
-The harness exists so real datasets (e.g. MovieLens via
-data/movielens.py) can reproduce the paper's comparison; the model
-SEMANTICS are pinned separately by unit tests against the reference
-formulas (tests/test_train.py, tests/test_solvers.py).
+Measured finding (round 4, recorded in BASELINE.md "Long-tail adaptive
+models"): on homogeneous Gaussian synthetics — homoscedastic, --hetero
+(tail-noisier), --hetero-head (head-noisier), or --lowrank-tail with
+equal signal variance — tuned flat-lambda MF stays best on the tail,
+because ridge shrinkage is spectrum-adaptive automatically and the
+Bayes-optimal lambda is frequency-independent. The truncation models
+WIN (TMF +1.4%, TMF+Poisson +2.1% mean tail RMSE over 5 seeds) once
+the per-entity optimal lambda actually varies: --lowrank-tail
+--tail-boost 2.5 (tail items carry stronger low-rank-subspace
+preferences that flat lambda over-shrinks). Model SEMANTICS are pinned
+separately by unit tests against the reference formulas
+(tests/test_train.py, tests/test_solvers.py).
 
 Round-4 update (VERDICT r3 #5): `--lowrank-tail` switches to
 data.synthetic.tail_lowrank_data — tail items' ground-truth factors
