@@ -454,3 +454,164 @@ def _loo_score(top_i: np.ndarray, test_mat: RatingMatrix,
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ----------------------------------------------------------------------
+# Sampled-negatives ranking protocol (non-saturated parity rows)
+# ----------------------------------------------------------------------
+
+def sample_negatives(test_mat: RatingMatrix, train_mat: RatingMatrix,
+                     invalid_users: np.ndarray,
+                     invalid_items: np.ndarray, n_users: int,
+                     n_items: int, n_candidates: int = 1000,
+                     popularity: "np.ndarray | None" = None,
+                     seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-user candidate sets for the sampled LOO protocol: column 0 =
+    the held-out (first test) item, columns 1.. = negatives drawn from
+    ``popularity`` (None = uniform) with the user's train-rated items,
+    the held-out item, and invalid items rejected by vectorized
+    resampling. The full-catalog LOO HR@10 saturates (~1.0) on strong
+    models at ML scales; popularity-weighted negatives are the standard
+    hard-negative protocol (the reference's own longTail analyses
+    sample 1000 unrated negatives per test item, longTail.cpp:279-502).
+    Returns (cands [n_val, n_candidates] int32, user_ids [n_val])."""
+    rng = np.random.default_rng(seed)
+    deg = test_mat.row_degrees()
+    nr = min(test_mat.nrows, n_users)
+    nz = deg[:nr] > 0
+    users = np.nonzero(nz & ~invalid_users[:nr])[0]
+    first = test_mat.indices[test_mat.indptr[:nr][users]].astype(np.int64)
+
+    p = None
+    if popularity is not None:
+        w = np.asarray(popularity, np.float64).copy()
+        w[invalid_items[: len(w)]] = 0.0
+        w = np.maximum(w, 0.0)
+        p = w / w.sum()
+    M = n_candidates - 1
+    cands = np.empty((len(users), M), np.int64)
+    todo = np.ones((len(users), M), bool)
+    # global sorted (user, item) key array: rated-membership for any
+    # (u, d) pair is one vectorized binary search (CSR rows are sorted
+    # by construction, so keys are globally sorted)
+    r_all, c_all, _ = train_mat.to_coo()
+    keys = r_all.astype(np.int64) * n_items + c_all.astype(np.int64)
+    inval_i = np.zeros(n_items, bool)
+    inval_i[: len(invalid_items)] = invalid_items[:n_items]
+    row_user = np.broadcast_to(users[:, None], todo.shape)
+    row_first = np.broadcast_to(first[:, None], todo.shape)
+    for _ in range(50):
+        n_todo = int(todo.sum())
+        if n_todo == 0:
+            break
+        draw = rng.choice(n_items, size=n_todo, p=p)
+        kq = row_user[todo].astype(np.int64) * n_items + draw
+        pos = np.searchsorted(keys, kq)
+        rated = np.zeros(n_todo, bool)
+        inb = pos < len(keys)
+        rated[inb] = keys[pos[inb]] == kq[inb]
+        bad = rated | (draw == row_first[todo]) | inval_i[draw]
+        cands[todo] = draw
+        new_todo = np.zeros_like(todo)
+        new_todo[todo] = bad
+        todo = new_todo
+    if todo.any():
+        # popularity mass may be concentrated in a user's rated set;
+        # fall back to uniform for the stragglers (same rejection)
+        rows, colsx = np.nonzero(todo)
+        for i, (a, b) in enumerate(zip(rows, colsx)):
+            while True:
+                d = int(rng.integers(0, n_items))
+                kq = int(users[a]) * n_items + d
+                j = np.searchsorted(keys, kq)
+                if (d != first[a] and not inval_i[d]
+                        and not (j < len(keys) and keys[j] == kq)):
+                    cands[a, b] = d
+                    break
+    out = np.concatenate([first[:, None], cands], axis=1)
+    return out.astype(np.int32), users.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "blk"))
+def _sampled_rank_dev(u_fac, i_fac, u_bias, i_bias, mu, users, cands,
+                      n: int, blk: int):
+    """rank of column 0 among each row's candidates (strict greater —
+    ties favor the held-out) summed into HR@n and 1/(rank+1) credits."""
+    def body(carry, s):
+        hr, ar = carry
+        u = jax.lax.dynamic_slice_in_dim(users, s * blk, blk)
+        cd = jax.lax.dynamic_slice_in_dim(cands, s * blk, blk)
+        pu = u_fac[u]                                  # [blk, k]
+        qi = i_fac[cd]                                 # [blk, M, k]
+        sc = jnp.einsum("bk,bmk->bm", pu, qi,
+                        preferred_element_type=jnp.float32)
+        sc = sc + i_bias[cd] + u_bias[u][:, None] + mu
+        rank = jnp.sum(sc[:, 1:] > sc[:, :1], axis=1)  # [blk]
+        w = (u >= 0).astype(jnp.float32)               # pad rows: u=-1
+        hr = hr + jnp.sum(w * (rank < n))
+        ar = ar + jnp.sum(w * (rank < n) / (rank + 1.0))
+        return (hr, ar), None
+
+    nb = users.shape[0] // blk
+    (hr, ar), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
+                               jnp.arange(nb, dtype=jnp.int32))
+    return hr, ar
+
+
+def sampled_ranking_metrics(view: EvalView, test_mat: RatingMatrix,
+                            train_mat: RatingMatrix,
+                            invalid_users: np.ndarray,
+                            invalid_items: np.ndarray,
+                            n: int = 10, n_candidates: int = 1000,
+                            popularity: "np.ndarray | None" = None,
+                            seed: int = 0,
+                            blk: int = 1024
+                            ) -> Tuple[float, float]:
+    """(HR@n, ARHR@n) under the sampled LOO protocol — held-out item
+    ranked against ``n_candidates - 1`` sampled negatives (see
+    sample_negatives). Scores = the EvalView's estRating; device-side
+    blocked scoring, two scalars leave the chip."""
+    n_users = view.u_fac.shape[0]
+    n_items = view.i_fac.shape[0]
+    cands, users = sample_negatives(
+        test_mat, train_mat, invalid_users, invalid_items, n_users,
+        n_items, n_candidates, popularity, seed)
+    if len(users) == 0:
+        return 0.0, 0.0
+    pad = _round_up(len(users), blk) - len(users)
+    users_p = np.pad(users, (0, pad), constant_values=-1)
+    cands_p = np.pad(cands, ((0, pad), (0, 0)))
+    ub = view.u_bias if view.u_bias is not None \
+        else jnp.zeros(n_users, jnp.float32)
+    ib = view.i_bias if view.i_bias is not None \
+        else jnp.zeros(n_items, jnp.float32)
+    mu = view.mu if view.mu is not None else jnp.float32(0.0)
+    hr, ar = _sampled_rank_dev(
+        view.u_fac, view.i_fac, ub, ib, mu,
+        jnp.asarray(users_p), jnp.asarray(cands_p), n, blk)
+    return float(hr) / len(users), float(ar) / len(users)
+
+
+def popularity_ranking_metrics(test_mat: RatingMatrix,
+                               train_mat: RatingMatrix,
+                               invalid_users: np.ndarray,
+                               invalid_items: np.ndarray,
+                               n_users: int, n_items: int,
+                               n: int = 10, n_candidates: int = 1000,
+                               popularity: "np.ndarray | None" = None,
+                               seed: int = 0) -> Tuple[float, float]:
+    """The popularity-scorer baseline under the SAME sampled protocol
+    (score = train frequency): the margin base that makes a parity row
+    informative when the full-catalog HR saturates."""
+    cands, users = sample_negatives(
+        test_mat, train_mat, invalid_users, invalid_items, n_users,
+        n_items, n_candidates, popularity, seed)
+    if len(users) == 0:
+        return 0.0, 0.0
+    freq = train_mat.col_degrees().astype(np.float64)
+    freq = np.pad(freq, (0, max(n_items - len(freq), 0)))
+    sc = freq[cands]
+    rank = (sc[:, 1:] > sc[:, :1]).sum(axis=1)
+    hr = float((rank < n).mean())
+    ar = float(((rank < n) / (rank + 1.0)).mean())
+    return hr, ar

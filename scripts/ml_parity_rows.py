@@ -87,6 +87,25 @@ def bpr_row(n_users=69878, n_items=10677, per_user=140, k=64,
         f"test_HR@10={hr:.4f} test_ARHR={arhr:.4f} "
         f"test_NDCG@10={ndcg} wall={time.time()-t0:.0f}s")
 
+    # non-saturated protocol (VERDICT r3 #8): the held-out item vs 999
+    # POPULARITY-sampled negatives, with the popularity scorer itself
+    # as the margin base — full-catalog HR ~1.0 on this data says only
+    # that the pipeline runs
+    from matfac_tpu.eval.ranking import (popularity_ranking_metrics,
+                                         sampled_ranking_metrics)
+    iu = np.zeros(n_users, bool)
+    ii = np.zeros(n_items, bool)
+    pop = data.train_mat.col_degrees().astype(np.float64) + 0.1
+    shr, sar = sampled_ranking_metrics(
+        view, data.test_mat, data.train_mat, iu, ii, n=10,
+        n_candidates=1000, popularity=pop, seed=7)
+    phr, par = popularity_ranking_metrics(
+        data.test_mat, data.train_mat, iu, ii, n_users, n_items,
+        n=10, n_candidates=1000, popularity=pop, seed=7)
+    log(f"ML-10M-shape BPR sampled-negatives (999 pop-sampled): "
+        f"model HR@10={shr:.4f} ARHR={sar:.4f} | popularity scorer "
+        f"HR@10={phr:.4f} ARHR={par:.4f} | margin {shr-phr:+.4f}")
+
 
 def main():
     import os
