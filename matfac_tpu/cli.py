@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["stream", "dense"],
                     help="BPR epoch engine (dense = stripe score "
                          "panels, solvers/bpr_dense.py)")
+    ap.add_argument("--ccdgroup", type=int, default=1,
+                    help="CCD++ rank-g block sweeps (g dims solved "
+                         "jointly; README deviation #14)")
     ap.add_argument("--svdinit", action="store_true",
                     help="initialize factors from truncated SVD")
     ap.add_argument("--quartiles", action="store_true", default=True)
@@ -178,7 +181,8 @@ def main(argv=None) -> int:
         orig_i_fac_file=args.origifac, init_u_fac_file=args.initufac,
         init_i_fac_file=args.initifac, prefix=args.prefix,
         batch_size=args.batchsize, bpr_sampler=args.bprsampler,
-        n_negatives=args.bprtries, bpr_engine=args.bprengine)
+        n_negatives=args.bprtries, bpr_engine=args.bprengine,
+        ccd_group_dims=args.ccdgroup)
     print(params.display())
 
     from matfac_tpu.data.dataset import Data

@@ -81,6 +81,9 @@ class Params:
     # or "dense" (stripe score panels, 4 index streams/pair —
     # solvers/bpr_dense.py; plain BPR only, rank-masked hybrids fall
     # back to stream with a log line)
+    ccd_group_dims: int = 1        # CCD++: rank-g block sweeps
+    # (g dims solved jointly per sweep — README deviation #14;
+    # per-dim index streams drop ~g-fold, solvers/ccd.py)
 
     # --- training-loop constants (reference const.h:4-8) ---
     obj_iter: int = 1      # OBJ_ITER: check objective every N epochs

@@ -49,7 +49,7 @@ def _two_sum(a, b):
 
 
 def _sorted_segment_sum2(x2, bounds, block):
-    """Segmented sum of ``x2`` [n_pad, 2] over CONTIGUOUS segments
+    """Segmented sum of ``x2`` [n_pad, W] over CONTIGUOUS segments
     (``bounds`` [n_seg+1] = start positions; padding rows must be 0)
     with NO per-element index stream — the scatter-free replacement for
     `segment_sum` when the stream is sorted by segment id.
@@ -61,16 +61,16 @@ def _sorted_segment_sum2(x2, bounds, block):
     independent of nnz.  Cost: one contiguous cumsum pass + O(n_seg)
     boundary gathers, vs segment_sum's nnz-element scatter stream
     (~7 ns/index on the tunnel TPU — PERF.md "CCD++")."""
-    n = x2.shape[0]
+    n, W = x2.shape
     nb = n // block
-    within = jnp.cumsum(x2.reshape(nb, block, 2), axis=1)
-    btot = within[:, -1, :]                       # [nb, 2]
+    within = jnp.cumsum(x2.reshape(nb, block, W), axis=1)
+    btot = within[:, -1, :]                       # [nb, W]
     h, l = jax.lax.associative_scan(
         lambda a, b: (lambda s_e: (s_e[0], s_e[1] + a[1] + b[1]))(
             _two_sum(a[0], b[0])),
         (btot, jnp.zeros_like(btot)), axis=0)
     # exclusive block prefixes
-    z2 = jnp.zeros((1, 2), btot.dtype)
+    z2 = jnp.zeros((1, W), btot.dtype)
     h = jnp.concatenate([z2, h[:-1]], axis=0)
     l = jnp.concatenate([z2, l[:-1]], axis=0)
 
@@ -300,6 +300,168 @@ def _make_sweep_core_sorted(n_users, n_items, u_reg, i_reg, n_inner,
     return core
 
 
+def _chol_solve_unrolled(G, b):
+    """Solve [n, g, g] SPD systems with a trace-time-unrolled
+    Cholesky-Crout + triangular solves — every step is an elementwise
+    op over [n] vectors (VPU), avoiding lax.cholesky's batched
+    sequential kernel (~8 us/matrix measured at 64x64, PERF.md "ALS")
+    which would dominate grouped-CCD's millions of tiny solves."""
+    g = b.shape[1]
+    L = [[None] * g for _ in range(g)]
+    for j in range(g):
+        s = G[:, j, j] - sum((L[j][p] ** 2 for p in range(j)),
+                             jnp.zeros(()))
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for i2 in range(j + 1, g):
+            s2 = G[:, i2, j] - sum((L[i2][p] * L[j][p]
+                                    for p in range(j)), jnp.zeros(()))
+            L[i2][j] = s2 / L[j][j]
+    y = [None] * g
+    for i2 in range(g):
+        y[i2] = (b[:, i2] - sum((L[i2][p] * y[p] for p in range(i2)),
+                                jnp.zeros(()))) / L[i2][i2]
+    x = [None] * g
+    for i2 in reversed(range(g)):
+        x[i2] = (y[i2] - sum((L[p][i2] * x[p]
+                              for p in range(i2 + 1, g)),
+                             jnp.zeros(()))) / L[i2][i2]
+    return jnp.stack(x, axis=1)
+
+
+def _make_sweep_core_sorted_grouped(n_users, n_items, u_reg, i_reg,
+                                    n_inner, item_dim_ok, nc, chunk,
+                                    seg_block, g):
+    """Grouped (rank-g block) CCD++ sweep over the sorted views
+    (VERDICT r3 #9): one group sweep processes g dims together —
+    add-back/permute/subtract and the per-alternation vg/ug gathers
+    issue ONCE per GROUP (g-wide rows cost the same ~7 ns/index as
+    scalars — index streams are counted per element, PERF.md), so the
+    per-dim stream count drops from 15 to 15/g. The inner alternations
+    solve per-entity g x g normal equations (joint block-coordinate
+    update — at least as strong per sweep as g sequential 1-D updates;
+    README deviation #14) via sorted segment sums of the packed
+    [g(g+1)/2 + g]-wide Gram/b integrand and the unrolled Cholesky
+    above. Math reduces exactly to the rank-1 sorted engine at g=1.
+    """
+    iu_g, il_g = np.triu_indices(g)
+    P = len(iu_g)
+    pos = np.zeros((g, g), np.int32)
+    pos[iu_g, il_g] = np.arange(P, dtype=np.int32)
+    pos[il_g, iu_g] = pos[iu_g, il_g]
+    unpack = jnp.asarray(pos.reshape(-1))
+    eye_flat = jnp.asarray(np.eye(g, dtype=np.float32).reshape(-1))
+
+    def _padr(x):
+        """append a zero ROW (sentinel gathers)."""
+        return jnp.concatenate(
+            [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+
+    def _sl(x, off):
+        return jax.lax.dynamic_slice(x, (off,), (chunk,))
+
+    def _solve(su, reg, mask=None):
+        """su [n_seg, P + g] -> [n_seg, g] solutions of
+        (Gram + reg I) x = b; ``mask`` [n_seg, g] zeroes truncated
+        (entity, dim) slots by solving with their rows/cols removed
+        (Gram masked symmetric + unit diagonal on masked slots)."""
+        n_seg = su.shape[0]
+        G = jnp.take(su[:, :P], unpack, axis=1)
+        G = G + reg * eye_flat[None, :]
+        G = G.reshape(n_seg, g, g)
+        b = su[:, P:]
+        if mask is not None:
+            mm = mask[:, :, None] * mask[:, None, :]
+            G = G * mm + (1.0 - mm) * jnp.eye(g, dtype=G.dtype)[None]
+            b = b * mask
+        x = _chol_solve_unrolled(G, b)
+        return x if mask is None else x * mask
+
+    def core(u_fac, i_fac, res, stream, dims_g):
+        rows, cols, col_order, rows_cs, row_bounds, col_bounds = stream
+        n_pad = res.shape[0]
+        U = jnp.take(u_fac, dims_g, axis=1)          # [n_users, g]
+        V = jnp.take(i_fac, dims_g, axis=1)
+        U_p, V_p = _padr(U), _padr(V)
+
+        if item_dim_ok is not None:
+            # dim 0 always allowed; other dims only for frequent items
+            v_mask = jnp.where(dims_g[None, :] == 0, 1.0,
+                               item_dim_ok[:, None])
+        else:
+            v_mask = None
+
+        # dim-removed residual in both sorted views
+        if nc == 0:
+            resn = res + jnp.sum(U_p[rows] * V_p[cols], axis=1)
+            resn_cs = resn[col_order]
+        else:
+            def bld(c, buf):
+                off = c * chunk
+                val = (_sl(res, off)
+                       + jnp.sum(U_p[_sl(rows, off)]
+                                 * V_p[_sl(cols, off)], axis=1))
+                return jax.lax.dynamic_update_slice(buf, val, (off,))
+
+            resn = jax.lax.fori_loop(0, nc, bld, jnp.zeros_like(res))
+
+            def prm(c, buf):
+                off = c * chunk
+                val = resn[_sl(col_order, off)]
+                return jax.lax.dynamic_update_slice(buf, val, (off,))
+
+            resn_cs = jax.lax.fori_loop(0, nc, prm,
+                                        jnp.zeros_like(res))
+
+        def xW(resv, idx, tab_p):
+            """[n_pad, P + g]: packed t (x) t | resv * t where
+            t = tab_p[idx] — the grouped Gram/b integrand."""
+            if nc == 0:
+                t = tab_p[idx]
+                return jnp.concatenate(
+                    [t[:, iu_g] * t[:, il_g], resv[:, None] * t],
+                    axis=1)
+
+            def b(c, buf):
+                off = c * chunk
+                t = tab_p[_sl(idx, off)]
+                x = jnp.concatenate(
+                    [t[:, iu_g] * t[:, il_g],
+                     _sl(resv, off)[:, None] * t], axis=1)
+                return jax.lax.dynamic_update_slice(buf, x, (off, 0))
+
+            return jax.lax.fori_loop(
+                0, nc, b, jnp.zeros((n_pad, P + g), res.dtype))
+
+        def inner(_, uv):
+            U, V = uv
+            su = _sorted_segment_sum2(xW(resn, cols, _padr(V)),
+                                      row_bounds, seg_block)
+            U = _solve(su, u_reg)
+            si = _sorted_segment_sum2(xW(resn_cs, rows_cs, _padr(U)),
+                                      col_bounds, seg_block)
+            V = _solve(si, i_reg, v_mask)
+            return (U, V)
+
+        U, V = jax.lax.fori_loop(0, n_inner, inner, (U, V))
+        U_p, V_p = _padr(U), _padr(V)
+        if nc == 0:
+            res = resn - jnp.sum(U_p[rows] * V_p[cols], axis=1)
+        else:
+            def sub(c, buf):
+                off = c * chunk
+                val = (_sl(resn, off)
+                       - jnp.sum(U_p[_sl(rows, off)]
+                                 * V_p[_sl(cols, off)], axis=1))
+                return jax.lax.dynamic_update_slice(buf, val, (off,))
+
+            res = jax.lax.fori_loop(0, nc, sub, resn)
+        u_fac = u_fac.at[:, dims_g].set(U.astype(u_fac.dtype))
+        i_fac = i_fac.at[:, dims_g].set(V.astype(i_fac.dtype))
+        return u_fac, i_fac, res
+
+    return core
+
+
 class CCDPPSolver:
     """Rank-1 coordinate-descent sweeps. State extra: the residual vector,
     carried across epochs (reference carries `res` across epochs too)."""
@@ -310,7 +472,8 @@ class CCDPPSolver:
                  freq_thresh: float = 75.0, item_freq=None,
                  sweep_mode: Optional[str] = None, dim_chunk: int = 8,
                  nnz_chunk: Optional[int] = None,
-                 engine: str = "sorted", seg_block: int = 4096, **_):
+                 engine: str = "sorted", seg_block: int = 4096,
+                 group_dims: int = 1, **_):
         """``sweep_mode``: "scan" = whole epoch as one lax.scan over
         dims (fastest dispatch); "per_dim" = one jitted call per dim;
         "chunked" = one jitted scan per ``dim_chunk`` dims; None =
@@ -330,7 +493,13 @@ class CCDPPSolver:
         ``engine``: "sorted" (default — scatter-free segment reductions
         over row-/col-sorted views, ~15 index streams/dim; see
         _make_sweep_core_sorted) or "scatter" (segment_sum both sides,
-        the round-1/2 engine, ~24 streams/dim)."""
+        the round-1/2 engine, ~24 streams/dim).
+
+        ``group_dims`` (sorted engine only): process g dims per sweep
+        as a rank-g BLOCK update with per-entity g x g solves — the
+        per-dim index-stream count drops ~g-fold
+        (_make_sweep_core_sorted_grouped; README deviation #14).
+        fac_dim must be divisible by g."""
         self.model = model
         self.params = params
         r, c, v = train_mat.to_coo()
@@ -340,6 +509,14 @@ class CCDPPSolver:
         self.n_items = int(model.n_items)
         self.n_inner = n_inner
         self.engine = engine
+        self.g = max(int(group_dims), 1)
+        if self.g > 1:
+            if engine != "sorted":
+                raise ValueError("group_dims > 1 needs engine='sorted'")
+            if model.k % self.g:
+                raise ValueError(
+                    f"fac_dim={model.k} not divisible by "
+                    f"group_dims={self.g}")
         nnz = len(r)
         if nnz_chunk is None:
             nnz_chunk = 2_000_000 if nnz > 3_000_000 else 0
@@ -402,6 +579,13 @@ class CCDPPSolver:
 
     def _sweep_core(self):
         if self.engine == "sorted":
+            if self.g > 1:
+                return _make_sweep_core_sorted_grouped(
+                    self.n_users, self.n_items,
+                    float(self.params.u_reg),
+                    float(self.params.i_reg), self.n_inner,
+                    self.item_dim_ok, self.nc, self.chunk,
+                    self.seg_block, self.g)
             return _make_sweep_core_sorted(
                 self.n_users, self.n_items, float(self.params.u_reg),
                 float(self.params.i_reg), self.n_inner,
@@ -441,12 +625,15 @@ class CCDPPSolver:
 
     def _build_epoch(self):
         core = self._sweep_core()
+        g = self.g
 
         # staged arrays are jit ARGUMENTS (closure constants make XLA
         # compile time explode at nnz scale — see solvers/sgd.py)
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch(state: MFState, res, stream, key):
             dims = jax.random.permutation(key, state.u_fac.shape[1])
+            if g > 1:
+                dims = dims.reshape(-1, g)
 
             def dim_sweep(carry, kk):
                 u_fac, i_fac, res = carry
@@ -470,20 +657,38 @@ class CCDPPSolver:
         if self.sweep_mode == "per_dim":
             dims = np.asarray(jax.random.permutation(
                 key, state.u_fac.shape[1]))
+            if self.g > 1:
+                dims = dims.reshape(-1, self.g)
             u_fac, i_fac, res = state.u_fac, state.i_fac, self.res
             for kk in dims:
                 u_fac, i_fac, res = self._dim_sweep(
-                    u_fac, i_fac, res, self.stream, int(kk))
+                    u_fac, i_fac, res, self.stream,
+                    jnp.asarray(kk) if self.g > 1 else int(kk))
             self.res = res
             return state._replace(u_fac=u_fac, i_fac=i_fac)
         if self.sweep_mode == "chunked":
             k = state.u_fac.shape[1]
+            dims = np.asarray(jax.random.permutation(key, k))
+            u_fac, i_fac, res = state.u_fac, state.i_fac, self.res
+            if self.g > 1:
+                # scan over GROUPS of g dims, dim_chunk groups per call
+                groups = dims.reshape(-1, self.g)
+                C = min(self.dim_chunk, len(groups))
+                n_full = (len(groups) // C) * C
+                for s in range(0, n_full, C):
+                    u_fac, i_fac, res = self._chunk_sweep(
+                        u_fac, i_fac, res, self.stream,
+                        jnp.asarray(groups[s:s + C]))
+                for kk in groups[n_full:]:
+                    u_fac, i_fac, res = self._dim_sweep(
+                        u_fac, i_fac, res, self.stream,
+                        jnp.asarray(kk))
+                self.res = res
+                return state._replace(u_fac=u_fac, i_fac=i_fac)
             C = min(self.dim_chunk, k)
             # pad the permutation to a chunk multiple by REPEATING the
             # tail dims? No — a repeated sweep would change results;
             # instead run the last partial chunk through per-dim calls.
-            dims = np.asarray(jax.random.permutation(key, k))
-            u_fac, i_fac, res = state.u_fac, state.i_fac, self.res
             n_full = (k // C) * C
             for s in range(0, n_full, C):
                 u_fac, i_fac, res = self._chunk_sweep(

@@ -701,11 +701,15 @@ def train_model(data, params: Params, algo: str = "mf",
         solver = CCDSolver(model, params, data.train_mat, inval_u, inval_i)
     elif m in ("ccd++", "ccdpp"):
         solver = CCDPPSolver(model, params, data.train_mat, inval_u,
-                             inval_i)
+                             inval_i,
+                             group_dims=getattr(params,
+                                                "ccd_group_dims", 1))
     elif m == "ccd++freqadap":
         solver = CCDPPSolver(model, params, data.train_mat, inval_u,
                              inval_i, freq_adaptive=True,
-                             item_freq=item_freq)
+                             item_freq=item_freq,
+                             group_dims=getattr(params,
+                                                "ccd_group_dims", 1))
     else:
         raise ValueError(f"unknown mf_method {mf_method!r}; "
                          f"one of {_SOLVERS}")

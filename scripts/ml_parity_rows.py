@@ -57,15 +57,15 @@ def pointwise_row(name, algo, method, n_users, n_items, density, k,
 
 
 def bpr_row(n_users=69878, n_items=10677, per_user=140, k=64,
-            max_iter=40):
+            max_iter=40, temp=0.3):
     from matfac_tpu.config import Params
     from matfac_tpu.data.synthetic import leave_one_out_data
     from matfac_tpu.train.loop import train_model
 
     data = leave_one_out_data(n_users=n_users, n_items=n_items, k=16,
                               per_user=per_user, seed=6,
-                              structured=True)
-    log(f"--- ML-10M-shape BPR: {data.train_mat}")
+                              structured=True, temp=temp)
+    log(f"--- ML-10M-shape BPR (temp={temp}): {data.train_mat}")
     p = Params(fac_dim=k, max_iter=max_iter, seed=2, learn_rate=0.1,
                u_reg=0.001, i_reg=0.001, batch_size=65536,
                disp_iter=10, n_negatives=2, bpr_sampler="rankgap")
@@ -136,6 +136,10 @@ def main():
     # ML-10M shape, BPR
     if "bpr" in rows:
         bpr_row()
+    # harder preference noise (temp=1.0): the NON-saturated ranking row
+    # (VERDICT r3 #8 — HR@10 < 0.99 so quality differences are visible)
+    if "bprhard" in rows:
+        bpr_row(temp=1.0)
     log("PARITY_ROWS_DONE")
 
 

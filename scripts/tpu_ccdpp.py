@@ -16,7 +16,8 @@ import numpy as np
 
 
 def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
-              dim_chunk=8, nnz_chunk=None, engine="sorted"):
+              dim_chunk=8, nnz_chunk=None, engine="sorted",
+              group_dims=1):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +37,7 @@ def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
     ii = np.zeros(n_items, bool)
     solver = CCDPPSolver(model, params, mat, iu, ii, sweep_mode=mode,
                          dim_chunk=dim_chunk, nnz_chunk=nnz_chunk,
-                         engine=engine)
+                         engine=engine, group_dims=group_dims)
     print(f"  nnz_chunk: nc={solver.nc} chunk={solver.chunk}", flush=True)
     st = init_state(params, n_users, n_items)
     key = jax.random.PRNGKey(0)
@@ -54,7 +55,7 @@ def run_stage(n_users, n_items, nnz_target, k, mode, n_epochs=3,
         _ = float(jnp.sum(st.u_fac[0]))
         times.append(time.time() - t0)
     dt = min(times)
-    print(f"OK {mode}/{engine} {n_users}x{n_items} nnz={mat.nnz} k={k}: "
+    print(f"OK {mode}/{engine}/g={group_dims} {n_users}x{n_items} nnz={mat.nnz} k={k}: "
           f"compile+first={compile_s:.1f}s epoch={dt*1000:.0f}ms "
           f"rate={mat.nnz/dt/1e6:.1f}M ratings/s", flush=True)
 
@@ -67,18 +68,22 @@ def main():
     # the headline ML-10M shape directly
     import os
     engines = os.environ.get("CCDPP_ENGINES", "sorted,scatter").split(",")
+    groups = [int(g) for g in
+              os.environ.get("CCDPP_GROUPS", "1").split(",")]
     stages = [
         (100_000, 20_000, 9_900_000, None),   # auto: chunked+nnz_chunk
     ]
     for engine in engines:
-        for n_users, n_items, nnz, mode in stages:
-            print(f"--- stage {mode}/{engine} nnz={nnz}", flush=True)
-            try:
-                run_stage(n_users, n_items, nnz, k, mode, n_epochs=2,
-                          engine=engine)
-            except Exception as e:  # noqa: BLE001 — log, continue ramp
-                print(f"FAIL {mode}/{engine} nnz={nnz}: "
-                      f"{type(e).__name__}: {e}", flush=True)
+        for g in (groups if engine == "sorted" else [1]):
+            for n_users, n_items, nnz, mode in stages:
+                print(f"--- stage {mode}/{engine}/g={g} nnz={nnz}",
+                      flush=True)
+                try:
+                    run_stage(n_users, n_items, nnz, k, mode,
+                              n_epochs=2, engine=engine, group_dims=g)
+                except Exception as e:  # noqa: BLE001 — log, continue
+                    print(f"FAIL {mode}/{engine}/g={g} nnz={nnz}: "
+                          f"{type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -554,3 +554,100 @@ def test_sgd_freq_scaled_reg_trains(setup_pos):
                                   log_fn=lambda s: None)
     assert np.isfinite(rep.best_metric) and rep.best_metric < 0.45, \
         rep.best_metric
+
+
+def test_ccdpp_grouped_g1_matches_rank1(setup_reg):
+    """group_dims=1 grouped core == the rank-1 sorted engine's math
+    (the g x g solve degenerates to the scalar closed form)."""
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    a = CCDPPSolver(model, params, data.train_mat, iu, ii)
+    b = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                    group_dims=1)
+    sa = init_state(params, model.n_users, model.n_items)
+    sb = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(3)
+    for _ in range(3):
+        key, ek = jax.random.split(key)
+        sa = a.epoch(sa, 0.0, ek)
+        sb = b.epoch(sb, 0.0, ek)
+    np.testing.assert_allclose(np.asarray(sa.u_fac),
+                               np.asarray(sb.u_fac), atol=1e-4,
+                               rtol=1e-3)
+
+
+def test_ccdpp_grouped_converges_and_residual(setup_reg):
+    """g=4 block sweeps: converges to the noise floor and maintains
+    the residual invariant; per-epoch objective must not be worse than
+    rank-1's by more than fp noise (joint g-dim solves are at least as
+    strong as g sequential 1-D updates)."""
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    g4 = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                     group_dims=4)
+    state = run_epochs(g4, model, params, ev, 15)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+    res = np.asarray(g4.res)
+    rows = np.asarray(g4.rows)
+    cols = np.asarray(g4.cols)
+    vals = np.asarray(g4.vals)
+    U = np.asarray(state.u_fac)
+    V = np.asarray(state.i_fac)
+    real = rows < data.n_users
+    expect = vals[real] - np.einsum("ek,ek->e", U[rows[real]],
+                                    V[cols[real]])
+    np.testing.assert_allclose(res[real], expect, atol=5e-4)
+
+    # train RMSE after equal epochs: grouped >= rank-1 progress
+    r1 = CCDPPSolver(model, params, data.train_mat, iu, ii)
+    s1 = run_epochs(r1, model, params, ev, 3)
+    g = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                    group_dims=4)
+    sg = run_epochs(g, model, params, ev, 3)
+    t1 = ev.rmse(model.eval_view(s1), "train")
+    tg = ev.rmse(model.eval_view(sg), "train")
+    assert tg <= t1 + 0.02, (tg, t1)
+
+
+def test_ccdpp_grouped_freq_adaptive_truncates(setup):
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup
+    item_freq = np.resize(
+        data.train_mat.col_degrees().astype(np.float64), data.n_items)
+    thresh = float(np.median(item_freq))
+    solver = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                         freq_adaptive=True, freq_thresh=thresh,
+                         item_freq=item_freq, group_dims=2)
+    state = run_epochs(solver, model, params, ev, 3)
+    V = np.asarray(state.i_fac)
+    rare = (item_freq < thresh) & ~ii
+    assert rare.any()
+    np.testing.assert_allclose(V[rare][:, 1:], 0.0, atol=1e-7)
+    assert np.abs(V[rare][:, 0]).max() > 0
+
+
+def test_ccdpp_grouped_chunked_matches_scan(setup_reg):
+    """grouped + sweep_mode='chunked' + nnz chunking == the grouped
+    scan path (the ML-scale configuration)."""
+    from matfac_tpu.solvers.ccd import CCDPPSolver
+
+    data, params, ev, model, iu, ii = setup_reg
+    a = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                    group_dims=2)
+    b = CCDPPSolver(model, params, data.train_mat, iu, ii,
+                    group_dims=2, sweep_mode="chunked", dim_chunk=1,
+                    nnz_chunk=1024)
+    sa = init_state(params, model.n_users, model.n_items)
+    sb = init_state(params, model.n_users, model.n_items)
+    key = jax.random.PRNGKey(9)
+    for _ in range(2):
+        key, ek = jax.random.split(key)
+        sa = a.epoch(sa, 0.0, ek)
+        sb = b.epoch(sb, 0.0, ek)
+    np.testing.assert_allclose(np.asarray(sa.u_fac),
+                               np.asarray(sb.u_fac), atol=2e-4,
+                               rtol=2e-3)
