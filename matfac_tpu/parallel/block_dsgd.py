@@ -406,3 +406,230 @@ class BlockDSGDSolver:
         return state._replace(
             u_fac=u_view.astype(state.u_fac.dtype),
             i_fac=i_view.astype(state.i_fac.dtype))
+
+
+class DenseBlockDSGDSolver:
+    """Row-dense stripes nested inside the DSGD rotation — the
+    multi-chip vehicle for the round-4 headline engine.
+
+    Outer structure = BlockDSGDSolver (users contiguous-sharded, items
+    snake-balanced into N blocks, Gemulla rotation by `lax.ppermute`;
+    modelMF.cpp:154-350 / util.cpp:1077-1107 semantics); the per-round
+    inner sweep is the row-dense engine
+    (ops/dense_block_kernel.cell_dense_update): each (user stripe x
+    held item block) cell runs ONE masked-residual GD step on static
+    dense rating/validity tiles — 3 full-width matmuls, no one-hots,
+    no per-rating index streams (PERF.md "Row-dense SGD engine",
+    404.8M ratings/s single-chip). Update math identical to
+    BlockSGDSolver(engine="dense") at batch = stripe-cell (README
+    deviation #1).
+
+    Dense tiles live sharded [N, N, SU, sub_bu, bi] (shard, round,
+    stripe) — total HBM = the padded dense matrix, same as the
+    single-chip dense engine, split over shards. Single-PROCESS only
+    (the tiles are built by one global device scatter); multi-process
+    pods use BlockDSGDSolver/DSGDShardedSolver (train_model guards).
+    Rank-masked models route to the one-hot engines (same guard as
+    BlockSGDSolver engine='dense')."""
+
+    def __init__(self, model, params: Params, train_mat,
+                 invalid_users: np.ndarray, invalid_items: np.ndarray,
+                 mesh: Mesh, axis: str = "u",
+                 sub_bu: Optional[int] = None,
+                 collision_norm: Optional[bool] = None,
+                 mm_bf16: bool = True,
+                 dense_budget_bytes: int = 8 << 30):
+        if model.use_bias or not model.use_factors:
+            raise ValueError("DenseBlockDSGDSolver is factor-only")
+        if hasattr(model, "pair_lambda") or hasattr(model, "pair_rank"):
+            raise ValueError(
+                "dense engines do not support rank-masked/sampled "
+                f"models; {model.name} -> BlockDSGDSolver or DSGD")
+        if jax.process_count() > 1:
+            raise ValueError("DenseBlockDSGDSolver stages tiles with "
+                             "one global scatter; multi-process runs "
+                             "use BlockDSGDSolver")
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        self.axis = axis
+        self.mm_bf16 = mm_bf16
+        self.collision_norm = (params.sgd_collision_norm
+                               if collision_norm is None
+                               else collision_norm)
+        N = mesh.shape[axis]
+        self.n_shards = N
+        n_users, n_items = model.n_users, model.n_items
+        if sub_bu is None:
+            # >= 8 stripes per shard keeps the epoch SGD-like (batch =
+            # stripe-cell; the same rule as the single-chip row engine,
+            # solvers/block_sgd.py); 8-row quantum so tiny shards still
+            # get their 8 stripes
+            sub_bu = min(2560, max(
+                _cdiv(_cdiv(n_users, 8 * N), 8) * 8, 8))
+        self.sub_bu = sub_bu
+        self.bu = _cdiv(_cdiv(n_users, N), sub_bu) * sub_bu
+        self.SU = self.bu // sub_bu
+        self.bi = _cdiv(_cdiv(n_items, N), 128) * 128
+        self.n_users_pad = self.bu * N
+        self.n_items_pad = self.bi * N
+        slots = self.n_users_pad * self.n_items_pad
+        if slots * 3 > dense_budget_bytes:    # bf16 R + int8 W
+            raise ValueError(
+                f"dense DSGD tiles need {slots*3/2**30:.1f} GiB > "
+                f"budget {dense_budget_bytes/2**30:.1f} GiB; use "
+                "BlockDSGDSolver")
+
+        r, c, v = train_mat.to_coo()
+        keep = ~invalid_users[r] & ~invalid_items[c]
+        r, c, v = r[keep], c[keep], v[keep]
+        self.nnz = len(r)
+        u_freq = np.bincount(r, minlength=n_users).astype(np.int64)
+        i_freq = np.bincount(c, minlength=n_items).astype(np.int64)
+
+        # user permutation: contiguous shard ownership, frequency
+        # round-robined over the SU stripes within each shard
+        own = np.minimum(np.arange(n_users) // _cdiv(n_users, N), N - 1)
+        u_perm = np.empty(n_users, np.int64)
+        for sh in range(N):
+            ids = np.nonzero(own == sh)[0]
+            rank = np.empty(len(ids), np.int64)
+            rank[np.argsort(-u_freq[ids], kind="stable")] = \
+                np.arange(len(ids))
+            u_perm[ids] = sh * self.bu + _interleave_local(
+                rank, self.SU, sub_bu)
+        self.u_perm = u_perm
+        # item permutation: snake across shard blocks by frequency
+        order = np.argsort(-i_freq, kind="stable")
+        blk = np.arange(n_items) % N
+        pos = np.arange(n_items) // N
+        snake_blk = np.where(pos % 2 == 1, N - 1 - blk, blk)
+        i_perm = np.empty(n_items, np.int64)
+        i_perm[order] = snake_blk * self.bi + pos
+        self.i_perm = i_perm
+
+        self.u_perm_dev = jnp.asarray(u_perm.astype(np.int32))
+        self.i_perm_dev = jnp.asarray(i_perm.astype(np.int32))
+        u_inv = np.zeros(self.n_users_pad, np.int64)
+        u_inv[u_perm] = np.arange(n_users)
+        i_inv = np.zeros(self.n_items_pad, np.int64)
+        i_inv[i_perm] = np.arange(n_items)
+        self.u_perm_inv_dev = jnp.asarray(u_inv.astype(np.int32))
+        self.i_perm_inv_dev = jnp.asarray(i_inv.astype(np.int32))
+
+        w = np.asarray(model.example_weight(
+            jnp.asarray(r.astype(np.int32)),
+            jnp.asarray(c.astype(np.int32)))).astype(np.float32)
+
+        r2 = u_perm[r]
+        c2 = i_perm[c]
+        sh = r2 // self.bu
+        t = (c2 // self.bi - sh) % N
+        su = (r2 % self.bu) // sub_bu
+        ul = r2 % sub_bu
+        il = c2 % self.bi
+        uniform01 = bool(np.all((w == 0.0) | (w == 1.0)))
+        wdtype = jnp.int8 if uniform01 else jnp.bfloat16
+        sharding = NamedSharding(mesh, P(axis, None, None, None, None))
+
+        @functools.partial(jax.jit,
+                           out_shardings=(sharding, sharding))
+        def densify(sh_d, t_d, su_d, ul_d, il_d, v_d, w_d):
+            shape = (N, N, self.SU, sub_bu, self.bi)
+            R = jnp.zeros(shape, jnp.bfloat16)
+            W = jnp.zeros(shape, wdtype)
+            R = R.at[sh_d, t_d, su_d, ul_d, il_d].add(
+                v_d.astype(jnp.bfloat16))
+            W = W.at[sh_d, t_d, su_d, ul_d, il_d].add(
+                w_d.astype(wdtype))
+            return R, W
+
+        a32 = lambda x: jnp.asarray(x.astype(np.int32))
+        self.R_tiles, self.W_tiles = densify(
+            a32(sh), a32(t), a32(su), a32(ul), a32(il),
+            jnp.asarray(v.astype(np.float32)), jnp.asarray(w))
+        self._epoch = self._build_epoch()
+        self._resident = None
+        self._last_u_view = None
+        self._last_i_view = None
+
+    # ------------------------------------------------------------------
+    def _build_epoch(self):
+        N = self.n_shards
+        SU, sub_bu, bi = self.SU, self.sub_bu, self.bi
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        axis = self.axis
+        mesh = self.mesh
+        k_dim = self.model.k
+        collision = self.collision_norm
+        mm_dtype = jnp.bfloat16 if self.mm_bf16 else jnp.float32
+        from matfac_tpu.ops.dense_block_kernel import cell_dense_update
+
+        def shard_epoch(u_fac, i_fac, R_tiles, W_tiles, lr, key):
+            R_t, W_t = R_tiles[0], W_tiles[0]    # [N, SU, sub_bu, bi]
+            me = jax.lax.axis_index(axis)
+            u3 = u_fac.reshape(SU, sub_bu, k_dim)
+
+            def round_body(t, carry):
+                u3, i_blk, key = carry
+                key, ks = jax.random.split(key)
+                sperm = jax.random.permutation(
+                    jax.random.fold_in(ks, me), SU)
+
+                def stripe(s, c2):
+                    u3, I = c2
+                    su = sperm[s]
+                    U, I = cell_dense_update(
+                        u3[su], I, R_t[t, su], W_t[t, su],
+                        jnp.asarray(lr, jnp.float32), u_reg, i_reg,
+                        collision, mm_dtype)
+                    return (u3.at[su].set(U), I)
+
+                u3, i_blk = jax.lax.fori_loop(0, SU, stripe,
+                                              (u3, i_blk))
+                i_blk = jax.lax.ppermute(
+                    i_blk, axis, [(j, (j - 1) % N) for j in range(N)])
+                return (u3, i_blk, key)
+
+            u3, i_fac, key = jax.lax.fori_loop(
+                0, N, round_body, (u3, i_fac, key))
+            return u3.reshape(SU * sub_bu, k_dim), i_fac
+
+        fac_spec = P(axis, None)
+        dat_spec = P(axis, None, None, None, None)
+        mapped = jax.shard_map(
+            shard_epoch, mesh=mesh,
+            in_specs=(fac_spec, fac_spec, dat_spec, dat_spec, P(), P()),
+            out_specs=(fac_spec, fac_spec),
+            check_vma=False)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch(u_fac, i_fac, R_tiles, W_tiles, lr, key):
+            return mapped(u_fac, i_fac, R_tiles, W_tiles, lr, key)
+
+        return epoch
+
+    # ------------------------------------------------------------------
+    def _stage_factors(self, state: MFState):
+        u = state.u_fac[self.u_perm_inv_dev].astype(jnp.float32)
+        i = state.i_fac[self.i_perm_inv_dev].astype(jnp.float32)
+        sh = NamedSharding(self.mesh, P(self.axis, None))
+        return jax.device_put(u, sh), jax.device_put(i, sh)
+
+    def epoch(self, state: MFState, lr: float, key) -> MFState:
+        if (self._resident is not None
+                and state.u_fac is self._last_u_view
+                and state.i_fac is self._last_i_view):
+            u_fac, i_fac = self._resident
+        else:
+            u_fac, i_fac = self._stage_factors(state)
+        u_fac, i_fac = self._epoch(u_fac, i_fac, self.R_tiles,
+                                   self.W_tiles, jnp.float32(lr), key)
+        self._resident = (u_fac, i_fac)
+        u_view = u_fac[self.u_perm_dev]
+        i_view = i_fac[self.i_perm_dev]
+        self._last_u_view, self._last_i_view = u_view, i_view
+        return state._replace(
+            u_fac=u_view.astype(state.u_fac.dtype),
+            i_fac=i_view.astype(state.i_fac.dtype))

@@ -610,6 +610,21 @@ def train_model(data, params: Params, algo: str = "mf",
             f"reg_exponent is implemented for 'als' and the sgd "
             f"engine, not '{m}' — drop the exponent or switch method")
     sing_vals = None
+    if mesh is not None and m == "densesgd":
+        # multi-device row-dense engine: DSGD rotation outside, dense
+        # stripe sweeps inside each shard-round (the round-4 headline
+        # engine's multi-chip vehicle). Rank-masked/sampled models,
+        # multi-process runs, and over-budget dense grids fall back to
+        # the one-hot / scatter mesh paths.
+        try:
+            from matfac_tpu.parallel.block_dsgd import (
+                DenseBlockDSGDSolver)
+            solver = DenseBlockDSGDSolver(
+                model, params, data.train_mat, inval_u, inval_i, mesh)
+        except ValueError as e:
+            log_fn(f"mesh densesgd unavailable ({e}); falling back "
+                   "to mesh blocksgd")
+            m = "blocksgd"
     if mesh is not None and m == "blocksgd":
         # multi-device one-hot engine: DSGD rotation outside,
         # block-SGD sweeps inside each shard-round; multi-process runs
@@ -662,12 +677,12 @@ def train_model(data, params: Params, algo: str = "mf",
         # cell with no one-hots — gated on the dense-tile HBM budget
         # (the solver raises when the padded matrix exceeds it)
         if mesh is not None:
-            raise ValueError("densesgd is a single-chip engine; use "
-                             "mf_method='blocksgd' under a mesh")
-        from matfac_tpu.solvers.block_sgd import BlockSGDSolver
-        solver = BlockSGDSolver(model, params, data.train_mat, inval_u,
-                                inval_i, engine="dense", bu=None,
-                                bi=None)
+            pass   # DenseBlockDSGDSolver constructed above
+        else:
+            from matfac_tpu.solvers.block_sgd import BlockSGDSolver
+            solver = BlockSGDSolver(model, params, data.train_mat,
+                                    inval_u, inval_i, engine="dense",
+                                    bu=None, bi=None)
     elif m == "sgdparsvd":
         # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
         # singular-value-weighted regularization + objectiveSing

@@ -37,6 +37,8 @@ def main():
     for name, solver, n_ep in [
             ("als", ALSSolver(m, p, data.train_mat, iu, ii), 12),
             ("ccd++", CCDPPSolver(m, p, data.train_mat, iu, ii), 12),
+            ("ccd++g4", CCDPPSolver(m, p, data.train_mat, iu, ii,
+                                    group_dims=4), 12),
     ]:
         st = init_state(p, data.n_users, data.n_items)
         key = jax.random.PRNGKey(3)

@@ -536,3 +536,122 @@ def test_dsgd_balance_items_hooks_use_original_ids(setup):
     keep = ~iu[r] & ~ii[c]
     assert sorted(np.round(wts[wts > 0], 6).tolist()) == \
         sorted(np.round(expect[keep], 6).tolist())
+
+
+def test_dense_block_dsgd_tiles_cover_all_ratings(setup):
+    """Every kept rating lands in exactly one (shard, round, stripe)
+    dense tile slot with the right value."""
+    from matfac_tpu.parallel.block_dsgd import DenseBlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((4,), ("u",), devices=jax.devices()[:4])
+    s = DenseBlockDSGDSolver(model, params, data.train_mat, iu, ii,
+                             mesh, sub_bu=16)
+    W = np.asarray(s.W_tiles)
+    R = np.asarray(s.R_tiles, dtype=np.float32)
+    assert int((W > 0).sum()) == s.nnz
+    r, c, v = data.train_mat.to_coo()
+    keep = ~iu[r] & ~ii[c]
+    r, c, v = r[keep], c[keep], v[keep]
+    r2 = s.u_perm[r]
+    c2 = s.i_perm[c]
+    sh = r2 // s.bu
+    t = (c2 // s.bi - sh) % s.n_shards
+    su = (r2 % s.bu) // s.sub_bu
+    got = R[sh, t, su, r2 % s.sub_bu, c2 % s.bi]
+    np.testing.assert_allclose(got, v, rtol=1e-2)  # bf16 tiles
+
+
+def test_dense_block_dsgd_converges_on_mesh(setup):
+    from matfac_tpu.parallel.block_dsgd import DenseBlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((4,), ("u",), devices=jax.devices()[:4])
+    s = DenseBlockDSGDSolver(model, params, data.train_mat, iu, ii,
+                             mesh, sub_bu=16)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(60):
+        key, k = jax.random.split(key)
+        state = s.epoch(state, 0.05, k)
+    val = ev.rmse(model.eval_view(state), "val")
+    assert val < 3 * NOISE + 0.05, f"val RMSE {val}"
+
+
+def test_dense_block_dsgd_matches_manual_round(setup):
+    """One epoch at N=1 == a host replica of the stripe sweep with the
+    same keys (pins schedule derivation + cell_dense_update wiring)."""
+    from matfac_tpu.ops.dense_block_kernel import cell_dense_update
+    from matfac_tpu.parallel.block_dsgd import DenseBlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((1,), ("u",), devices=jax.devices()[:1])
+    s = DenseBlockDSGDSolver(model, params, data.train_mat, iu, ii,
+                             mesh, sub_bu=32, mm_bf16=False)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(4)
+    out = s.epoch(state, 0.02, key)
+
+    u3 = np.asarray(state.u_fac)[np.asarray(s.u_perm_inv_dev)].reshape(
+        s.SU, s.sub_bu, model.k)
+    i_blk = np.asarray(state.i_fac)[np.asarray(s.i_perm_inv_dev)]
+    u3 = jnp.asarray(u3)
+    i_blk = jnp.asarray(i_blk)
+    R = jnp.asarray(np.asarray(s.R_tiles, np.float32))
+    W = jnp.asarray(np.asarray(s.W_tiles, np.float32))
+    # replicate the in-kernel key chain: one split per round, fold_in(me)
+    k2 = key
+    k2, ks = jax.random.split(k2)
+    sperm = np.asarray(jax.random.permutation(
+        jax.random.fold_in(ks, 0), s.SU))
+    for su in sperm:
+        U, i_blk = cell_dense_update(
+            u3[su], i_blk, R[0, 0, su], W[0, 0, su],
+            jnp.float32(0.02), float(params.u_reg),
+            float(params.i_reg), s.collision_norm, jnp.float32)
+        u3 = u3.at[su].set(U)
+    exp_u = np.asarray(u3).reshape(-1, model.k)[np.asarray(s.u_perm_dev)]
+    exp_i = np.asarray(i_blk)[np.asarray(s.i_perm_dev)]
+    np.testing.assert_allclose(np.asarray(out.u_fac), exp_u, atol=2e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.i_fac), exp_i, atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_dense_block_dsgd_guards(setup):
+    from matfac_tpu.models.longtail import ModelDropoutSigmoid
+    from matfac_tpu.parallel.block_dsgd import DenseBlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((2,), ("u",), devices=jax.devices()[:2])
+    uf = data.train_mat.row_degrees().astype(np.float32)
+    itf = data.train_mat.col_degrees().astype(np.float32)
+    p2 = Params(fac_dim=4, rho_rms=1.0, alpha=0.0, seed=1)
+    tmf = ModelDropoutSigmoid(p2, data.n_users, data.n_items, uf, itf)
+    with pytest.raises(ValueError):
+        DenseBlockDSGDSolver(tmf, p2, data.train_mat, iu, ii, mesh)
+    with pytest.raises(ValueError):
+        DenseBlockDSGDSolver(model, params, data.train_mat, iu, ii,
+                             mesh, dense_budget_bytes=1024)
+
+
+def test_dense_block_dsgd_train_model_dispatch(setup):
+    """mesh + mf_method='densesgd' drives DenseBlockDSGDSolver through
+    the full loop; a rank-masked model falls back to mesh blocksgd."""
+    from matfac_tpu.train.loop import train_model
+
+    data, params, ev, model, iu, ii = setup
+    mesh = make_mesh((4,), ("u",), devices=jax.devices()[:4])
+    p = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, learn_rate=0.05,
+               max_iter=25, seed=5, disp_iter=10 ** 6)
+    rep, m2, ev2, _ = train_model(data, p, algo="mf",
+                                  mf_method="densesgd",
+                                  log_fn=lambda s: None, mesh=mesh)
+    assert rep.best_metric < 3 * NOISE + 0.1, rep.best_metric
+
+    logs = []
+    p3 = Params(fac_dim=4, rho_rms=1.0, alpha=0.0, learn_rate=0.05,
+                max_iter=3, seed=5, disp_iter=10 ** 6)
+    train_model(data, p3, algo="TMF", mf_method="densesgd",
+                log_fn=logs.append, mesh=mesh)
+    assert any("falling back" in s for s in logs), logs[:3]
