@@ -50,25 +50,44 @@ from matfac_tpu.ops.block_sgd_kernel import device_diag_schedule
 
 
 def cell_dense_update(U, I, R, W, lr, u_reg, i_reg, collision_norm,
-                      mm_dtype):
+                      mm_dtype, Mu=None, Mi=None):
     """One full-batch GD step on one (bu x bi) cell. U [bu,k], I [bi,k]
     f32; R [bu,bi] ratings (any float dtype); W [bu,bi] weights (float
     or int8 validity). Math mirrors block_sgd_kernel._batch_update at
-    bs = cell size; see module docstring for the equivalence."""
+    bs = cell size; see module docstring for the equivalence.
+
+    ``Mu``/``Mi`` [bu,k]/[bi,k] 0/1: deterministic rank masks (TMF).
+    The pair mask factorizes — dim d is active iff d < min(r_u, r_i)
+    iff Mu[u,d]*Mi[i,d] (models/base.py monotone-map argument) — so
+    masked prediction = (U o Mu) @ (I o Mi)^T, masked data grads ride
+    the same matmuls, and the per-occurrence masked reg count is
+    cnt[u,d] = (vm @ Mi)[u,d] * Mu[u,d] (one extra matmul per side;
+    the scatter engine's `... * m` per pair, parallel/dsgd.py)."""
     Wf = W.astype(jnp.float32)
-    P = jnp.dot(U.astype(mm_dtype), I.astype(mm_dtype).T,
+    Ue = U if Mu is None else U * Mu
+    Ie = I if Mi is None else I * Mi
+    P = jnp.dot(Ue.astype(mm_dtype), Ie.astype(mm_dtype).T,
                 preferred_element_type=jnp.float32)
     E = Wf * (R.astype(jnp.float32) - P)
     vm = (Wf > 0).astype(jnp.float32)
     cnt_u = jnp.sum(vm, axis=1)
     cnt_i = jnp.sum(vm, axis=0)
     Em = E.astype(mm_dtype)
-    gu = (-2.0 * jnp.dot(Em, I.astype(mm_dtype),
-                         preferred_element_type=jnp.float32)
-          + (2.0 * u_reg) * cnt_u[:, None] * U)
-    gi = (-2.0 * jnp.dot(Em.T, U.astype(mm_dtype),
-                         preferred_element_type=jnp.float32)
-          + (2.0 * i_reg) * cnt_i[:, None] * I)
+    gu_data = -2.0 * jnp.dot(Em, Ie.astype(mm_dtype),
+                             preferred_element_type=jnp.float32)
+    gi_data = -2.0 * jnp.dot(Em.T, Ue.astype(mm_dtype),
+                             preferred_element_type=jnp.float32)
+    if Mu is None:
+        gu = gu_data + (2.0 * u_reg) * cnt_u[:, None] * U
+        gi = gi_data + (2.0 * i_reg) * cnt_i[:, None] * I
+    else:
+        vmm = vm.astype(mm_dtype)
+        cntm_u = jnp.dot(vmm, Mi.astype(mm_dtype),
+                         preferred_element_type=jnp.float32) * Mu
+        cntm_i = jnp.dot(vmm.T, Mu.astype(mm_dtype),
+                         preferred_element_type=jnp.float32) * Mi
+        gu = gu_data * Mu + (2.0 * u_reg) * cntm_u * U
+        gi = gi_data * Mi + (2.0 * i_reg) * cntm_i * I
     if collision_norm:
         gu = gu / jnp.maximum(cnt_u, 1.0)[:, None]
         gi = gi / jnp.maximum(cnt_i, 1.0)[:, None]
@@ -135,7 +154,7 @@ def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
                      row_order: jax.Array, lr,
                      R_rows: jax.Array, W_rows: jax.Array,
                      u_reg: float, i_reg: float, collision_norm: bool,
-                     mm_bf16: bool = True
+                     mm_bf16: bool = True, Mu3=None, Mi=None
                      ) -> Tuple[jax.Array, jax.Array]:
     """Row-STRIPE dense epoch: each round takes one user stripe's full
     catalog row (bi = n_items_pad, i.e. the cell grid degenerates to
@@ -164,7 +183,9 @@ def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
         ub = row_order[t]
         U, I = cell_dense_update(u3[ub], I, R_rows[ub], W_rows[ub],
                                  lr_f, u_reg, i_reg, collision_norm,
-                                 mm_dtype)
+                                 mm_dtype,
+                                 Mu=None if Mu3 is None else Mu3[ub],
+                                 Mi=Mi)
         return (u3.at[ub].set(U), I)
 
     return jax.lax.fori_loop(0, NU, body, (u_tab3, i_tab))
@@ -177,17 +198,18 @@ def dense_epoch_rows_keyed(u_tab3: jax.Array, i_tab: jax.Array,
                            key: jax.Array, lr,
                            R_rows: jax.Array, W_rows: jax.Array,
                            u_reg: float, i_reg: float,
-                           collision_norm: bool, mm_bf16: bool = True
+                           collision_norm: bool, mm_bf16: bool = True,
+                           Mu3=None, Mi=None
                            ) -> Tuple[jax.Array, jax.Array]:
     """dense_sweep_rows with the stripe order generated on-device from
     a PRNG key. Uses device_diag_schedule(G=1) so the visit order for a
     given key EQUALS the diag engines' (parity tests pin rows == diag
-    at NI = 1)."""
+    at NI = 1). Mu3 [NU+1, bu, k] / Mi [ni_pad, k]: TMF rank masks."""
     NU = u_tab3.shape[0] - 1
     ub_idx, _, _ = device_diag_schedule(key, NU, 1, 1)
     return dense_sweep_rows(u_tab3, i_tab, ub_idx[:, 0], lr, R_rows,
                             W_rows, u_reg, i_reg, collision_norm,
-                            mm_bf16)
+                            mm_bf16, Mu3=Mu3, Mi=Mi)
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi",

@@ -258,13 +258,29 @@ class BlockSGDSolver:
         w = np.asarray(model.example_weight(
             jnp.asarray(r.astype(np.int32)),
             jnp.asarray(c.astype(np.int32)))).astype(np.float32)
+        self._mask_tabs = None
         if hasattr(model, "pair_rank"):
             if engine == "dense":
-                # the dense reg term would need per-side mask matmuls
-                # (sum of the partner side's masks over the row), not
-                # just counts — keep masked models on the one-hot path
-                raise ValueError("dense engine does not support "
-                                 "rank-masked models; use engine='xla'")
+                # the pair mask factorizes per entity (min(r_u, r_i)
+                # => Mu[d]*Mi[d], models/base.py), so the ROW layout
+                # carries TMF via per-side mask matmuls in
+                # cell_dense_update. Needs per-entity rank tables and
+                # the XLA rows path (the diag grid and the Pallas
+                # kernel don't thread masks).
+                if not hasattr(model, "entity_ranks"):
+                    raise ValueError(
+                        "dense engine needs per-entity rank tables "
+                        f"(entity_ranks); {model.name} has none — use "
+                        "engine='xla'")
+                if dense_kernel != "xla":
+                    raise ValueError(
+                        "rank-masked dense runs on dense_kernel='xla' "
+                        "(the Pallas panel kernel does not thread "
+                        "masks)")
+                if self.NI != 1:
+                    raise ValueError(
+                        "rank-masked dense needs the row layout "
+                        "(bi=None)")
             lam = np.asarray(model.pair_rank(
                 jnp.asarray(r.astype(np.int32)),
                 jnp.asarray(c.astype(np.int32)))).astype(np.int32)
@@ -284,6 +300,22 @@ class BlockSGDSolver:
                               (c % bi).astype(np.int32),
                               v.astype(np.float32), w, n_cells,
                               dense_budget_bytes)
+            if self.use_mask:
+                # factorized TMF masks in relabeled order (+ all-ones
+                # dummy stripe matching the u_tab3 layout); pad
+                # entities keep full-rank masks — their W is 0
+                ru = np.full(self.n_users_pad, k, np.int64)
+                ri = np.full(self.n_items_pad, k, np.int64)
+                eru, eri = model.entity_ranks()
+                ru[self.u_perm] = np.asarray(eru, np.int64)
+                ri[self.i_perm] = np.asarray(eri, np.int64)
+                iota = np.arange(k)
+                mu3 = (iota[None, :] < ru[:, None]).astype(
+                    np.float32).reshape(self.NU, bu, k)
+                mu3 = np.concatenate(
+                    [mu3, np.ones((1, bu, k), np.float32)], axis=0)
+                mi = (iota[None, :] < ri[:, None]).astype(np.float32)
+                self._mask_tabs = (jnp.asarray(mu3), jnp.asarray(mi))
             self.S = self.bs = 0
             self.pad_frac = n_cells * bu * bi / max(self.nnz, 1)
             self._sched_rng = np.random.default_rng(params.seed + 41)
@@ -465,13 +497,16 @@ class BlockSGDSolver:
                 else:
                     # row-stripe sweep (scalar-indexed stripes; see
                     # ops/dense_block_kernel.dense_sweep_rows)
+                    mu3, mi = (self._mask_tabs
+                               if self._mask_tabs is not None
+                               else (None, None))
                     u3, i2 = dense_epoch_rows_keyed(
                         u_tab, i_tab.reshape(self.n_items_pad, k0), ek,
                         jnp.float32(lr), self.R_cells, self.W_cells,
                         u_reg=float(self.params.u_reg),
                         i_reg=float(self.params.i_reg),
                         collision_norm=self.collision_norm,
-                        mm_bf16=self.mm_bf16)
+                        mm_bf16=self.mm_bf16, Mu3=mu3, Mi=mi)
                 i3 = i2.reshape(1, self.bi, k0)
             else:
                 u3, i3 = dense_epoch_diag_keyed(

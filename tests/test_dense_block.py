@@ -251,3 +251,64 @@ def test_dense_rejects_rank_masked_models():
     with pytest.raises(ValueError, match="rank-masked|dense"):
         BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=16,
                        engine="dense")
+
+
+@pytest.mark.parametrize("collision_norm", [False, True])
+def test_dense_rows_tmf_matches_onehot(collision_norm):
+    """TMF on the row-dense engine: the factorized per-entity masks
+    (min(r_u, r_i) => Mu[d]*Mi[d]) must reproduce the one-hot engine's
+    per-pair iota masks exactly (same schedule keys, f32 matmuls)."""
+    from matfac_tpu.models.longtail import ModelDropoutSigmoid
+
+    mat, params, iu, ii = _setup()
+    p = Params(fac_dim=4, u_reg=0.01, i_reg=0.02, learn_rate=0.05,
+               seed=2, rho_rms=1.0, alpha=0.0)
+    uf, itf = freq.row_col_freq(mat)
+    uf = np.resize(uf, 60)
+    itf = np.resize(itf, 40)
+    model = ModelDropoutSigmoid(p, 60, 40, uf, itf)
+    dense = BlockSGDSolver(model, p, mat, iu, ii, bu=16, bi=None,
+                           collision_norm=collision_norm,
+                           mm_bf16=False, engine="dense")
+    # masks must be non-trivial for the test to mean anything
+    mu3, mi = dense._mask_tabs
+    assert float(np.asarray(mi).min()) == 0.0
+    onehot = BlockSGDSolver(model, p, mat, iu, ii,
+                            batch_size=1 << 20, bu=16, bi=dense.bi,
+                            collision_norm=collision_norm,
+                            mm_bf16=False, engine="xla",
+                            schedule="diag")
+    assert onehot.use_mask
+    sd = init_state(p, 60, 40, seed=3)
+    so = init_state(p, 60, 40, seed=3)
+    for _ in range(3):
+        sd = dense.epoch(sd, p.learn_rate, None)
+        so = onehot.epoch(so, p.learn_rate, None)
+    np.testing.assert_allclose(np.asarray(sd.u_fac),
+                               np.asarray(so.u_fac),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sd.i_fac),
+                               np.asarray(so.i_fac),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dense_rows_tmf_converges():
+    from matfac_tpu.eval.metrics import Evaluator
+    from matfac_tpu.data.dataset import Data
+    from matfac_tpu.models.longtail import ModelDropoutSigmoid
+
+    mat, params, iu, ii = _setup(n_users=120, n_items=80)
+    p = Params(fac_dim=4, u_reg=0.001, i_reg=0.001, learn_rate=0.05,
+               seed=2, rho_rms=0.5, alpha=-1.0)
+    uf, itf = freq.row_col_freq(mat)
+    uf = np.resize(uf, 120)
+    itf = np.resize(itf, 80)
+    model = ModelDropoutSigmoid(p, 120, 80, uf, itf)
+    dense = BlockSGDSolver(model, p, mat, iu, ii, bu=16, bi=None,
+                           collision_norm=True, engine="dense")
+    state = init_state(p, 120, 80, seed=1)
+    for _ in range(60):
+        state = dense.epoch(state, p.learn_rate, None)
+    ev = Evaluator(Data(train_mat=mat), iu, ii, p)
+    tr = ev.rmse(model.eval_view(state), "train")
+    assert tr < 0.5, tr
