@@ -409,6 +409,14 @@ def _auto_method(algo: str, data, params, mesh) -> str:
         # update_rank_mask path (block-SGD stages static ranks — see
         # BlockSGDSolver guard)
         return "sgd"
+    # deterministic SGD-family models (TMF/IFWMF/weighted): prefer the
+    # row-dense engine when the padded dense grid fits its HBM budget
+    # (~2x the one-hot engine's rate, PERF.md "Long-tail models");
+    # else the one-hot stream when THAT fits; else scatter SGD
+    nu_pad = -(-data.n_users // 2560) * 2560
+    ni_pad = -(-data.n_items // 128) * 128
+    if nu_pad * ni_pad * 3 <= 6e9:    # bf16 R + int8/bf16 W tiles
+        return "densesgd"
     est_stream_bytes = 7 * 4 * 1.5 * max(data.train_mat.nnz, 1)
     if est_stream_bytes < 8e9:
         return "blocksgd"

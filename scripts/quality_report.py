@@ -48,15 +48,21 @@ def main():
         ("ialspp", 1, dict(u_reg=0.05, i_reg=0.05)),
         ("alsdense", 1, dict(u_reg=0.05, i_reg=0.05)),
         ("ccd++", 1, dict(u_reg=0.05, i_reg=0.05)),
+        ("ccd++g5", 1, dict(u_reg=0.05, i_reg=0.05,
+                            ccd_group_dims=5)),
         ("ccd", 5, dict(u_reg=0.05, i_reg=0.05)),
+        # row-dense engine (the perf headline) at the quality grid
+        ("densesgd", 5, dict(learn_rate=0.1, u_reg=0.005,
+                             i_reg=0.005)),
     ]
     rows = []
     for method, iter_mult, kw in configs:
         p = Params(fac_dim=10, max_iter=args.maxiter * iter_mult, seed=1,
                    disp_iter=10 ** 6, **kw)
         t0 = time.time()
+        mm = "ccd++" if method == "ccd++g5" else method
         rep, model, ev, _ = train_model(data, p, algo="mf",
-                                        mf_method=method,
+                                        mf_method=mm,
                                         log_fn=lambda s: None)
         test = ev.rmse(model.eval_view(rep.best_state), "test")
         rows.append((method, rep.best_metric, test, rep.best_iter,

@@ -430,8 +430,10 @@ def test_auto_method_selection():
                                 density=0.3, seed=1)
     p = Params(fac_dim=4)
     assert _auto_method("mf", data, p, None) == "als"
-    assert _auto_method("tmf", data, p, None) == "blocksgd"
-    assert _auto_method("ifwmf", data, p, None) == "blocksgd"
+    # deterministic SGD-family models prefer the row-dense engine when
+    # the dense grid fits (round 4); tiny shapes always fit
+    assert _auto_method("tmf", data, p, None) == "densesgd"
+    assert _auto_method("ifwmf", data, p, None) == "densesgd"
     assert _auto_method("tmfdropout", data, p, None) == "sgd"
     assert _auto_method("mf_bias", data, p, None) == "sgd"
     # mesh branch makes the same quality-basin argument: sharded ALS
