@@ -554,7 +554,11 @@ class DenseBlockDSGDSolver:
         self._last_i_view = None
 
     # ------------------------------------------------------------------
-    def _build_epoch(self):
+    def _build_epoch(self, mode: str = "full"):
+        """``mode``: "full" | "nopermute" | "permuteonly" — the same
+        phase-attribution variants as BlockDSGDSolver (scaling curve
+        --phase-split); only "full" trains."""
+        assert mode in ("full", "nopermute", "permuteonly")
         N = self.n_shards
         SU, sub_bu, bi = self.SU, self.sub_bu, self.bi
         u_reg = float(self.params.u_reg)
@@ -574,22 +578,25 @@ class DenseBlockDSGDSolver:
             def round_body(t, carry):
                 u3, i_blk, key = carry
                 key, ks = jax.random.split(key)
-                sperm = jax.random.permutation(
-                    jax.random.fold_in(ks, me), SU)
+                if mode != "permuteonly":
+                    sperm = jax.random.permutation(
+                        jax.random.fold_in(ks, me), SU)
 
-                def stripe(s, c2):
-                    u3, I = c2
-                    su = sperm[s]
-                    U, I = cell_dense_update(
-                        u3[su], I, R_t[t, su], W_t[t, su],
-                        jnp.asarray(lr, jnp.float32), u_reg, i_reg,
-                        collision, mm_dtype)
-                    return (u3.at[su].set(U), I)
+                    def stripe(s, c2):
+                        u3, I = c2
+                        su = sperm[s]
+                        U, I = cell_dense_update(
+                            u3[su], I, R_t[t, su], W_t[t, su],
+                            jnp.asarray(lr, jnp.float32), u_reg, i_reg,
+                            collision, mm_dtype)
+                        return (u3.at[su].set(U), I)
 
-                u3, i_blk = jax.lax.fori_loop(0, SU, stripe,
-                                              (u3, i_blk))
-                i_blk = jax.lax.ppermute(
-                    i_blk, axis, [(j, (j - 1) % N) for j in range(N)])
+                    u3, i_blk = jax.lax.fori_loop(0, SU, stripe,
+                                                  (u3, i_blk))
+                if mode != "nopermute":
+                    i_blk = jax.lax.ppermute(
+                        i_blk, axis,
+                        [(j, (j - 1) % N) for j in range(N)])
                 return (u3, i_blk, key)
 
             u3, i_fac, key = jax.lax.fori_loop(

@@ -207,20 +207,26 @@ class BlockSGDSolver:
                 f"item table {vmem_need/2**20:.1f} MiB exceeds the VMEM "
                 "budget of the block kernel; use engine='xla'")
         if self.dense_kernel == "pallas":
-            # panel kernel budget (ops/dense_row_kernel.py): i-table +
-            # P/E panels + stripe buffers must stay under the Mosaic
-            # AOT envelope (~12 MB; crashes, not errors, above it)
+            # panel kernel budget: the Mosaic scoped-VMEM stack limit
+            # is 16 MB (surfaced round 4: "Scoped allocation ...
+            # exceeded scoped vmem limit", axon log) and the CONSTANT-
+            # index-map i-table input still double-buffers, so it
+            # counts twice (in + out). Calibrated against the measured
+            # 17.74 MB at bu=2560/p=128/k=64; configs near the limit
+            # HANG the (serial) remote compile helper rather than
+            # erroring, so the guard keeps a margin (CLAUDE.md).
             if self.NI != 1:
                 raise ValueError("dense_kernel='pallas' needs the row "
                                  "layout (bi=None)")
             if self.n_items_pad % dense_panel:
                 raise ValueError("panel must divide the padded catalog")
-            est = (self.n_items_pad * k * 4 + bu * dense_panel * 10
-                   + bu * (k * 16 + 8))
-            if est > 12 << 20:
+            est = (2 * self.n_items_pad * k * 4
+                   + bu * dense_panel * 12 + bu * (k * 20 + 8))
+            if est > 14 << 20:
                 raise ValueError(
                     f"pallas dense-row working set ~{est/2**20:.1f} MiB "
-                    "exceeds the VMEM envelope; use dense_kernel='xla'")
+                    "risks the 16 MB scoped-VMEM limit (and a compile-"
+                    "helper hang near it); use dense_kernel='xla'")
 
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]

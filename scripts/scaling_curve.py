@@ -37,7 +37,9 @@ from matfac_tpu.utils import freq as ufreq  # noqa: E402
 
 def stream_balance(solver):
     """max/median real (non-padding) staged entries per shard."""
-    wts = np.asarray(solver.wts) > 0
+    wts = np.asarray(getattr(solver, "wts", None)
+                     if hasattr(solver, "wts")
+                     else solver.W_tiles) > 0
     per_shard = wts.reshape(wts.shape[0], -1).sum(axis=1)
     return float(per_shard.max() / max(np.median(per_shard), 1))
 
@@ -49,7 +51,9 @@ def _time_epoch_fn(solver, epoch_fn, make_state, epochs, is_block):
     consumed)."""
     u_fac, i_fac = solver._stage_factors(make_state())
     key = jax.random.PRNGKey(0)
-    if is_block:
+    if is_block == "dense":
+        args = (solver.R_tiles, solver.W_tiles)
+    elif is_block:
         args = (solver.u_loc, solver.i_loc, solver.vals, solver.wts,
                 solver.cnu, solver.cni, solver.lams)
     else:
@@ -85,7 +89,7 @@ def run(n_users=16384, n_items=4096, nnz=1_000_000, k=32, epochs=4,
     del rng
 
     rows = []
-    for engine in ("dsgd", "blockdsgd"):
+    for engine in ("dsgd", "blockdsgd", "densedsgd"):
         base = None
         for N in (1, 2, 4, 8):
             mesh = make_mesh((N,), ("u",), devices=jax.devices()[:N])
@@ -94,11 +98,17 @@ def run(n_users=16384, n_items=4096, nnz=1_000_000, k=32, epochs=4,
                 solver = DSGDShardedSolver(model, params, data.train_mat,
                                            iu, ii, mesh,
                                            balance_items=True)
-            else:
+            elif engine == "blockdsgd":
                 from matfac_tpu.parallel.block_dsgd import BlockDSGDSolver
                 solver = BlockDSGDSolver(model, params, data.train_mat,
                                          iu, ii, mesh, sub_bu=512,
                                          sub_bi=512, batch_size=1024)
+            else:
+                from matfac_tpu.parallel.block_dsgd import (
+                    DenseBlockDSGDSolver)
+                solver = DenseBlockDSGDSolver(model, params,
+                                              data.train_mat, iu, ii,
+                                              mesh, sub_bu=512)
             state = init_state(params, data.n_users, data.n_items)
             key = jax.random.PRNGKey(0)
             key, ek = jax.random.split(key)
@@ -120,12 +130,14 @@ def run(n_users=16384, n_items=4096, nnz=1_000_000, k=32, epochs=4,
             if phase_split:
                 mk = lambda: init_state(params, data.n_users,
                                         data.n_items)
+                kind = ("dense" if engine == "densedsgd"
+                        else engine == "blockdsgd")
                 comp = _time_epoch_fn(
                     solver, solver._build_epoch("nopermute"), mk,
-                    epochs, engine == "blockdsgd")
+                    epochs, kind)
                 perm = _time_epoch_fn(
                     solver, solver._build_epoch("permuteonly"), mk,
-                    epochs, engine == "blockdsgd")
+                    epochs, kind)
             rows.append((engine, N, dt, base / dt, bal, comp, perm))
             extra = ""
             if phase_split:
