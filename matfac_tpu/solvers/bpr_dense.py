@@ -36,7 +36,10 @@ uniform) instead of the realized one — exact counting would cost a 5th
 index stream for a <= lr*reg-sized correction; (c) multi-negative mode
 (n_negs > 1) amortizes the s+ gather and the positive-side scatter
 over several independent draws per positive — each (positive, draw)
-pair still gets the exact BPR gradient.
+pair still gets the exact BPR gradient, and the draws are AVERAGED
+(an unbiased variance-reduced estimate of the single-draw gradient,
+so the learn_rate needs no retuning; the summed form diverged at the
+unadjusted lr in the T=2 probe).
 
 Rank-masked BPR models (triple_rank_mask) stay on the stream engine —
 per-pair dim masks do not factor through the shared C matmuls (the
@@ -144,9 +147,9 @@ class DenseBPRSolver:
         cnt_ip = np.zeros((self.NU, self.ni_pad), np.float32)
         np.add.at(cnt_ip, (stripes, pcs), 1.0)
         # negatives are uniform over the catalog: expected draws per
-        # item per stripe (deviation (b) in the module docstring)
-        cnt_neg = (counts.astype(np.float32) * self.n_negs
-                   / max(self.ni_pad, 1))
+        # item per stripe, times the 1/T draw-averaging weight
+        # (deviations (b)+(c) in the module docstring) — T-independent
+        cnt_neg = counts.astype(np.float32) / max(self.ni_pad, 1)
         self.cnt_u = jnp.asarray(cnt_u)
         self.cnt_i = jnp.asarray(cnt_ip + cnt_neg[:, None])
         self.cnt_neg = jnp.asarray(cnt_neg)
@@ -214,7 +217,9 @@ class DenseBPRSolver:
                 j = js[t]                           # [T, S]
                 sneg = P2[ul[None, :], j]           # [T, S]
                 r = splus[None, :] - sneg
-                c = w[None, :] * (-1.0 / (1.0 + jnp.exp(r)))
+                # average over the T draws (unbiased single-draw-scale
+                # gradient; see module docstring deviation (c))
+                c = w[None, :] * (-1.0 / (T * (1.0 + jnp.exp(r))))
                 loss = loss + jnp.sum(
                     w[None, :] * jnp.logaddexp(0.0, -r))
                 inv = inv + jnp.sum((-r > eps) & (w[None, :] > 0)
