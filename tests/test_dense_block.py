@@ -175,7 +175,7 @@ def test_dense_auto_block_sizing_smoke():
     dense = BlockSGDSolver(model, params, mat, iu, ii, bu=None, bi=None,
                            engine="dense")
     assert dense.NU >= 1 and dense.NI >= 1
-    assert dense.bu % 256 == 0 and dense.bi % 128 == 0
+    assert dense.bu % 8 == 0 and dense.bi % 128 == 0
     state = init_state(params, 120, 80, seed=1)
     out = dense.epoch(state, params.learn_rate, None)
     assert np.isfinite(np.asarray(out.u_fac)).all()
