@@ -67,9 +67,15 @@ def main():
     def time_epochs(solver, n):
         state = init_state(params, n_users, n_items)
         key = jax.random.PRNGKey(0)
-        # warmup (compile)
-        key, k1 = jax.random.split(key)
-        state = solver.epoch(state, params.learn_rate, k1)
+        # warmup (compile) — TWO epochs: solvers with resident staged
+        # layouts compile a second (donated-input) program variant on
+        # their second call, and a 1-epoch warmup left that ~270 ms
+        # compile inside the timed window (measured: the dense engine
+        # swung 24.4-32 ms/epoch across bench runs, but is stable at
+        # 24.4 after a 2-epoch warmup — scripts/../dense_stab probe)
+        for _ in range(2):
+            key, k1 = jax.random.split(key)
+            state = solver.epoch(state, params.learn_rate, k1)
         force(state)
         t0 = time.perf_counter()
         for _ in range(n):
