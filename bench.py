@@ -72,7 +72,7 @@ def main():
         # their second call, and a 1-epoch warmup left that ~270 ms
         # compile inside the timed window (measured: the dense engine
         # swung 24.4-32 ms/epoch across bench runs, but is stable at
-        # 24.4 after a 2-epoch warmup — scripts/../dense_stab probe)
+        # 24.4 after a 2-epoch warmup — scripts/tpu_dense_stability.py)
         for _ in range(2):
             key, k1 = jax.random.split(key)
             state = solver.epoch(state, params.learn_rate, k1)
