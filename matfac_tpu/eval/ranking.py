@@ -487,7 +487,11 @@ def sample_negatives(test_mat: RatingMatrix, train_mat: RatingMatrix,
         w = np.asarray(popularity, np.float64).copy()
         w[invalid_items[: len(w)]] = 0.0
         w = np.maximum(w, 0.0)
-        p = w / w.sum()
+        mass = w.sum()
+        # a popularity vector whose mass sits entirely on invalid items
+        # would yield p = w/0 = NaN and an opaque rng.choice failure —
+        # fall back to uniform candidates instead (ADVICE r4)
+        p = w / mass if mass > 0 else None
     M = n_candidates - 1
     cands = np.empty((len(users), M), np.int64)
     todo = np.ones((len(users), M), bool)

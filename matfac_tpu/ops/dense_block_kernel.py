@@ -50,11 +50,18 @@ from matfac_tpu.ops.block_sgd_kernel import device_diag_schedule
 
 
 def cell_dense_update(U, I, R, W, lr, u_reg, i_reg, collision_norm,
-                      mm_dtype, Mu=None, Mi=None):
+                      mm_dtype, Mu=None, Mi=None, r_scale=None):
     """One full-batch GD step on one (bu x bi) cell. U [bu,k], I [bi,k]
     f32; R [bu,bi] ratings (any float dtype); W [bu,bi] weights (float
     or int8 validity). Math mirrors block_sgd_kernel._batch_update at
     bs = cell size; see module docstring for the equivalence.
+
+    ``W=None`` + ``r_scale``: int8 rating-CODE tiles — R holds integer
+    codes with rating = code * r_scale and validity = (code != 0), so
+    the whole cell costs 1 B/slot of HBM instead of 3-6 (the ML-20M
+    single-chip enabler; star data is exactly representable, the
+    solver's staging proves it per dataset). Only defined for
+    uniform-0/1-weight models (the staging gates).
 
     ``Mu``/``Mi`` [bu,k]/[bi,k] 0/1: deterministic rank masks (TMF).
     The pair mask factorizes — dim d is active iff d < min(r_u, r_i)
@@ -63,13 +70,19 @@ def cell_dense_update(U, I, R, W, lr, u_reg, i_reg, collision_norm,
     the same matmuls, and the per-occurrence masked reg count is
     cnt[u,d] = (vm @ Mi)[u,d] * Mu[u,d] (one extra matmul per side;
     the scatter engine's `... * m` per pair, parallel/dsgd.py)."""
-    Wf = W.astype(jnp.float32)
+    if W is None:
+        vm = (R != 0).astype(jnp.float32)
+        Wf = vm
+        Rf = R.astype(jnp.float32) * jnp.float32(r_scale)
+    else:
+        Wf = W.astype(jnp.float32)
+        Rf = R.astype(jnp.float32)
+        vm = (Wf > 0).astype(jnp.float32)
     Ue = U if Mu is None else U * Mu
     Ie = I if Mi is None else I * Mi
     P = jnp.dot(Ue.astype(mm_dtype), Ie.astype(mm_dtype).T,
                 preferred_element_type=jnp.float32)
-    E = Wf * (R.astype(jnp.float32) - P)
-    vm = (Wf > 0).astype(jnp.float32)
+    E = Wf * (Rf - P)
     cnt_u = jnp.sum(vm, axis=1)
     cnt_i = jnp.sum(vm, axis=0)
     Em = E.astype(mm_dtype)
@@ -96,10 +109,10 @@ def cell_dense_update(U, I, R, W, lr, u_reg, i_reg, collision_norm,
 
 def dense_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
                      ub_idx: jax.Array, lr,
-                     R_cells: jax.Array, W_cells: jax.Array,
-                     NI: int, u_reg: float, i_reg: float,
-                     collision_norm: bool, mm_bf16: bool = True
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     R_cells: jax.Array, W_cells, NI: int,
+                     u_reg: float, i_reg: float,
+                     collision_norm: bool, mm_bf16: bool = True,
+                     r_scale=None) -> Tuple[jax.Array, jax.Array]:
     """Diagonal-scheduled dense epoch (Gemulla DSGD rounds with
     identity item lanes, exactly block_sgd_kernel.block_sweep_diag's
     schedule — modelMF.cpp:154-350 / util.cpp:1077-1107 semantics).
@@ -115,15 +128,25 @@ def dense_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
     lr_f = jnp.asarray(lr, jnp.float32)
     lanes = jnp.arange(G, dtype=jnp.int32)
 
-    vstep = jax.vmap(
-        lambda U, I, R, W: cell_dense_update(
-            U, I, R, W, lr_f, u_reg, i_reg, collision_norm, mm_dtype))
+    if W_cells is None:
+        vstep = jax.vmap(
+            lambda U, I, R: cell_dense_update(
+                U, I, R, None, lr_f, u_reg, i_reg, collision_norm,
+                mm_dtype, r_scale=r_scale))
+    else:
+        vstep = jax.vmap(
+            lambda U, I, R, W: cell_dense_update(
+                U, I, R, W, lr_f, u_reg, i_reg, collision_norm,
+                mm_dtype))
 
     def round_body(t, tabs):
         u3, i3 = tabs
         ub = ub_idx[t]
         cell = jnp.minimum(ub * NI + lanes, n_cells_pad - 1)
-        U, I = vstep(u3[ub], i3, R_cells[cell], W_cells[cell])
+        if W_cells is None:
+            U, I = vstep(u3[ub], i3, R_cells[cell])
+        else:
+            U, I = vstep(u3[ub], i3, R_cells[cell], W_cells[cell])
         return (u3.at[ub].set(U), I)
 
     return jax.lax.fori_loop(0, Rr, round_body, (u_tab3, i_tab3))
@@ -132,13 +155,13 @@ def dense_sweep_diag(u_tab3: jax.Array, i_tab3: jax.Array,
 @functools.partial(
     jax.jit, donate_argnums=(0, 1),
     static_argnames=("NI", "u_reg", "i_reg", "collision_norm",
-                     "mm_bf16"))
+                     "mm_bf16", "r_scale"))
 def dense_epoch_diag_keyed(u_tab3: jax.Array, i_tab3: jax.Array,
                            key: jax.Array, lr,
-                           R_cells: jax.Array, W_cells: jax.Array,
-                           NI: int, u_reg: float, i_reg: float,
-                           collision_norm: bool, mm_bf16: bool = True
-                           ) -> Tuple[jax.Array, jax.Array]:
+                           R_cells: jax.Array, W_cells, NI: int,
+                           u_reg: float, i_reg: float,
+                           collision_norm: bool, mm_bf16: bool = True,
+                           r_scale=None) -> Tuple[jax.Array, jax.Array]:
     """dense_sweep_diag with the round schedule generated ON-DEVICE
     from a PRNG key (same schedule generator as the one-hot diag
     engine, so the two engines visit identical cell sequences for the
@@ -147,15 +170,15 @@ def dense_epoch_diag_keyed(u_tab3: jax.Array, i_tab3: jax.Array,
     ub_idx, _, _ = device_diag_schedule(key, NU, NI, 1)
     return dense_sweep_diag(u_tab3, i_tab3, ub_idx, lr, R_cells,
                             W_cells, NI, u_reg, i_reg, collision_norm,
-                            mm_bf16)
+                            mm_bf16, r_scale=r_scale)
 
 
 def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
                      row_order: jax.Array, lr,
-                     R_rows: jax.Array, W_rows: jax.Array,
+                     R_rows: jax.Array, W_rows,
                      u_reg: float, i_reg: float, collision_norm: bool,
-                     mm_bf16: bool = True, Mu3=None, Mi=None
-                     ) -> Tuple[jax.Array, jax.Array]:
+                     mm_bf16: bool = True, Mu3=None, Mi=None,
+                     r_scale=None) -> Tuple[jax.Array, jax.Array]:
     """Row-STRIPE dense epoch: each round takes one user stripe's full
     catalog row (bi = n_items_pad, i.e. the cell grid degenerates to
     NI = 1) in one masked-residual GD step. Identical math to
@@ -181,11 +204,12 @@ def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
     def body(t, tabs):
         u3, I = tabs
         ub = row_order[t]
-        U, I = cell_dense_update(u3[ub], I, R_rows[ub], W_rows[ub],
+        U, I = cell_dense_update(u3[ub], I, R_rows[ub],
+                                 None if W_rows is None else W_rows[ub],
                                  lr_f, u_reg, i_reg, collision_norm,
                                  mm_dtype,
                                  Mu=None if Mu3 is None else Mu3[ub],
-                                 Mi=Mi)
+                                 Mi=Mi, r_scale=r_scale)
         return (u3.at[ub].set(U), I)
 
     return jax.lax.fori_loop(0, NU, body, (u_tab3, i_tab))
@@ -193,23 +217,26 @@ def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
 
 @functools.partial(
     jax.jit, donate_argnums=(0, 1),
-    static_argnames=("u_reg", "i_reg", "collision_norm", "mm_bf16"))
+    static_argnames=("u_reg", "i_reg", "collision_norm", "mm_bf16",
+                     "r_scale"))
 def dense_epoch_rows_keyed(u_tab3: jax.Array, i_tab: jax.Array,
                            key: jax.Array, lr,
-                           R_rows: jax.Array, W_rows: jax.Array,
+                           R_rows: jax.Array, W_rows,
                            u_reg: float, i_reg: float,
                            collision_norm: bool, mm_bf16: bool = True,
-                           Mu3=None, Mi=None
+                           Mu3=None, Mi=None, r_scale=None
                            ) -> Tuple[jax.Array, jax.Array]:
     """dense_sweep_rows with the stripe order generated on-device from
     a PRNG key. Uses device_diag_schedule(G=1) so the visit order for a
     given key EQUALS the diag engines' (parity tests pin rows == diag
-    at NI = 1). Mu3 [NU+1, bu, k] / Mi [ni_pad, k]: TMF rank masks."""
+    at NI = 1). Mu3 [NU+1, bu, k] / Mi [ni_pad, k]: TMF rank masks.
+    ``W_rows=None`` + ``r_scale``: int8 rating-code tiles (see
+    cell_dense_update)."""
     NU = u_tab3.shape[0] - 1
     ub_idx, _, _ = device_diag_schedule(key, NU, 1, 1)
     return dense_sweep_rows(u_tab3, i_tab, ub_idx[:, 0], lr, R_rows,
                             W_rows, u_reg, i_reg, collision_norm,
-                            mm_bf16, Mu3=Mu3, Mi=Mi)
+                            mm_bf16, Mu3=Mu3, Mi=Mi, r_scale=r_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi",
@@ -228,3 +255,15 @@ def densify_cells(cell: jax.Array, u_loc: jax.Array, i_loc: jax.Array,
     R = R.at[cell, u_loc, i_loc].add(vals.astype(vdtype))
     W = W.at[cell, u_loc, i_loc].add(wts.astype(wdtype))
     return R, W
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi"))
+def densify_codes(cell: jax.Array, u_loc: jax.Array, i_loc: jax.Array,
+                  codes: jax.Array, n_cells_pad: int, bu: int, bi: int
+                  ) -> jax.Array:
+    """densify_cells for the int8 rating-CODE mode: one [cells, bu, bi]
+    int8 tile where slot value = rating code (0 = unrated). Validity
+    derives from code != 0 in-kernel, so no W tensor is staged at all —
+    1 B/slot, the ML-20M single-chip enabler (VERDICT r4 #1)."""
+    R = jnp.zeros((n_cells_pad, bu, bi), jnp.int8)
+    return R.at[cell, u_loc, i_loc].add(codes.astype(jnp.int8))

@@ -438,9 +438,12 @@ class DenseBlockDSGDSolver:
                  sub_bu: Optional[int] = None,
                  collision_norm: Optional[bool] = None,
                  mm_bf16: bool = True,
-                 dense_budget_bytes: int = 8 << 30):
+                 dense_budget_bytes: int = 8 << 30,
+                 dense_codes: str = "auto"):
         if model.use_bias or not model.use_factors:
             raise ValueError("DenseBlockDSGDSolver is factor-only")
+        if dense_codes not in ("auto", "off"):
+            raise ValueError(f"unknown dense_codes {dense_codes!r}")
         if hasattr(model, "pair_lambda") or hasattr(model, "pair_rank"):
             raise ValueError(
                 "dense engines do not support rank-masked/sampled "
@@ -474,9 +477,9 @@ class DenseBlockDSGDSolver:
         self.n_users_pad = self.bu * N
         self.n_items_pad = self.bi * N
         slots = self.n_users_pad * self.n_items_pad
-        if slots * 3 > dense_budget_bytes:    # bf16 R + int8 W
+        if slots > dense_budget_bytes:        # 1 B/slot floor (codes)
             raise ValueError(
-                f"dense DSGD tiles need {slots*3/2**30:.1f} GiB > "
+                f"dense DSGD tiles need >= {slots/2**30:.1f} GiB > "
                 f"budget {dense_budget_bytes/2**30:.1f} GiB; use "
                 "BlockDSGDSolver")
 
@@ -529,25 +532,52 @@ class DenseBlockDSGDSolver:
         ul = r2 % sub_bu
         il = c2 % self.bi
         uniform01 = bool(np.all((w == 0.0) | (w == 1.0)))
-        wdtype = jnp.int8 if uniform01 else jnp.bfloat16
         sharding = NamedSharding(mesh, P(axis, None, None, None, None))
-
-        @functools.partial(jax.jit,
-                           out_shardings=(sharding, sharding))
-        def densify(sh_d, t_d, su_d, ul_d, il_d, v_d, w_d):
-            shape = (N, N, self.SU, sub_bu, self.bi)
-            R = jnp.zeros(shape, jnp.bfloat16)
-            W = jnp.zeros(shape, wdtype)
-            R = R.at[sh_d, t_d, su_d, ul_d, il_d].add(
-                v_d.astype(jnp.bfloat16))
-            W = W.at[sh_d, t_d, su_d, ul_d, il_d].add(
-                w_d.astype(wdtype))
-            return R, W
-
         a32 = lambda x: jnp.asarray(x.astype(np.int32))
-        self.R_tiles, self.W_tiles = densify(
-            a32(sh), a32(t), a32(su), a32(ul), a32(il),
-            jnp.asarray(v.astype(np.float32)), jnp.asarray(w))
+
+        # int8 rating-code tiles when the data is exactly star-grid
+        # representable (1 B/slot; the ML-20M-on-a-mesh enabler — same
+        # staging ladder as the single-chip engine,
+        # solvers/block_sgd.rating_code_scale)
+        from matfac_tpu.solvers.block_sgd import rating_code_scale
+        self.r_scale = (rating_code_scale(v)
+                        if uniform01 and dense_codes == "auto" else None)
+        if self.r_scale is not None:
+
+            @functools.partial(jax.jit, out_shardings=sharding)
+            def densify_c(sh_d, t_d, su_d, ul_d, il_d, code_d):
+                R = jnp.zeros((N, N, self.SU, sub_bu, self.bi),
+                              jnp.int8)
+                return R.at[sh_d, t_d, su_d, ul_d, il_d].add(code_d)
+
+            codes = np.round(v.astype(np.float64) / self.r_scale)
+            self.R_tiles = densify_c(
+                a32(sh), a32(t), a32(su), a32(ul), a32(il),
+                jnp.asarray(codes.astype(np.int8)))
+            self.W_tiles = None
+        else:
+            wdtype = jnp.int8 if uniform01 else jnp.bfloat16
+            if slots * 3 > dense_budget_bytes:    # bf16 R + int8 W
+                raise ValueError(
+                    f"dense DSGD tiles need {slots*3/2**30:.1f} GiB > "
+                    f"budget {dense_budget_bytes/2**30:.1f} GiB; use "
+                    "BlockDSGDSolver")
+
+            @functools.partial(jax.jit,
+                               out_shardings=(sharding, sharding))
+            def densify(sh_d, t_d, su_d, ul_d, il_d, v_d, w_d):
+                shape = (N, N, self.SU, sub_bu, self.bi)
+                R = jnp.zeros(shape, jnp.bfloat16)
+                W = jnp.zeros(shape, wdtype)
+                R = R.at[sh_d, t_d, su_d, ul_d, il_d].add(
+                    v_d.astype(jnp.bfloat16))
+                W = W.at[sh_d, t_d, su_d, ul_d, il_d].add(
+                    w_d.astype(wdtype))
+                return R, W
+
+            self.R_tiles, self.W_tiles = densify(
+                a32(sh), a32(t), a32(su), a32(ul), a32(il),
+                jnp.asarray(v.astype(np.float32)), jnp.asarray(w))
         self._epoch = self._build_epoch()
         self._resident = None
         self._last_u_view = None
@@ -568,10 +598,12 @@ class DenseBlockDSGDSolver:
         k_dim = self.model.k
         collision = self.collision_norm
         mm_dtype = jnp.bfloat16 if self.mm_bf16 else jnp.float32
+        r_scale = self.r_scale
         from matfac_tpu.ops.dense_block_kernel import cell_dense_update
 
         def shard_epoch(u_fac, i_fac, R_tiles, W_tiles, lr, key):
-            R_t, W_t = R_tiles[0], W_tiles[0]    # [N, SU, sub_bu, bi]
+            R_t = R_tiles[0]                     # [N, SU, sub_bu, bi]
+            W_t = None if W_tiles is None else W_tiles[0]
             me = jax.lax.axis_index(axis)
             u3 = u_fac.reshape(SU, sub_bu, k_dim)
 
@@ -586,9 +618,10 @@ class DenseBlockDSGDSolver:
                         u3, I = c2
                         su = sperm[s]
                         U, I = cell_dense_update(
-                            u3[su], I, R_t[t, su], W_t[t, su],
+                            u3[su], I, R_t[t, su],
+                            None if W_t is None else W_t[t, su],
                             jnp.asarray(lr, jnp.float32), u_reg, i_reg,
-                            collision, mm_dtype)
+                            collision, mm_dtype, r_scale=r_scale)
                         return (u3.at[su].set(U), I)
 
                     u3, i_blk = jax.lax.fori_loop(0, SU, stripe,

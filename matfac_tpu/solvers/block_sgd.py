@@ -34,7 +34,8 @@ from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
                                              block_sgd_epoch_xla)
 from matfac_tpu.ops.dense_block_kernel import (dense_epoch_diag_keyed,
                                                dense_epoch_rows_keyed,
-                                               densify_cells)
+                                               densify_cells,
+                                               densify_codes)
 from matfac_tpu.ops.dense_row_kernel import dense_rows_epoch_pallas
 
 
@@ -76,6 +77,35 @@ def stage_batch_collision_counts(wts: np.ndarray, loc: np.ndarray,
     return np.maximum(cnt, 1.0).astype(np.float32).reshape(n_cells, S)
 
 
+def rating_code_scale(vals: np.ndarray) -> Optional[float]:
+    """Exact int8 rating-code scale for ``vals``, or None.
+
+    Returns g such that every rating equals code * g EXACTLY in f32
+    with integer code, 1 <= |code| <= 127 (code 0 is reserved for
+    "unrated" — validity derives from it, so zero-valued ratings
+    disqualify the mode). Star data (0.5..5.0 step 0.5 or 1..5) always
+    qualifies; continuous synthetic ratings never do. Candidates tried:
+    the smallest |rating| and the smallest gap between distinct
+    |rating|s (covers non-contiguous grids like {2, 3, 5})."""
+    v = np.asarray(vals, np.float32)
+    if len(v) == 0 or np.any(v == 0) or not np.all(np.isfinite(v)):
+        return None
+    mags = np.unique(np.abs(v)).astype(np.float64)
+    cands = {float(mags[0])}
+    if len(mags) > 1:
+        cands.add(float(np.diff(mags).min()))
+    for g in sorted(cands, reverse=True):
+        if g <= 0:
+            continue
+        codes = np.round(v.astype(np.float64) / g)
+        if np.abs(codes).max() > 127 or np.abs(codes).min() < 1:
+            continue
+        if np.array_equal(
+                (codes.astype(np.float32) * np.float32(g)), v):
+            return g
+    return None
+
+
 def _balance_perm(freq: np.ndarray, n: int, n_blocks: int,
                   block: int) -> np.ndarray:
     """old id -> new id; round-robin blocks over descending frequency,
@@ -99,7 +129,8 @@ class BlockSGDSolver:
                  engine: str = "xla", schedule: str = "row",
                  pad_k: int = 0,
                  dense_budget_bytes: int = 8 << 30,
-                 dense_kernel: str = "xla", dense_panel: int = 128):
+                 dense_kernel: str = "xla", dense_panel: int = 128,
+                 dense_codes: str = "auto"):
         """``engine``: "xla" (default — pure-XLA one-hot MXU epoch,
         works on every backend) or "pallas" (VMEM-resident tables;
         currently crashes the axon remote Mosaic compile at any scale,
@@ -135,7 +166,20 @@ class BlockSGDSolver:
         one-hots at all. Requires the padded dense tiles to fit
         ``dense_budget_bytes`` of HBM; rank-masked models stay on the
         one-hot engines. Pass bu/bi=None to auto-size blocks (square
-        cell grid: NU ≈ NI minimizes the round count)."""
+        cell grid: NU ≈ NI minimizes the round count).
+
+        ``dense_codes``: "auto" (default) stages int8 rating CODES —
+        1 B/slot, validity derived from code != 0 — whenever the
+        ratings are EXACTLY representable as code * scale (star data;
+        rating_code_scale proves it per dataset) and the model's
+        weights are uniform 0/1; this is what puts the ML-20M dense
+        grid (11.4 GiB at bf16+int8) inside the single-chip envelope
+        at ~3.8 GiB. "off" always stages float tiles. "lossy"
+        additionally quantizes non-representable ratings to 127 signed
+        levels of max|r|/127 (absolute error <= scale/2, except
+        near-zero ratings clamped to ±1 code so none is dropped —
+        error <= scale there); training math is otherwise identical
+        (modelMF.cpp:83-105)."""
         if schedule not in ("row", "diag"):
             raise ValueError(f"unknown schedule {schedule!r}")
         if engine == "dense":
@@ -192,6 +236,8 @@ class BlockSGDSolver:
             self.pad_k = 0  # dense FLOP is ∝ k: padding is not free
             if dense_kernel not in ("xla", "pallas"):
                 raise ValueError(f"unknown dense_kernel {dense_kernel!r}")
+            if dense_codes not in ("auto", "off", "lossy"):
+                raise ValueError(f"unknown dense_codes {dense_codes!r}")
         else:
             if bu is None:
                 bu = 1024
@@ -199,6 +245,11 @@ class BlockSGDSolver:
                 bi = 1024
         self.dense_kernel = dense_kernel if engine == "dense" else "xla"
         self.dense_panel = dense_panel
+        # the Pallas panel kernel does not thread code scales (yet);
+        # it keeps float tiles
+        self.dense_codes = (dense_codes if engine == "dense"
+                            and dense_kernel == "xla" else "off")
+        self.r_scale = None
         self.bu, self.bi = bu, bi
         self.NU = _cdiv(n_users, bu)
         self.NI = _cdiv(n_items, bi)
@@ -417,12 +468,44 @@ class BlockSGDSolver:
                      budget):
         """Dense [bu, bi] rating/weight tiles per cell (+ one dummy),
         built by a one-time device scatter from the relabeled COO
-        (ops/dense_block_kernel.densify_cells). Weights store as int8
-        validity when uniform 0/1 (plain MF), else f32/bf16 by budget
-        (IFWMF); ratings store f32 when the budget allows, bf16
-        otherwise."""
+        (ops/dense_block_kernel.densify_cells). Staging ladder, best
+        first: int8 rating CODES with validity derived from code != 0
+        (1 B/slot; exact for star-grid data, lossy opt-in —
+        rating_code_scale + the dense_codes knob) when weights are
+        uniform 0/1; else int8 validity W + f32/bf16 R (plain MF);
+        else f32/bf16 W by budget (IFWMF)."""
         uniform01 = bool(np.all((wts == 0.0) | (wts == 1.0)))
         slots = (n_cells + 1) * self.bu * self.bi
+        if uniform01 and self.dense_codes != "off":
+            g = rating_code_scale(vals)
+            codes = None
+            if g is not None:
+                codes = np.round(vals.astype(np.float64) / g)
+            elif self.dense_codes == "lossy":
+                # 127 signed levels of max|r|/127; near-zero ratings
+                # clamp to ±1 code so none silently drops (documented
+                # error class: <= g/2 absolute, <= g for the clamped)
+                finite = vals[np.isfinite(vals)]
+                mx = float(np.abs(finite).max()) if len(finite) else 0.0
+                if mx > 0:
+                    g = mx / 127.0
+                    codes = np.clip(np.round(vals / g), -127, 127)
+                    nz = vals != 0
+                    codes[nz & (codes == 0)] = np.sign(vals[nz & (codes == 0)])
+            if codes is not None:
+                if slots > budget:
+                    raise ValueError(
+                        f"dense code tiles need {slots / 2**30:.1f} "
+                        f"GiB > dense_budget {budget / 2**30:.1f} GiB; "
+                        "use engine='xla'")
+                self.r_scale = float(g)
+                self.R_cells = densify_codes(
+                    jnp.asarray(cell.astype(np.int32)),
+                    jnp.asarray(u_loc), jnp.asarray(i_loc),
+                    jnp.asarray(codes.astype(np.int8)),
+                    n_cells_pad=n_cells + 1, bu=self.bu, bi=self.bi)
+                self.W_cells = None
+                return
         if uniform01:
             wdtype, wbytes = jnp.int8, 1
         elif slots * 8 <= budget:
@@ -519,7 +602,8 @@ class BlockSGDSolver:
                         u_reg=float(self.params.u_reg),
                         i_reg=float(self.params.i_reg),
                         collision_norm=self.collision_norm,
-                        mm_bf16=self.mm_bf16, Mu3=mu3, Mi=mi)
+                        mm_bf16=self.mm_bf16, Mu3=mu3, Mi=mi,
+                        r_scale=self.r_scale)
                 i3 = i2.reshape(1, self.bi, k0)
             else:
                 u3, i3 = dense_epoch_diag_keyed(
@@ -528,7 +612,7 @@ class BlockSGDSolver:
                     u_reg=float(self.params.u_reg),
                     i_reg=float(self.params.i_reg),
                     collision_norm=self.collision_norm,
-                    mm_bf16=self.mm_bf16)
+                    mm_bf16=self.mm_bf16, r_scale=self.r_scale)
             self._resident = (u3, i3)
             kk = u3.shape[2]
             u_flat = u3[:self.NU].reshape(self.NU * self.bu, kk)

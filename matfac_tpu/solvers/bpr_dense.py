@@ -11,7 +11,10 @@ drops to 4 SCALAR streams + shared matmuls:
   P2 = U @ I^T - BIG * W          [bu, ni]  (one MXU matmul; W = the
                                    stripe's 0/1 rated/invalid mask)
   s+ = P2[ul, ip] + BIG           (1 element-gather; ip rated => the
-                                   -BIG cancels exactly)
+                                   -BIG cancels to f32 rounding: the
+                                   (raw-60)+60 round-trip loses low
+                                   bits, ~4e-6 absolute — the parity
+                                   tests' tolerance floor)
   s- = P2[ul, j],  j ~ U[0, ni)   (1 element-gather; if j is rated or
                                    invalid, s- = raw - BIG so the
                                    sigmoid coefficient underflows to 0
@@ -194,7 +197,7 @@ class DenseBPRSolver:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch(u3, i_tab, u_locs, ipos, wpos, W_rows, cnt_u, cnt_i,
-                  cnt_neg, lr, key):
+                  lr, key):
             k_ord, k_neg = jax.random.split(key)
             row_of = jax.random.permutation(
                 k_ord, jnp.arange(NU, dtype=jnp.int32))
@@ -220,10 +223,15 @@ class DenseBPRSolver:
                 # average over the T draws (unbiased single-draw-scale
                 # gradient; see module docstring deviation (c))
                 c = w[None, :] * (-1.0 / (T * (1.0 + jnp.exp(r))))
+                # loss/inversions are per-DRAW means (the 1/T scale
+                # matching the averaged gradient), so cross-engine loss
+                # comparisons and loss-based termination stay on the
+                # stream engine's scale at any T (ADVICE r4)
                 loss = loss + jnp.sum(
-                    w[None, :] * jnp.logaddexp(0.0, -r))
-                inv = inv + jnp.sum((-r > eps) & (w[None, :] > 0)
-                                    ).astype(jnp.int32)
+                    w[None, :] * jnp.logaddexp(0.0, -r)) / T
+                inv = inv + jnp.sum(
+                    jnp.where((-r > eps) & (w[None, :] > 0),
+                              1.0 / T, 0.0))
                 # routing matrix: +coeff at (ul, ip), -coeff at (ul, j)
                 # so C @ I = sum coeff*(qp - qn) = the gu data term and
                 # C^T @ U = the gp/gn data terms of bpr_pair_terms —
@@ -246,8 +254,8 @@ class DenseBPRSolver:
 
             u3, i_tab, loss, inv = jax.lax.fori_loop(
                 0, NU, body,
-                (u3, i_tab, jnp.zeros(()), jnp.zeros((), jnp.int32)))
-            return u3, i_tab, loss, inv
+                (u3, i_tab, jnp.zeros(()), jnp.zeros(())))
+            return u3, i_tab, loss, jnp.round(inv).astype(jnp.int32)
 
         return epoch
 
@@ -271,7 +279,7 @@ class DenseBPRSolver:
             u3, i_tab = self._stage_factors(state)
         u3, i_tab, self.last_loss, self.last_inversions = self._epoch(
             u3, i_tab, self.u_locs, self.ipos, self.wpos, self.W_rows,
-            self.cnt_u, self.cnt_i, self.cnt_neg, jnp.float32(lr), key)
+            self.cnt_u, self.cnt_i, jnp.float32(lr), key)
         self._resident = (u3, i_tab)
         k = self.model.k
         u_view = u3.reshape(self.n_users_pad, k)[self.u_perm_dev]

@@ -415,7 +415,15 @@ def _auto_method(algo: str, data, params, mesh) -> str:
     # else the one-hot stream when THAT fits; else scatter SGD
     nu_pad = -(-data.n_users // 2560) * 2560
     ni_pad = -(-data.n_items // 128) * 128
-    if nu_pad * ni_pad * 3 <= 6e9:    # bf16 R + int8/bf16 W tiles
+    # bytes/slot: 1 when the solver will stage int8 rating codes
+    # (star-grid data + uniform-0/1 weights — every algo here except
+    # IFWMF's popularity weights), else bf16 R + int8/bf16 W = 3
+    bytes_per_slot = 3
+    if algo != "ifwmf":
+        from matfac_tpu.solvers.block_sgd import rating_code_scale
+        if rating_code_scale(data.train_mat.values) is not None:
+            bytes_per_slot = 1
+    if nu_pad * ni_pad * bytes_per_slot <= 6e9:
         return "densesgd"
     est_stream_bytes = 7 * 4 * 1.5 * max(data.train_mat.nnz, 1)
     if est_stream_bytes < 8e9:
@@ -562,6 +570,15 @@ def train_model(data, params: Params, algo: str = "mf",
         m = _auto_method(a, data, params, mesh)
         log_fn(f"mf_method=auto resolved to '{m}' "
                "(measured guidance, PERF.md)")
+        if m == "densesgd":
+            # the dense row engine's effective minibatch is a full user
+            # stripe (README deviation #1) — surface the dynamics
+            # change the auto default implies at a fixed learn_rate
+            # (ADVICE r4)
+            log_fn("note: densesgd trains at batch = user stripe; at a "
+                   "fixed learn_rate this differs from the blocksgd "
+                   "default's ~1-8k minibatches (pass mf_method="
+                   "'blocksgd' to keep the previous default)")
     if mesh is not None and model.use_bias:
         # DSGD/BlockDSGD update factors only; routing a bias model
         # there would silently freeze mu/uBias/iBias (ADVICE r2)

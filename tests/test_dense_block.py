@@ -312,3 +312,132 @@ def test_dense_rows_tmf_converges():
     ev = Evaluator(Data(train_mat=mat), iu, ii, p)
     tr = ev.rmse(model.eval_view(state), "train")
     assert tr < 0.5, tr
+
+
+# ----------------------------------------------------------------------
+# int8 rating-code tiles (round 5, VERDICT r4 #1)
+# ----------------------------------------------------------------------
+
+def test_rating_code_scale_detection():
+    from matfac_tpu.solvers.block_sgd import rating_code_scale
+    # half-star grid (ML-20M's rating scale)
+    stars = np.asarray([0.5, 1.0, 2.5, 5.0, 4.5], np.float32)
+    g = rating_code_scale(stars)
+    assert g == 0.5
+    # integer stars
+    assert rating_code_scale(np.asarray([1, 5, 3], np.float32)) == 1.0
+    # non-contiguous integer grid needs the min-gap candidate
+    assert rating_code_scale(np.asarray([2.0, 3.0, 5.0],
+                                        np.float32)) == 1.0
+    # zero-valued ratings cannot carry validity
+    assert rating_code_scale(np.asarray([0.0, 1.0], np.float32)) is None
+    # continuous ratings are not representable
+    rng = np.random.default_rng(0)
+    assert rating_code_scale(
+        rng.normal(size=50).astype(np.float32) + 3.0) is None
+    # > 127 levels overflow int8
+    assert rating_code_scale(
+        np.arange(1, 200, dtype=np.float32)) is None
+    # negative grids are fine (centered stars)
+    assert rating_code_scale(np.asarray([-2.0, -1.0, 1.0, 2.0],
+                                        np.float32)) == 1.0
+
+
+def _star_setup(n_users=60, n_items=40, seed=7):
+    """_setup with ratings snapped to the 0.5-star grid in [0.5, 5]."""
+    mat, params, iu, ii = _setup(n_users, n_items, seed)
+    q = np.clip(np.round(mat.values / 0.5), 1, 10) * 0.5
+    mat.values[:] = q.astype(np.float32)
+    return mat, params, iu, ii
+
+
+@pytest.mark.parametrize("layout", ["rows", "diag"])
+def test_dense_codes_bit_exact_on_stars(layout):
+    """Star-grid data: the int8 code engine must be BIT-EXACT vs float
+    tile staging (code * scale reproduces every rating exactly in f32,
+    and the update arithmetic is the same op sequence)."""
+    mat, params, iu, ii = _star_setup()
+    model = ModelMF(params, 60, 40)
+    bi = None if layout == "rows" else 16
+    code = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=bi,
+                          collision_norm=True, mm_bf16=False,
+                          engine="dense", dense_codes="auto")
+    assert code.W_cells is None and code.r_scale == 0.5
+    assert code.R_cells.dtype == jnp.int8
+    flt = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=bi,
+                         collision_norm=True, mm_bf16=False,
+                         engine="dense", dense_codes="off")
+    assert flt.W_cells is not None
+    sc = init_state(params, 60, 40, seed=3)
+    sf = init_state(params, 60, 40, seed=3)
+    for _ in range(3):
+        sc = code.epoch(sc, params.learn_rate, None)
+        sf = flt.epoch(sf, params.learn_rate, None)
+    assert np.array_equal(np.asarray(sc.u_fac), np.asarray(sf.u_fac))
+    assert np.array_equal(np.asarray(sc.i_fac), np.asarray(sf.i_fac))
+
+
+def test_dense_codes_tmf_masked_parity():
+    """TMF rank masks ride the code tiles unchanged."""
+    from matfac_tpu.models.longtail import ModelDropoutSigmoid
+    mat, params, iu, ii = _star_setup()
+    p = Params(fac_dim=4, u_reg=0.01, i_reg=0.02, learn_rate=0.05,
+               seed=2, rho_rms=1.0, alpha=0.0)
+    uf, itf = freq.row_col_freq(mat)
+    uf = np.resize(uf, 60)
+    itf = np.resize(itf, 40)
+    model = ModelDropoutSigmoid(p, 60, 40, uf, itf)
+    code = BlockSGDSolver(model, p, mat, iu, ii, bu=16, bi=None,
+                          collision_norm=True, mm_bf16=False,
+                          engine="dense", dense_codes="auto")
+    assert code.W_cells is None
+    flt = BlockSGDSolver(model, p, mat, iu, ii, bu=16, bi=None,
+                         collision_norm=True, mm_bf16=False,
+                         engine="dense", dense_codes="off")
+    sc = init_state(p, 60, 40, seed=3)
+    sf = init_state(p, 60, 40, seed=3)
+    for _ in range(3):
+        sc = code.epoch(sc, p.learn_rate, None)
+        sf = flt.epoch(sf, p.learn_rate, None)
+    assert np.array_equal(np.asarray(sc.u_fac), np.asarray(sf.u_fac))
+
+
+def test_dense_codes_lossy_error_class_and_training():
+    """Continuous ratings under dense_codes='lossy': staged rating =
+    code * scale within scale/2 (scale = max|r|/127; near-zero clamps
+    within scale), and no rating drops. Training still converges."""
+    mat, params, iu, ii = _setup(n_users=120, n_items=80)
+    model = ModelMF(params, 120, 80)
+    solver = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                            collision_norm=True, engine="dense",
+                            dense_codes="lossy")
+    assert solver.W_cells is None
+    g = solver.r_scale
+    # reconstruct staged rating per kept COO entry and bound the error
+    r, c, v = mat.to_coo()
+    keep = ~iu[r] & ~ii[c]
+    r, c, v = r[keep], c[keep], v[keep]
+    R = np.asarray(solver.R_cells).astype(np.float32) * g
+    NU, bu = solver.NU, solver.bu
+    r2 = solver.u_perm[r]
+    staged = R[r2 // bu, r2 % bu, solver.i_perm[c]]
+    assert np.all(staged != 0)          # nothing dropped
+    err = np.abs(staged - v)
+    assert err.max() <= g + 1e-6, (err.max(), g)
+    state = init_state(params, 120, 80, seed=1)
+    for _ in range(40):
+        state = solver.epoch(state, params.learn_rate, None)
+    from matfac_tpu.eval.metrics import Evaluator
+    from matfac_tpu.data.dataset import Data
+    ev = Evaluator(Data(train_mat=mat), iu, ii, params)
+    assert ev.rmse(model.eval_view(state), "train") < 0.5
+
+
+def test_dense_codes_auto_falls_back_to_float_tiles():
+    """Continuous data + dense_codes='auto' -> float staging (no
+    silent lossy quantization)."""
+    mat, params, iu, ii = _setup()
+    model = ModelMF(params, 60, 40)
+    solver = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                            engine="dense", dense_codes="auto")
+    assert solver.W_cells is not None and solver.r_scale is None

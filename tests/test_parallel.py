@@ -655,3 +655,33 @@ def test_dense_block_dsgd_train_model_dispatch(setup):
     train_model(data, p3, algo="TMF", mf_method="densesgd",
                 log_fn=logs.append, mesh=mesh)
     assert any("falling back" in s for s in logs), logs[:3]
+
+
+def test_dense_block_dsgd_codes_bit_exact(setup):
+    """Star-grid data: the mesh dense engine's int8 rating-code tiles
+    (W_tiles=None, validity from code != 0) are bit-exact vs the float
+    tile staging — star values are exact in bf16 too, so the two
+    stagings feed identical numbers into identical update math."""
+    from matfac_tpu.parallel.block_dsgd import DenseBlockDSGDSolver
+
+    data, params, ev, model, iu, ii = setup
+    mat = data.train_mat.copy()
+    mat.values[:] = (np.clip(np.round(mat.values / 0.5), 1, 10)
+                     * 0.5).astype(np.float32)
+    mesh = make_mesh((4,), ("u",), devices=jax.devices()[:4])
+    code = DenseBlockDSGDSolver(model, params, mat, iu, ii, mesh,
+                                sub_bu=16, mm_bf16=False)
+    assert code.W_tiles is None and code.r_scale == 0.5
+    flt = DenseBlockDSGDSolver(model, params, mat, iu, ii, mesh,
+                               sub_bu=16, mm_bf16=False,
+                               dense_codes="off")
+    assert flt.W_tiles is not None
+    sc = init_state(params, data.n_users, data.n_items)
+    sf = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        sc = code.epoch(sc, 0.03, k)
+        sf = flt.epoch(sf, 0.03, k)
+    assert np.array_equal(np.asarray(sc.u_fac), np.asarray(sf.u_fac))
+    assert np.array_equal(np.asarray(sc.i_fac), np.asarray(sf.i_fac))
