@@ -163,6 +163,40 @@ class ModelPoissonDropout(ModelDropoutSigmoid):
         r = jnp.clip(r, 1, self.k)   # modelPoissonDropout.cpp:200-206
         return rank_mask(r, self.k)
 
+    def entity_lambdas(self):
+        """Per-entity TRAINING lambda tables (int32 in [1, k]) — the
+        sigmoid rank map before the CDF inference transform. Consumed
+        by the dense row engine's per-round CRN Poisson resampling."""
+        return self.lambda_u, self.lambda_i
+
+    def poisson_cdf_table(self) -> np.ndarray:
+        """C [k, k] f32 with C[lam-1, m] = P(Poisson(lam) <= m) for
+        m = 0..k-1 — the quantile table behind the dense engine's
+        common-random-number rank draw (README deviation #15):
+
+        per round the engine draws ONE uniform U and sets every
+        entity's rank to the Poisson quantile
+        q(lam) = clip(#{m : C[lam-1, m] < U}, 1, k). Because the
+        Poisson family is stochastically increasing in lam, q is
+        monotone nondecreasing in lam, so the PAIR rank
+        min(q(lam_u), q(lam_i)) equals q(min(lam_u, lam_i)) — and for
+        uniform U that quantile transform has EXACTLY the reference's
+        per-update marginal clip(Poisson(lam_pair), 1, k)
+        (modelPoissonDropout.cpp:189-207). What differs is only the
+        correlation structure: within one stripe visit all pairs share
+        the round's quantile level, and an entity's rank is redrawn
+        per stripe visit rather than per rating."""
+        k = self.k
+        C = np.zeros((k, k), np.float64)
+        for lam in range(1, k + 1):
+            cdf = math.exp(-lam)                       # P(X = 0)
+            C[lam - 1, 0] = cdf
+            for m in range(1, k):
+                cdf += math.exp(-lam + m * math.log(lam)
+                                - math.lgamma(m + 1))  # P(X = m)
+                C[lam - 1, m] = cdf
+        return C.astype(np.float32)
+
 
 def adaptive_rank_map(freq: np.ndarray, fac_dim: int) -> np.ndarray:
     """setAdapRank (main.cpp:1109-1135): entities sorted by DESCENDING

@@ -178,7 +178,8 @@ def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
                      R_rows: jax.Array, W_rows,
                      u_reg: float, i_reg: float, collision_norm: bool,
                      mm_bf16: bool = True, Mu3=None, Mi=None,
-                     r_scale=None) -> Tuple[jax.Array, jax.Array]:
+                     r_scale=None, Lu3=None, Li=None, pois_cdf=None,
+                     round_u=None) -> Tuple[jax.Array, jax.Array]:
     """Row-STRIPE dense epoch: each round takes one user stripe's full
     catalog row (bi = n_items_pad, i.e. the cell grid degenerates to
     NI = 1) in one masked-residual GD step. Identical math to
@@ -196,20 +197,41 @@ def dense_sweep_rows(u_tab3: jax.Array, i_tab: jax.Array,
     row_order [NU]. Schedule semantics: a random stripe order per epoch
     — the DSGD round structure of modelMF.cpp:154-350 with one item
     block (README deviation #1's batch-size hyperparameter at
-    batch = stripe)."""
+    batch = stripe).
+
+    ``Lu3`` [NU+1, bu] / ``Li`` [ni_pad] int32 lambda tables +
+    ``pois_cdf`` [k, k] + ``round_u`` [NU] uniforms: per-round CRN
+    Poisson rank RESAMPLING (TMF+Dropout). Each round computes the
+    Poisson quantile at the round's uniform for every lambda value,
+    q_t[lam] = clip(#{m : cdf[lam-1, m] < U_t}, 1, k), and masks with
+    rank_e = q_t[lambda_e] — pair rank = q_t[min lambda] with the
+    reference's exact per-update marginal
+    (models/longtail.ModelPoissonDropout.poisson_cdf_table docstring;
+    modelPoissonDropout.cpp:189-207; README deviation #15)."""
     NU = row_order.shape[0]
     mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
     lr_f = jnp.asarray(lr, jnp.float32)
+    k_dim = i_tab.shape[-1]
+    iota = jnp.arange(k_dim, dtype=jnp.int32)
 
     def body(t, tabs):
         u3, I = tabs
         ub = row_order[t]
+        if pois_cdf is not None:
+            qt = jnp.clip(jnp.sum((pois_cdf < round_u[t]).astype(
+                jnp.int32), axis=1), 1, k_dim)          # [k]
+            Mu_t = (iota[None, :]
+                    < qt[Lu3[ub] - 1][:, None]).astype(jnp.float32)
+            Mi_t = (iota[None, :]
+                    < qt[Li - 1][:, None]).astype(jnp.float32)
+        else:
+            Mu_t = None if Mu3 is None else Mu3[ub]
+            Mi_t = Mi
         U, I = cell_dense_update(u3[ub], I, R_rows[ub],
                                  None if W_rows is None else W_rows[ub],
                                  lr_f, u_reg, i_reg, collision_norm,
-                                 mm_dtype,
-                                 Mu=None if Mu3 is None else Mu3[ub],
-                                 Mi=Mi, r_scale=r_scale)
+                                 mm_dtype, Mu=Mu_t, Mi=Mi_t,
+                                 r_scale=r_scale)
         return (u3.at[ub].set(U), I)
 
     return jax.lax.fori_loop(0, NU, body, (u_tab3, i_tab))
@@ -224,19 +246,28 @@ def dense_epoch_rows_keyed(u_tab3: jax.Array, i_tab: jax.Array,
                            R_rows: jax.Array, W_rows,
                            u_reg: float, i_reg: float,
                            collision_norm: bool, mm_bf16: bool = True,
-                           Mu3=None, Mi=None, r_scale=None
+                           Mu3=None, Mi=None, r_scale=None,
+                           Lu3=None, Li=None, pois_cdf=None
                            ) -> Tuple[jax.Array, jax.Array]:
     """dense_sweep_rows with the stripe order generated on-device from
     a PRNG key. Uses device_diag_schedule(G=1) so the visit order for a
     given key EQUALS the diag engines' (parity tests pin rows == diag
     at NI = 1). Mu3 [NU+1, bu, k] / Mi [ni_pad, k]: TMF rank masks.
     ``W_rows=None`` + ``r_scale``: int8 rating-code tiles (see
-    cell_dense_update)."""
+    cell_dense_update). ``Lu3``/``Li``/``pois_cdf``: per-round CRN
+    Poisson resampling (dense_sweep_rows docstring); the per-round
+    uniforms come from a second fold of the same key."""
     NU = u_tab3.shape[0] - 1
+    round_u = None
+    if pois_cdf is not None:
+        key, ku = jax.random.split(key)
+        round_u = jax.random.uniform(ku, (NU,), jnp.float32)
     ub_idx, _, _ = device_diag_schedule(key, NU, 1, 1)
     return dense_sweep_rows(u_tab3, i_tab, ub_idx[:, 0], lr, R_rows,
                             W_rows, u_reg, i_reg, collision_norm,
-                            mm_bf16, Mu3=Mu3, Mi=Mi, r_scale=r_scale)
+                            mm_bf16, Mu3=Mu3, Mi=Mi, r_scale=r_scale,
+                            Lu3=Lu3, Li=Li, pois_cdf=pois_cdf,
+                            round_u=round_u)
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi",

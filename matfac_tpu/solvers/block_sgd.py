@@ -189,8 +189,6 @@ class BlockSGDSolver:
         self.schedule = schedule
         if model.use_bias or not model.use_factors:
             raise ValueError("BlockSGDSolver is factor-only")
-        if getattr(model, "name", "") == "tmf_dropout":
-            raise ValueError("Poisson-sampled ranks need SGDSolver")
         from matfac_tpu.models.base import ModelMF as _MF
         if type(model).update_side_masks is not _MF.update_side_masks:
             # mf_loc/mf_freq gate the user/item updates per side; this
@@ -309,21 +307,38 @@ class BlockSGDSolver:
         self.i_perm_inv_dev = jnp.asarray(i_inv.astype(np.int32))
 
         # model hooks BEFORE relabeling (freq tables are in old ids)
-        if hasattr(model, "pair_lambda") or getattr(
-                model, "stochastic_rank", False):
-            # Poisson/adaptive-dropout models SAMPLE their rank per
-            # update (update_rank_mask); this engine stages STATIC
-            # ranks, so routing one here would silently train the
-            # deterministic variant instead
+        # Poisson TMF (pair_lambda + entity_lambdas): the dense ROW
+        # engine resamples entity ranks per stripe visit with per-round
+        # common-random-number quantiles — the reference's exact
+        # per-update rank marginal (dense_sweep_rows docstring; README
+        # deviation #15). Every other engine/path stages STATIC ranks,
+        # so routing a sampled-rank model there would silently train
+        # the deterministic variant.
+        self._pois = (engine == "dense" and dense_kernel == "xla"
+                      and hasattr(model, "pair_lambda")
+                      and hasattr(model, "entity_lambdas"))
+        if self._pois and self.NI != 1:
+            raise ValueError("Poisson-resampled dense needs the row "
+                             "layout (bi=None)")
+        if (hasattr(model, "pair_lambda") or getattr(
+                model, "stochastic_rank", False)) and not self._pois:
             raise ValueError(
                 "block-SGD stages static per-pair ranks; "
                 f"{model.name} needs per-update sampled ranks — use "
-                "the sgd engine (or DSGD, which samples in-kernel)")
+                "the sgd engine (or DSGD, which samples in-kernel), "
+                "or the dense row engine (per-stripe-visit CRN "
+                "resampling)")
         w = np.asarray(model.example_weight(
             jnp.asarray(r.astype(np.int32)),
             jnp.asarray(c.astype(np.int32)))).astype(np.float32)
         self._mask_tabs = None
-        if hasattr(model, "pair_rank"):
+        self._pois_tabs = None
+        if self._pois:
+            # lambda tables staged after relabeling below; the staged
+            # stream itself carries no masks
+            lam = np.full(len(r), k, np.int32)
+            self.use_mask = False
+        elif hasattr(model, "pair_rank"):
             if engine == "dense":
                 # the pair mask factorizes per entity (min(r_u, r_i)
                 # => Mu[d]*Mi[d], models/base.py), so the ROW layout
@@ -380,6 +395,23 @@ class BlockSGDSolver:
                     [mu3, np.ones((1, bu, k), np.float32)], axis=0)
                 mi = (iota[None, :] < ri[:, None]).astype(np.float32)
                 self._mask_tabs = (jnp.asarray(mu3), jnp.asarray(mi))
+            if self._pois:
+                # per-entity TRAINING lambdas in relabeled order (+
+                # full-rank dummy stripe); pad entities get lambda = k
+                # (their W slots are 0, so masks never bite)
+                lu = np.full(self.n_users_pad, k, np.int64)
+                li = np.full(self.n_items_pad, k, np.int64)
+                elu, eli = model.entity_lambdas()
+                lu[self.u_perm] = np.asarray(elu, np.int64)
+                li[self.i_perm] = np.asarray(eli, np.int64)
+                lu3 = np.concatenate(
+                    [lu.reshape(self.NU, bu),
+                     np.full((1, bu), k, np.int64)],
+                    axis=0).astype(np.int32)
+                self._pois_tabs = (
+                    jnp.asarray(lu3),
+                    jnp.asarray(li.astype(np.int32)),
+                    jnp.asarray(model.poisson_cdf_table()))
             self.S = self.bs = 0
             self.pad_frac = n_cells * bu * bi / max(self.nnz, 1)
             self._sched_rng = np.random.default_rng(params.seed + 41)
@@ -596,6 +628,9 @@ class BlockSGDSolver:
                     mu3, mi = (self._mask_tabs
                                if self._mask_tabs is not None
                                else (None, None))
+                    lu3, li, cdf = (self._pois_tabs
+                                    if self._pois_tabs is not None
+                                    else (None, None, None))
                     u3, i2 = dense_epoch_rows_keyed(
                         u_tab, i_tab.reshape(self.n_items_pad, k0), ek,
                         jnp.float32(lr), self.R_cells, self.W_cells,
@@ -603,7 +638,8 @@ class BlockSGDSolver:
                         i_reg=float(self.params.i_reg),
                         collision_norm=self.collision_norm,
                         mm_bf16=self.mm_bf16, Mu3=mu3, Mi=mi,
-                        r_scale=self.r_scale)
+                        r_scale=self.r_scale, Lu3=lu3, Li=li,
+                        pois_cdf=cdf)
                 i3 = i2.reshape(1, self.bi, k0)
             else:
                 u3, i3 = dense_epoch_diag_keyed(

@@ -401,13 +401,12 @@ def _auto_method(algo: str, data, params, mesh) -> str:
         return "blocksgd"
     if algo == "mf":
         return "als"
-    if algo in ("mf_bias", "tmfdropout", "tmf_bias", "mf_loc", "mf_freq",
+    if algo in ("mf_bias", "tmf_bias", "mf_loc", "mf_freq",
                 "dropoutmf", "dropoutmf_prob", "dropoutmf_ordered",
                 "dropoutmf_onlyordered"):
         # biases and per-side update gates only train through the SGD
-        # engine; Poisson-SAMPLED ranks need the per-epoch
-        # update_rank_mask path (block-SGD stages static ranks — see
-        # BlockSGDSolver guard)
+        # engine; adaptive-dropout models sample rank from update-mask
+        # distributions no block engine stages
         return "sgd"
     # deterministic SGD-family models (TMF/IFWMF/weighted): prefer the
     # row-dense engine when the padded dense grid fits its HBM budget
@@ -424,7 +423,14 @@ def _auto_method(algo: str, data, params, mesh) -> str:
         if rating_code_scale(data.train_mat.values) is not None:
             bytes_per_slot = 1
     if nu_pad * ni_pad * bytes_per_slot <= 6e9:
+        # incl. tmfdropout: the dense row engine resamples Poisson
+        # ranks per stripe visit with the reference's exact per-update
+        # marginal (README deviation #15)
         return "densesgd"
+    if algo == "tmfdropout":
+        # over-budget grids: sampled ranks need the scatter engine's
+        # per-update masks (the one-hot stream stages static ranks)
+        return "sgd"
     est_stream_bytes = 7 * 4 * 1.5 * max(data.train_mat.nnz, 1)
     if est_stream_bytes < 8e9:
         return "blocksgd"

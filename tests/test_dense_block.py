@@ -441,3 +441,142 @@ def test_dense_codes_auto_falls_back_to_float_tiles():
     solver = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
                             engine="dense", dense_codes="auto")
     assert solver.W_cells is not None and solver.r_scale is None
+
+
+# ----------------------------------------------------------------------
+# TMF+Poisson per-round CRN resampling (round 5, VERDICT r4 #3)
+# ----------------------------------------------------------------------
+
+def _pois_model(n_users=60, n_items=40, mat=None):
+    from matfac_tpu.models.longtail import ModelPoissonDropout
+    p = Params(fac_dim=8, u_reg=0.01, i_reg=0.01, learn_rate=0.05,
+               seed=2, rho_rms=1.0, alpha=0.0)
+    uf, itf = freq.row_col_freq(mat)
+    uf = np.resize(uf, n_users)
+    itf = np.resize(itf, n_items)
+    return ModelPoissonDropout(p, n_users, n_items, uf, itf), p
+
+
+def test_poisson_cdf_table_and_crn_quantile_marginal():
+    """The CDF table's CRN quantile transform q(lam) = clip(#{m :
+    C[lam-1, m] < U}, 1, k): (a) q is monotone in lam at every U, so
+    pair rank factorizes as min; (b) for uniform U the marginal of
+    q(lam) equals clip(Poisson(lam), 1, k) exactly (pmf check)."""
+    import math as _m
+    mat, params, iu, ii = _setup()
+    model, p = _pois_model(mat=mat)
+    k = model.k
+    C = model.poisson_cdf_table()
+    assert C.shape == (k, k)
+    # (a) monotone in lam for a dense grid of U
+    us = np.linspace(1e-6, 1 - 1e-6, 4001)
+    q = np.clip((C[None, :, :] < us[:, None, None]).sum(-1), 1, k)
+    assert np.all(np.diff(q, axis=1) >= 0)
+    # (b) marginal pmf: P(q(lam) = r) from the U-measure of each level
+    # set vs the clipped-Poisson pmf
+    for lam in (1, 3, k):
+        pmf = np.zeros(k + 1)
+        for r in range(1, k + 1):
+            pmf[r] = np.mean(q[:, lam - 1] == r)
+        pois = [_m.exp(-lam + m * _m.log(lam) - _m.lgamma(m + 1))
+                for m in range(0, 200)]
+        expect = np.zeros(k + 1)
+        expect[1] = pois[0] + pois[1]                 # clip lo
+        for r in range(2, k):
+            expect[r] = pois[r]
+        expect[k] = 1.0 - sum(pois[:k])               # clip hi
+        np.testing.assert_allclose(pmf[1:], expect[1:], atol=2e-3)
+
+
+def test_dense_poisson_matches_numpy_replica():
+    """One dense-Poisson epoch == a host replica that re-derives the
+    per-round uniforms/schedule from the same key and applies
+    cell_dense_update with the replica masks (pins the wiring)."""
+    from matfac_tpu.ops.block_sgd_kernel import device_diag_schedule
+
+    mat, params, iu, ii = _setup()
+    model, p = _pois_model(mat=mat)
+    s = BlockSGDSolver(model, p, mat, iu, ii, bu=16, bi=None,
+                       collision_norm=True, mm_bf16=False,
+                       engine="dense")
+    assert s._pois and s._pois_tabs is not None
+    state = init_state(p, 60, 40, seed=3)
+    # drive one epoch, capturing the key the solver will use
+    ek = jax.random.PRNGKey(int(s._sched_rng.integers(2**31)))
+    s._sched_rng = _FixedRng(ek)                      # replay below
+    out = s.epoch(state, p.learn_rate, None)
+
+    # ---- host replica
+    lu3, li, cdf = (np.asarray(a) for a in s._pois_tabs)
+    NU, bu = s.NU, s.bu
+    k = model.k
+    key2, ku = jax.random.split(ek)
+    round_u = np.asarray(jax.random.uniform(ku, (NU,), jnp.float32))
+    ub_idx, _, _ = device_diag_schedule(key2, NU, 1, 1)
+    order = np.asarray(ub_idx)[:, 0]
+    u3 = np.asarray(state.u_fac)[np.asarray(s.u_perm_inv_dev)]
+    u3 = np.concatenate([u3, np.zeros((bu * (NU + 1) - len(u3), k),
+                                      np.float32)])[: (NU + 1) * bu]
+    u3 = jnp.asarray(u3.reshape(NU + 1, bu, k))
+    it = np.asarray(state.i_fac)[np.asarray(s.i_perm_inv_dev)]
+    it = jnp.asarray(it)
+    R = np.asarray(s.R_cells, np.float32)
+    W = (R != 0).astype(np.float32) if s.W_cells is None \
+        else np.asarray(s.W_cells, np.float32)
+    vals = R * (s.r_scale or 1.0)
+    from matfac_tpu.ops.dense_block_kernel import cell_dense_update
+    iota = np.arange(k)
+    for t in range(NU):
+        ub = int(order[t])
+        qt = np.clip((cdf < round_u[t]).sum(1), 1, k)
+        Mu = (iota[None, :] < qt[lu3[ub] - 1][:, None]).astype(np.float32)
+        Mi = (iota[None, :] < qt[li - 1][:, None]).astype(np.float32)
+        U, it = cell_dense_update(
+            u3[ub], it, jnp.asarray(vals[ub]), jnp.asarray(W[ub]),
+            jnp.float32(p.learn_rate), float(p.u_reg), float(p.i_reg),
+            True, jnp.float32, Mu=jnp.asarray(Mu), Mi=jnp.asarray(Mi))
+        u3 = u3.at[ub].set(U)
+    exp_u = np.asarray(u3[:NU].reshape(-1, k))[np.asarray(s.u_perm_dev)]
+    exp_i = np.asarray(it)[np.asarray(s.i_perm_dev)]
+    np.testing.assert_allclose(np.asarray(out.u_fac), exp_u,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.i_fac), exp_i,
+                               rtol=1e-5, atol=1e-6)
+
+
+class _FixedRng:
+    """Replays one predetermined PRNGKey seed for the epoch call."""
+    def __init__(self, key):
+        self._seed = int(np.asarray(jax.random.key_data(key))[-1])
+        self._served = False
+
+    def integers(self, *_a, **_k):
+        return self._seed
+
+
+def test_dense_poisson_converges_and_dispatches():
+    """tmf_dropout trains through the dense row engine end-to-end and
+    _auto_method picks densesgd when the grid fits."""
+    from matfac_tpu.data.dataset import Data
+    from matfac_tpu.eval.metrics import Evaluator
+    from matfac_tpu.train.loop import _auto_method, train_model
+
+    from matfac_tpu.data.io import split_train_test_val
+    mat, params, iu, ii = _setup(n_users=120, n_items=80)
+    model, p = _pois_model(120, 80, mat)
+    p2 = Params(fac_dim=8, u_reg=0.001, i_reg=0.001, learn_rate=0.05,
+                seed=2, rho_rms=0.5, alpha=-1.0, max_iter=50)
+    tr, te, va = split_train_test_val(mat, 0.1, 0.1, seed=0)
+    data = Data(train_mat=tr, test_mat=te, val_mat=va)
+    assert _auto_method("tmfdropout", data, p2, None) == "densesgd"
+    rep = train_model(data, p2, algo="TMFDropout", mf_method="densesgd",
+                      log_fn=lambda *_: None)[0]
+    ev = Evaluator(data, iu, ii, p2)
+    # inference view uses the CDF-rank truncation; train RMSE must
+    # reach the coarse basin
+    from matfac_tpu.models.longtail import ModelPoissonDropout
+    uf, itf = freq.row_col_freq(mat)
+    m2 = ModelPoissonDropout(p2, 120, 80, np.resize(uf, 120),
+                             np.resize(itf, 80))
+    tr = ev.rmse(m2.eval_view(rep.best_state), "train")
+    assert tr < 0.6, tr

@@ -434,7 +434,9 @@ def test_auto_method_selection():
     # the dense grid fits (round 4); tiny shapes always fit
     assert _auto_method("tmf", data, p, None) == "densesgd"
     assert _auto_method("ifwmf", data, p, None) == "densesgd"
-    assert _auto_method("tmfdropout", data, p, None) == "sgd"
+    # round 5: the dense row engine resamples Poisson ranks per stripe
+    # visit (README deviation #15), so tmfdropout rides it too
+    assert _auto_method("tmfdropout", data, p, None) == "densesgd"
     assert _auto_method("mf_bias", data, p, None) == "sgd"
     # mesh branch makes the same quality-basin argument: sharded ALS
     # for plain MF, block-DSGD for the SGD-trained long-tail families
@@ -472,9 +474,13 @@ def test_blocksgd_rejects_poisson_sampled_model():
     itf = np.pad(itf, (0, data.n_items - len(itf)))
     p = Params(fac_dim=4, rho_rms=1.0)
     m = ModelPoissonDropout(p, data.n_users, data.n_items, uf, itf)
-    with pytest.raises(ValueError, match="Poisson-sampled"):
+    with pytest.raises(ValueError, match="sampled ranks"):
         BlockSGDSolver(m, p, data.train_mat, iu, ii, batch_size=32,
                        bu=32, bi=32)
+    # the dense DIAG grid (bi < catalog) cannot thread per-round masks
+    with pytest.raises(ValueError, match="row layout"):
+        BlockSGDSolver(m, p, data.train_mat, iu, ii, bu=32, bi=32,
+                       engine="dense")
 
 
 def test_full_model_text_save_load_roundtrip(tmp_path):
