@@ -34,8 +34,7 @@ from matfac_tpu.ops.block_sgd_kernel import (block_sgd_epoch,
                                              block_sgd_epoch_xla)
 from matfac_tpu.ops.dense_block_kernel import (dense_epoch_diag_keyed,
                                                dense_epoch_rows_keyed,
-                                               densify_cells,
-                                               densify_codes)
+                                               densify_rows_host)
 from matfac_tpu.ops.dense_row_kernel import dense_rows_epoch_pallas
 
 
@@ -531,11 +530,10 @@ class BlockSGDSolver:
                         f"GiB > dense_budget {budget / 2**30:.1f} GiB; "
                         "use engine='xla'")
                 self.r_scale = float(g)
-                self.R_cells = densify_codes(
-                    jnp.asarray(cell.astype(np.int32)),
-                    jnp.asarray(u_loc), jnp.asarray(i_loc),
-                    jnp.asarray(codes.astype(np.int8)),
-                    n_cells_pad=n_cells + 1, bu=self.bu, bi=self.bi)
+                self.R_cells = densify_rows_host(
+                    cell, u_loc, i_loc, codes.astype(np.int8),
+                    n_cells_pad=n_cells + 1, bu=self.bu, bi=self.bi,
+                    dtype=jnp.int8)
                 self.W_cells = None
                 return
         if uniform01:
@@ -553,12 +551,16 @@ class BlockSGDSolver:
                 f"dense tiles need {slots * (2 + wbytes) / 2**30:.1f} "
                 f"GiB > dense_budget {budget / 2**30:.1f} GiB; use "
                 "engine='xla'")
-        self.R_cells, self.W_cells = densify_cells(
-            jnp.asarray(cell.astype(np.int32)), jnp.asarray(u_loc),
-            jnp.asarray(i_loc), jnp.asarray(vals),
-            jnp.asarray(wts.astype(np.float32)),
+        # chunked flat scatters: the one-shot 3-index scatter's padded
+        # [nnz, 3] index matrix cost ~2x9.4 GiB of HLO temps at ML-20M
+        # scale (densify_rows_host docstring)
+        self.R_cells = densify_rows_host(
+            cell, u_loc, i_loc, vals, n_cells_pad=n_cells + 1,
+            bu=self.bu, bi=self.bi, dtype=vdtype)
+        self.W_cells = densify_rows_host(
+            cell, u_loc, i_loc, wts.astype(np.float32),
             n_cells_pad=n_cells + 1, bu=self.bu, bi=self.bi,
-            vdtype=vdtype, wdtype=wdtype)
+            dtype=wdtype)
 
     # ------------------------------------------------------------------
     def _build_schedule(self):
