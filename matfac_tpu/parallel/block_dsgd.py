@@ -426,11 +426,16 @@ class DenseBlockDSGDSolver:
 
     Dense tiles live sharded [N, N, SU, sub_bu, bi] (shard, round,
     stripe) — total HBM = the padded dense matrix, same as the
-    single-chip dense engine, split over shards. Single-PROCESS only
-    (the tiles are built by one global device scatter); multi-process
-    pods use BlockDSGDSolver/DSGDShardedSolver (train_model guards).
-    Rank-masked models route to the one-hot engines (same guard as
-    BlockSGDSolver engine='dense')."""
+    single-chip dense engine, split over shards. Multi-process pods
+    stage host-locally (round 5): each process densifies only the user
+    blocks whose shard lives on its addressable devices and assembles
+    the global tile array with make_array_from_process_local_data,
+    with permutations / staging-ladder choices made process-independent
+    by allgathered frequencies and allgather-agreed code scales (the
+    BlockDSGDSolver pattern; 2-process bit-equality pinned in
+    tests/test_parallel.py + tests/dense_bdsgd_worker.py). Rank-masked
+    models route to the one-hot engines (same guard as BlockSGDSolver
+    engine='dense')."""
 
     def __init__(self, model, params: Params, train_mat,
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
@@ -448,10 +453,6 @@ class DenseBlockDSGDSolver:
             raise ValueError(
                 "dense engines do not support rank-masked/sampled "
                 f"models; {model.name} -> BlockDSGDSolver or DSGD")
-        if jax.process_count() > 1:
-            raise ValueError("DenseBlockDSGDSolver stages tiles with "
-                             "one global scatter; multi-process runs "
-                             "use BlockDSGDSolver")
         self.model = model
         self.params = params
         self.mesh = mesh
@@ -486,9 +487,18 @@ class DenseBlockDSGDSolver:
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]
         r, c, v = r[keep], c[keep], v[keep]
-        self.nnz = len(r)
         u_freq = np.bincount(r, minlength=n_users).astype(np.int64)
         i_freq = np.bincount(c, minlength=n_items).astype(np.int64)
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # process-independent permutations from allgather-summed
+            # frequencies (the BlockDSGDSolver pattern — each process
+            # may hold only its host-local rating rows)
+            from jax.experimental import multihost_utils
+            u_freq = multihost_utils.process_allgather(
+                u_freq).sum(axis=0)
+            i_freq = multihost_utils.process_allgather(
+                i_freq).sum(axis=0)
 
         # user permutation: contiguous shard ownership, frequency
         # round-robined over the SU stripes within each shard
@@ -520,18 +530,36 @@ class DenseBlockDSGDSolver:
         self.u_perm_inv_dev = jnp.asarray(u_inv.astype(np.int32))
         self.i_perm_inv_dev = jnp.asarray(i_inv.astype(np.int32))
 
+        # multi-process: keep only the rows of the user blocks whose
+        # shard lives on this process's addressable devices
+        mesh_devs = np.asarray(mesh.devices).reshape(-1)
+        proc = jax.process_index()
+        self.local_blocks = [b for b in range(N)
+                             if mesh_devs[b].process_index == proc]
+        nb = len(self.local_blocks)
+        r2 = u_perm[r]
+        sh = r2 // self.bu
+        if multiproc:
+            local = np.isin(sh, self.local_blocks)
+            r, c, v = r[local], c[local], v[local]
+            r2, sh = r2[local], sh[local]
+        self.nnz = len(r)          # local nnz in multi-process runs
+
         w = np.asarray(model.example_weight(
             jnp.asarray(r.astype(np.int32)),
             jnp.asarray(c.astype(np.int32)))).astype(np.float32)
 
-        r2 = u_perm[r]
         c2 = i_perm[c]
-        sh = r2 // self.bu
         t = (c2 // self.bi - sh) % N
         su = (r2 % self.bu) // sub_bu
         ul = r2 % sub_bu
         il = c2 % self.bi
         uniform01 = bool(np.all((w == 0.0) | (w == 1.0)))
+        if multiproc:
+            # the staging LADDER choice must agree across processes
+            from jax.experimental import multihost_utils
+            uniform01 = bool(np.all(multihost_utils.process_allgather(
+                np.asarray(uniform01))))
         sharding = NamedSharding(mesh, P(axis, None, None, None, None))
         a32 = lambda x: jnp.asarray(x.astype(np.int32))
 
@@ -542,18 +570,56 @@ class DenseBlockDSGDSolver:
         from matfac_tpu.solvers.block_sgd import rating_code_scale
         self.r_scale = (rating_code_scale(v)
                         if uniform01 and dense_codes == "auto" else None)
+        if multiproc and dense_codes == "auto" and uniform01:
+            # the SCALE must agree across processes: allgather the
+            # local candidates, take the min, re-verify locally at it
+            from jax.experimental import multihost_utils
+            gs = multihost_utils.process_allgather(np.asarray(
+                np.nan if self.r_scale is None else self.r_scale))
+            gmin = float(np.min(gs))
+            ok = False
+            if np.all(np.isfinite(gs)):
+                codes = np.round(v.astype(np.float64) / gmin)
+                ok = (len(codes) == 0
+                      or (np.abs(codes).max() <= 127
+                          and np.abs(codes).min() >= 1
+                          and np.array_equal(
+                              codes.astype(np.float32)
+                              * np.float32(gmin), v)))
+            ok = bool(np.all(multihost_utils.process_allgather(
+                np.asarray(ok))))
+            self.r_scale = gmin if ok else None
+
+        def local5(a, fill, dtype):
+            """[nb, N, SU, sub_bu, bi] host-local dense tiles."""
+            blk_pos = np.full(N, -1, np.int64)
+            blk_pos[self.local_blocks] = np.arange(nb)
+            out = np.full((nb, N, self.SU, sub_bu, self.bi), fill,
+                          dtype)
+            out[blk_pos[sh], t, su, ul, il] = a
+            return out
+
         if self.r_scale is not None:
-
-            @functools.partial(jax.jit, out_shardings=sharding)
-            def densify_c(sh_d, t_d, su_d, ul_d, il_d, code_d):
-                R = jnp.zeros((N, N, self.SU, sub_bu, self.bi),
-                              jnp.int8)
-                return R.at[sh_d, t_d, su_d, ul_d, il_d].add(code_d)
-
             codes = np.round(v.astype(np.float64) / self.r_scale)
-            self.R_tiles = densify_c(
-                a32(sh), a32(t), a32(su), a32(ul), a32(il),
-                jnp.asarray(codes.astype(np.int8)))
+            if multiproc:
+                # host-local densify + global assembly (the one-hot
+                # engine's make_array_from_process_local_data pattern;
+                # host RAM cost = the process's grid share)
+                self.R_tiles = jax.make_array_from_process_local_data(
+                    sharding, local5(codes.astype(np.int8), 0,
+                                     np.int8),
+                    (N, N, self.SU, sub_bu, self.bi))
+            else:
+
+                @functools.partial(jax.jit, out_shardings=sharding)
+                def densify_c(sh_d, t_d, su_d, ul_d, il_d, code_d):
+                    R = jnp.zeros((N, N, self.SU, sub_bu, self.bi),
+                                  jnp.int8)
+                    return R.at[sh_d, t_d, su_d, ul_d, il_d].add(code_d)
+
+                self.R_tiles = densify_c(
+                    a32(sh), a32(t), a32(su), a32(ul), a32(il),
+                    jnp.asarray(codes.astype(np.int8)))
             self.W_tiles = None
         else:
             wdtype = jnp.int8 if uniform01 else jnp.bfloat16
@@ -562,22 +628,35 @@ class DenseBlockDSGDSolver:
                     f"dense DSGD tiles need {slots*3/2**30:.1f} GiB > "
                     f"budget {dense_budget_bytes/2**30:.1f} GiB; use "
                     "BlockDSGDSolver")
+            if multiproc:
+                import ml_dtypes
+                shape5 = (N, N, self.SU, sub_bu, self.bi)
+                self.R_tiles = jax.make_array_from_process_local_data(
+                    sharding,
+                    local5(v.astype(ml_dtypes.bfloat16), 0,
+                           ml_dtypes.bfloat16), shape5)
+                wnp = (np.int8 if wdtype == jnp.int8
+                       else ml_dtypes.bfloat16)
+                self.W_tiles = jax.make_array_from_process_local_data(
+                    sharding, local5(w.astype(wnp), 0, wnp), shape5)
+            else:
 
-            @functools.partial(jax.jit,
-                               out_shardings=(sharding, sharding))
-            def densify(sh_d, t_d, su_d, ul_d, il_d, v_d, w_d):
-                shape = (N, N, self.SU, sub_bu, self.bi)
-                R = jnp.zeros(shape, jnp.bfloat16)
-                W = jnp.zeros(shape, wdtype)
-                R = R.at[sh_d, t_d, su_d, ul_d, il_d].add(
-                    v_d.astype(jnp.bfloat16))
-                W = W.at[sh_d, t_d, su_d, ul_d, il_d].add(
-                    w_d.astype(wdtype))
-                return R, W
+                @functools.partial(jax.jit,
+                                   out_shardings=(sharding, sharding))
+                def densify(sh_d, t_d, su_d, ul_d, il_d, v_d, w_d):
+                    shape = (N, N, self.SU, sub_bu, self.bi)
+                    R = jnp.zeros(shape, jnp.bfloat16)
+                    W = jnp.zeros(shape, wdtype)
+                    R = R.at[sh_d, t_d, su_d, ul_d, il_d].add(
+                        v_d.astype(jnp.bfloat16))
+                    W = W.at[sh_d, t_d, su_d, ul_d, il_d].add(
+                        w_d.astype(wdtype))
+                    return R, W
 
-            self.R_tiles, self.W_tiles = densify(
-                a32(sh), a32(t), a32(su), a32(ul), a32(il),
-                jnp.asarray(v.astype(np.float32)), jnp.asarray(w))
+                self.R_tiles, self.W_tiles = densify(
+                    a32(sh), a32(t), a32(su), a32(ul), a32(il),
+                    jnp.asarray(v.astype(np.float32)),
+                    jnp.asarray(w))
         self._epoch = self._build_epoch()
         self._resident = None
         self._last_u_view = None

@@ -685,3 +685,65 @@ def test_dense_block_dsgd_codes_bit_exact(setup):
         sf = flt.epoch(sf, 0.03, k)
     assert np.array_equal(np.asarray(sc.u_fac), np.asarray(sf.u_fac))
     assert np.array_equal(np.asarray(sc.i_fac), np.asarray(sf.i_fac))
+
+
+@pytest.mark.parametrize("mode", ["float", "codes"])
+def test_dense_block_dsgd_two_process_distributed(tmp_path, mode):
+    """VERDICT r4 #5: two jax.distributed processes, each staging only
+    its host-local DENSE tiles (float and int8-code ladders), produce
+    the SAME trained factors as one process staging everything."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "dense_bdsgd_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(worker))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i), str(tmp_path), mode],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i}:\n{outs[i]}"
+        assert "WORKER_OK" in outs[i]
+    multi = np.load(str(tmp_path / f"multi_{mode}.npz"))
+
+    # identical problem, single process, 8-device mesh
+    from matfac_tpu.data.synthetic import synthetic_data
+    from matfac_tpu.parallel.block_dsgd import DenseBlockDSGDSolver
+    from matfac_tpu.utils import freq as ufreq
+    data, _, _ = synthetic_data(n_users=64, n_items=48, k=3,
+                                density=0.3, seed=11, noise=0.05,
+                                nonneg=True)
+    if mode == "codes":
+        m = data.train_mat
+        m.values[:] = (np.clip(np.round(m.values / 0.5), 1, 10)
+                       * 0.5).astype(np.float32)
+    params = Params(fac_dim=3, u_reg=0.02, i_reg=0.02, learn_rate=0.03,
+                    seed=3)
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    mesh = make_mesh()
+    model = ModelMF(params, data.n_users, data.n_items)
+    solver = DenseBlockDSGDSolver(model, params, data.train_mat, iu,
+                                  ii, mesh, sub_bu=8, mm_bf16=False)
+    state = init_state(params, data.n_users, data.n_items, seed=7)
+    key = jax.random.PRNGKey(5)
+    for _ in range(2):
+        key, ek = jax.random.split(key)
+        state = solver.epoch(state, params.learn_rate, ek)
+    assert np.array_equal(np.asarray(state.u_fac), multi["u_fac"])
+    assert np.array_equal(np.asarray(state.i_fac), multi["i_fac"])
