@@ -200,6 +200,47 @@ def main():
         # headline numbers their JSON line
         bpr_pps = hr_ms = None
 
+    # driver-visible FULL-shape headline (VERDICT r4 #9): when the
+    # medium bench runs on a real accelerator, stage one extra
+    # full-shape densesgd measurement so the headline number lands in
+    # BENCH_r*.json each round (watchdog-guarded like everything else)
+    full_dense_rps = None
+    full_dense_epoch_s = None
+    try:
+        if (SCALE == "medium"
+                and jax.devices()[0].platform not in ("cpu",)):
+            fu, fi, fk, fd = 100_000, 20_000, 64, 0.005
+            fmat, _, _ = low_rank_ratings(fu, fi, k=8, density=fd,
+                                          seed=0, noise=0.1,
+                                          power_law=0.6, nonneg=True)
+            fparams = Params(fac_dim=fk, u_reg=0.01, i_reg=0.01,
+                             learn_rate=0.005, seed=0)
+            f_iu, f_ii = freq.invalid_users_items(fmat, fu, fi)
+            fmodel = ModelMF(fparams, fu, fi)
+            fden = BlockSGDSolver(fmodel, fparams, fmat, f_iu, f_ii,
+                                  collision_norm=True, engine="dense",
+                                  bu=None, bi=None)
+
+            def time_epochs_full(solver, n):
+                state = init_state(fparams, fu, fi)
+                key = jax.random.PRNGKey(0)
+                for _ in range(2):
+                    key, k1 = jax.random.split(key)
+                    state = solver.epoch(state, fparams.learn_rate, k1)
+                force(state)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    key, k1 = jax.random.split(key)
+                    state = solver.epoch(state, fparams.learn_rate, k1)
+                force(state)
+                return (time.perf_counter() - t0) / n
+
+            full_dense_epoch_s = time_epochs_full(fden, TIMED_EPOCHS)
+            full_dense_rps = fden.nnz / full_dense_epoch_s
+            del fden, fmat
+    except Exception:  # noqa: BLE001 — never cost the medium numbers
+        full_dense_rps = None
+
     candidates = {"sgd": sgd_rps, "blocksgd": blk_rps}
     if dense_rps is not None:
         candidates["densesgd"] = dense_rps
@@ -228,6 +269,11 @@ def main():
             "als_ratings_per_sec": round(als_rps, 1),
             "alsdense_ratings_per_sec": (round(alsdense_rps, 1)
                                          if alsdense_rps else None),
+            "full_densesgd_epoch_s": (round(full_dense_epoch_s, 4)
+                                      if full_dense_epoch_s else None),
+            "full_densesgd_ratings_per_sec": (round(full_dense_rps, 1)
+                                              if full_dense_rps
+                                              else None),
         },
     }
     if bpr_pps is not None:
