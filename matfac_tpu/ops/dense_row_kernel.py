@@ -155,3 +155,128 @@ def dense_rows_epoch_pallas(u_tab3: jax.Array, i_tab: jax.Array,
         interpret=interpret,
     )(row_of, lr_arr, u_tab3, R_rows, W_rows, i_tab)
     return u_out, i_out
+
+
+# ----------------------------------------------------------------------
+# Round 5: bf16-resident i-table + int8 rating-code panels
+# ----------------------------------------------------------------------
+
+def _make_codes_kernel(NP: int, panel: int, bu: int, k: int,
+                       r_scale: float, u_reg: float, i_reg: float,
+                       collision_norm: bool):
+    def kernel(row_of_ref, lr_ref, u_in, r_in, i_in,
+               u_out, i_out, acc_ref, cnt_ref):
+        t = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((t == 0) & (j == 0))
+        def _():
+            i_out[:, :] = i_in[:, :]
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+            cnt_ref[:, :] = jnp.zeros_like(cnt_ref)
+
+        lr = lr_ref[0]
+        U = u_in[0]                                   # [bu, k] f32
+        I = i_out[pl.ds(j * panel, panel), :]         # [panel, k] bf16
+        code = r_in[0]                                # [bu, panel] int8
+        vm = (code != 0).astype(jnp.float32)
+        Rf = code.astype(jnp.float32) * r_scale
+        P = jnp.dot(U.astype(jnp.bfloat16), I.T,
+                    preferred_element_type=jnp.float32)
+        E = vm * (Rf - P)
+        Em = E.astype(jnp.bfloat16)
+
+        # item update (old U); f32 arithmetic, bf16 store
+        cnt_i = jnp.sum(vm, axis=0, keepdims=True).T  # [panel, 1]
+        If = I.astype(jnp.float32)
+        gi = (-2.0 * jnp.dot(Em.T, U.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+              + (2.0 * i_reg) * cnt_i * If)
+        if collision_norm:
+            gi = gi / jnp.maximum(cnt_i, 1.0)
+        i_out[pl.ds(j * panel, panel), :] = (
+            If - lr * gi).astype(jnp.bfloat16)
+
+        # user-side accumulation (old I)
+        acc_ref[:, :] += jnp.dot(Em, I,
+                                 preferred_element_type=jnp.float32)
+        cnt_ref[:, :] += jnp.sum(vm, axis=1, keepdims=True)
+
+        @pl.when(j == NP - 1)
+        def _():
+            cnt_u = cnt_ref[:, :]
+            gu = (-2.0 * acc_ref[:, :] + (2.0 * u_reg) * cnt_u * U)
+            if collision_norm:
+                gu = gu / jnp.maximum(cnt_u, 1.0)
+            u_out[0] = U - lr * gu
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("panel", "r_scale", "u_reg", "i_reg",
+                     "collision_norm", "interpret"))
+def dense_rows_codes_pallas(u_tab3: jax.Array, i_tab_bf16: jax.Array,
+                            row_of: jax.Array, lr,
+                            R_rows: jax.Array, panel: int,
+                            r_scale: float, u_reg: float, i_reg: float,
+                            collision_norm: bool,
+                            interpret: bool = False
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Row-stripe dense epoch, VMEM-panel residuals, with the item
+    table RESIDENT IN bf16 and ratings as int8 CODE panels — the
+    round-5 geometry that fits the 16 MB scoped-VMEM envelope where
+    the f32+weights variant could not (PERF.md "Row-dense SGD
+    engine"): i-table in+out 2 x 2.6 MB (bf16, vs 2 x 5.2 f32), u
+    stripes 4 x 0.66, ONE int8 code panel stream 2 x 0.33 (validity
+    derives from code != 0 — no W input at all), acc/cnt 0.67.
+
+    Update math = cell_dense_update on the stripe with two documented
+    precision deviations: (a) item rows STORE bf16 between updates
+    (the arithmetic is f32; each of the NU per-epoch stores rounds to
+    8 mantissa bits), and (b) prediction reads the bf16 row directly
+    (the XLA engine casts an f32 row to bf16 — same matmul precision,
+    different accumulated table state). u rows stay f32 end-to-end.
+
+    u_tab3 [NU, bu, k] f32; i_tab_bf16 [ni_pad, k] bf16;
+    R_rows [>= NU, bu, ni_pad] int8 codes; rating = code * r_scale.
+    """
+    NU, bu, k = u_tab3.shape
+    ni_pad = i_tab_bf16.shape[0]
+    assert ni_pad % panel == 0
+    assert i_tab_bf16.dtype == jnp.bfloat16
+    NP = ni_pad // panel
+    kernel = _make_codes_kernel(NP, panel, bu, k, float(r_scale),
+                                u_reg, i_reg, collision_norm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # row_of, lr
+        grid=(NU, NP),
+        in_specs=[
+            pl.BlockSpec((1, bu, k), lambda t, j, ro, lr: (ro[t], 0, 0)),
+            pl.BlockSpec((1, bu, panel),
+                         lambda t, j, ro, lr: (ro[t], 0, j)),
+            pl.BlockSpec((ni_pad, k), lambda t, j, ro, lr: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bu, k), lambda t, j, ro, lr: (ro[t], 0, 0)),
+            pl.BlockSpec((ni_pad, k), lambda t, j, ro, lr: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bu, k), jnp.float32),    # user grad accumulator
+            pltpu.VMEM((bu, 1), jnp.float32),    # user valid counts
+        ],
+    )
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1)
+    u_out, i_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(u_tab3.shape, u_tab3.dtype),
+                   jax.ShapeDtypeStruct(i_tab_bf16.shape,
+                                        jnp.bfloat16)],
+        interpret=interpret,
+    )(row_of, lr_arr, u_tab3, R_rows, i_tab_bf16)
+    return u_out, i_out

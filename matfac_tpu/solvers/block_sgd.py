@@ -231,7 +231,7 @@ class BlockSGDSolver:
                 if _cdiv(n_users, bu) < 8:
                     bu = min(2560, max(_cdiv(target, 8) * 8, 8))
             self.pad_k = 0  # dense FLOP is ∝ k: padding is not free
-            if dense_kernel not in ("xla", "pallas"):
+            if dense_kernel not in ("xla", "pallas", "pallas_codes"):
                 raise ValueError(f"unknown dense_kernel {dense_kernel!r}")
             if dense_codes not in ("auto", "off", "lossy"):
                 raise ValueError(f"unknown dense_codes {dense_codes!r}")
@@ -242,10 +242,11 @@ class BlockSGDSolver:
                 bi = 1024
         self.dense_kernel = dense_kernel if engine == "dense" else "xla"
         self.dense_panel = dense_panel
-        # the Pallas panel kernel does not thread code scales (yet);
-        # it keeps float tiles
+        # the f32 Pallas panel kernel keeps float tiles; the bf16
+        # pallas_codes kernel REQUIRES code tiles (checked after
+        # staging)
         self.dense_codes = (dense_codes if engine == "dense"
-                            and dense_kernel == "xla" else "off")
+                            and dense_kernel != "pallas" else "off")
         self.r_scale = None
         self.bu, self.bi = bu, bi
         self.NU = _cdiv(n_users, bu)
@@ -282,6 +283,22 @@ class BlockSGDSolver:
                     f"pallas dense-row working set ~{est/2**20:.1f} MiB "
                     "risks the 16 MB scoped-VMEM limit (and a compile-"
                     "helper hang near it); use dense_kernel='xla'")
+        if self.dense_kernel == "pallas_codes":
+            # bf16-resident i-table + int8 code panels (round 5): the
+            # same scoped-VMEM accounting with the i-table at 2 B and
+            # ONE 1 B panel stream instead of bf16 R + int8 W
+            if self.NI != 1:
+                raise ValueError("dense_kernel='pallas_codes' needs "
+                                 "the row layout (bi=None)")
+            if self.n_items_pad % dense_panel:
+                raise ValueError("panel must divide the padded catalog")
+            est = (2 * self.n_items_pad * k * 2
+                   + bu * dense_panel * 11 + bu * (k * 20 + 8))
+            if est > 14 << 20:
+                raise ValueError(
+                    f"pallas_codes working set ~{est/2**20:.1f} MiB "
+                    "risks the 16 MB scoped-VMEM limit; use "
+                    "dense_kernel='xla'")
 
         r, c, v = train_mat.to_coo()
         keep = ~invalid_users[r] & ~invalid_items[c]
@@ -378,6 +395,14 @@ class BlockSGDSolver:
                               (c % bi).astype(np.int32),
                               v.astype(np.float32), w, n_cells,
                               dense_budget_bytes)
+            if self.dense_kernel == "pallas_codes" and (
+                    self.W_cells is not None):
+                raise ValueError(
+                    "dense_kernel='pallas_codes' needs int8 rating-"
+                    "code tiles: the data must be exactly star-grid "
+                    "representable with uniform 0/1 weights "
+                    "(rating_code_scale) — or pass "
+                    "dense_codes='lossy'")
             if self.use_mask:
                 # factorized TMF masks in relabeled order (+ all-ones
                 # dummy stripe matching the u_tab3 layout); pad
@@ -623,6 +648,30 @@ class BlockSGDSolver:
                         i_reg=float(self.params.i_reg),
                         collision_norm=self.collision_norm,
                         mm_bf16=self.mm_bf16,
+                        interpret=self.interpret)
+                elif self.dense_kernel == "pallas_codes":
+                    # bf16-resident i-table: cast ONCE on entry; the
+                    # resident layout stays bf16 across epochs (the
+                    # documented store-rounding deviation,
+                    # ops/dense_row_kernel.dense_rows_codes_pallas)
+                    from matfac_tpu.ops.block_sgd_kernel import \
+                        device_diag_schedule
+                    from matfac_tpu.ops.dense_row_kernel import \
+                        dense_rows_codes_pallas
+                    ub_idx, _, _ = device_diag_schedule(
+                        ek, self.NU, 1, 1)
+                    u3in = (u_tab if u_tab.shape[0] == self.NU
+                            else u_tab[:self.NU])
+                    i_in = i_tab.reshape(self.n_items_pad, k0)
+                    if i_in.dtype != jnp.bfloat16:
+                        i_in = i_in.astype(jnp.bfloat16)
+                    u3, i2 = dense_rows_codes_pallas(
+                        u3in, i_in, ub_idx[:, 0], jnp.float32(lr),
+                        self.R_cells, panel=self.dense_panel,
+                        r_scale=self.r_scale,
+                        u_reg=float(self.params.u_reg),
+                        i_reg=float(self.params.i_reg),
+                        collision_norm=self.collision_norm,
                         interpret=self.interpret)
                 else:
                     # row-stripe sweep (scalar-indexed stripes; see

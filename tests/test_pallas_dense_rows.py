@@ -80,3 +80,75 @@ def test_pallas_rows_vmem_gate():
     with pytest.raises(ValueError, match="VMEM|row layout"):
         BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=32,
                        engine="dense", dense_kernel="pallas")
+
+
+# ----------------------------------------------------------------------
+# bf16-resident + int8-code kernel (round 5)
+# ----------------------------------------------------------------------
+
+def _star_setup(n_users=60, n_items=40, seed=7):
+    mat, params, iu, ii = _setup(n_users, n_items, seed)
+    q = np.clip(np.round(mat.values / 0.5), 1, 10) * 0.5
+    mat.values[:] = q.astype(np.float32)
+    return mat, params, iu, ii
+
+
+@pytest.mark.parametrize("collision_norm", [False, True])
+def test_pallas_codes_matches_xla_rows(collision_norm):
+    """Interpret-mode parity: the bf16-resident code kernel tracks the
+    XLA rows engine (mm_bf16=True so the matmul precision matches)
+    within the documented bf16 i-table store rounding (~4e-3 rel after
+    2 epochs at this scale); u rows are f32 end-to-end so they inherit
+    only the i-table drift."""
+    mat, params, iu, ii = _star_setup()
+    model = ModelMF(params, 60, 40)
+    pal = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                         collision_norm=collision_norm,
+                         engine="dense", dense_kernel="pallas_codes",
+                         dense_panel=64, interpret=True)
+    assert pal.W_cells is None and pal.r_scale == 0.5
+    xla = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                         collision_norm=collision_norm,
+                         engine="dense", dense_codes="auto")
+    assert xla.W_cells is None
+    sp = init_state(params, 60, 40, seed=3)
+    sx = init_state(params, 60, 40, seed=3)
+    for _ in range(2):
+        sp = pal.epoch(sp, params.learn_rate, None)
+        sx = xla.epoch(sx, params.learn_rate, None)
+    np.testing.assert_allclose(np.asarray(sp.u_fac),
+                               np.asarray(sx.u_fac),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sp.i_fac),
+                               np.asarray(sx.i_fac),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_pallas_codes_requires_code_tiles():
+    mat, params, iu, ii = _setup()   # continuous ratings
+    model = ModelMF(params, 60, 40)
+    with pytest.raises(ValueError, match="star-grid|code"):
+        BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                       engine="dense", dense_kernel="pallas_codes",
+                       dense_panel=64, interpret=True)
+
+
+def test_pallas_codes_converges():
+    mat, params, iu, ii = _star_setup(n_users=120, n_items=80)
+    model = ModelMF(params, 120, 80)
+    solver = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                            collision_norm=True, engine="dense",
+                            dense_kernel="pallas_codes",
+                            dense_panel=64, interpret=True)
+    state = init_state(params, 120, 80, seed=1)
+    for _ in range(100):
+        state = solver.epoch(state, params.learn_rate, None)
+    r, c, v = mat.to_coo()
+    keep = ~iu[r] & ~ii[c]
+    r, c, v = r[keep], c[keep], v[keep]
+    pred = np.sum(np.asarray(state.u_fac)[r]
+                  * np.asarray(state.i_fac)[c], axis=1)
+    rmse = float(np.sqrt(np.mean((pred - v) ** 2)))
+    # tracks the XLA code engine's own trajectory (0.289 at 100
+    # epochs measured) within bf16 table rounding
+    assert rmse < 0.35, rmse
