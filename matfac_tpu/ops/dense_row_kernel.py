@@ -181,19 +181,26 @@ def _make_codes_kernel(NP: int, panel: int, bu: int, k: int,
         lr = lr_ref[0]
         U = u_in[0]                                   # [bu, k] f32
         I = i_out[pl.ds(j * panel, panel), :]         # [panel, k] bf16
-        code = r_in[0]                                # [bu, panel] int8
+        code = r_in[0, 0]                             # [bu, panel] int8
         vm = (code != 0).astype(jnp.float32)
         Rf = code.astype(jnp.float32) * r_scale
-        P = jnp.dot(U.astype(jnp.bfloat16), I.T,
-                    preferred_element_type=jnp.float32)
+        Ub = U.astype(jnp.bfloat16)
+        # all contractions via dot_general dimension numbers — an
+        # explicit .T materializes a VPU transpose under Mosaic
+        # (measured 2x on the panel axis), while the MXU contracts
+        # either operand axis natively
+        P = jax.lax.dot_general(
+            Ub, I, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [bu, panel]
         E = vm * (Rf - P)
         Em = E.astype(jnp.bfloat16)
 
         # item update (old U); f32 arithmetic, bf16 store
-        cnt_i = jnp.sum(vm, axis=0, keepdims=True).T  # [panel, 1]
+        cnt_i = jnp.sum(vm, axis=0)[:, None]          # [panel, 1]
         If = I.astype(jnp.float32)
-        gi = (-2.0 * jnp.dot(Em.T, U.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
+        gi = (-2.0 * jax.lax.dot_general(
+                  Em, Ub, (((0,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32)  # [panel, k]
               + (2.0 * i_reg) * cnt_i * If)
         if collision_norm:
             gi = gi / jnp.maximum(cnt_i, 1.0)
@@ -201,8 +208,9 @@ def _make_codes_kernel(NP: int, panel: int, bu: int, k: int,
             If - lr * gi).astype(jnp.bfloat16)
 
         # user-side accumulation (old I)
-        acc_ref[:, :] += jnp.dot(Em, I,
-                                 preferred_element_type=jnp.float32)
+        acc_ref[:, :] += jax.lax.dot_general(
+            Em, I, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [bu, k]
         cnt_ref[:, :] += jnp.sum(vm, axis=1, keepdims=True)
 
         @pl.when(j == NP - 1)
@@ -243,13 +251,19 @@ def dense_rows_codes_pallas(u_tab3: jax.Array, i_tab_bf16: jax.Array,
     different accumulated table state). u rows stay f32 end-to-end.
 
     u_tab3 [NU, bu, k] f32; i_tab_bf16 [ni_pad, k] bf16;
-    R_rows [>= NU, bu, ni_pad] int8 codes; rating = code * r_scale.
+    R_panels [NU, NP, bu, panel] int8 codes in PANEL-MAJOR layout
+    (rating = code * r_scale): slicing panels out of a row-major
+    [bu, ni_pad] tile makes every HBM->VMEM panel fetch 2560 strided
+    128 B bursts — measured 51 of the 53 ms epoch (~40 GB/s effective,
+    5% of HBM). Panel-major blocks are contiguous; the solver
+    transposes the staged grid once at init.
     """
     NU, bu, k = u_tab3.shape
     ni_pad = i_tab_bf16.shape[0]
     assert ni_pad % panel == 0
     assert i_tab_bf16.dtype == jnp.bfloat16
     NP = ni_pad // panel
+    assert R_rows.shape[:2] == (NU, NP), R_rows.shape
     kernel = _make_codes_kernel(NP, panel, bu, k, float(r_scale),
                                 u_reg, i_reg, collision_norm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -257,8 +271,8 @@ def dense_rows_codes_pallas(u_tab3: jax.Array, i_tab_bf16: jax.Array,
         grid=(NU, NP),
         in_specs=[
             pl.BlockSpec((1, bu, k), lambda t, j, ro, lr: (ro[t], 0, 0)),
-            pl.BlockSpec((1, bu, panel),
-                         lambda t, j, ro, lr: (ro[t], 0, j)),
+            pl.BlockSpec((1, 1, bu, panel),
+                         lambda t, j, ro, lr: (ro[t], j, 0, 0)),
             pl.BlockSpec((ni_pad, k), lambda t, j, ro, lr: (0, 0)),
         ],
         out_specs=[
@@ -280,3 +294,30 @@ def dense_rows_codes_pallas(u_tab3: jax.Array, i_tab_bf16: jax.Array,
         interpret=interpret,
     )(row_of, lr_arr, u_tab3, R_rows, i_tab_bf16)
     return u_out, i_out
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1),
+    static_argnames=("panel", "r_scale", "u_reg", "i_reg",
+                     "collision_norm", "interpret"))
+def dense_rows_codes_epoch_keyed(u_tab3: jax.Array,
+                                 i_tab_bf16: jax.Array,
+                                 key: jax.Array, lr,
+                                 R_rows: jax.Array, panel: int,
+                                 r_scale: float, u_reg: float,
+                                 i_reg: float, collision_norm: bool,
+                                 interpret: bool = False
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """dense_rows_codes_pallas with the stripe order generated inside
+    ONE jitted program (device_diag_schedule(G=1), the same key
+    semantics as the XLA rows engine). Folding the schedule + kernel
+    into a single dispatch matters on the tunnel device: the eager
+    schedule/slice plumbing around the raw pallas_call measured
+    20-40 ms of a 19 ms kernel epoch."""
+    from matfac_tpu.ops.block_sgd_kernel import device_diag_schedule
+    NU = u_tab3.shape[0]
+    ub_idx, _, _ = device_diag_schedule(key, NU, 1, 1)
+    return dense_rows_codes_pallas(
+        u_tab3, i_tab_bf16, ub_idx[:, 0], lr, R_rows, panel=panel,
+        r_scale=r_scale, u_reg=u_reg, i_reg=i_reg,
+        collision_norm=collision_norm, interpret=interpret)

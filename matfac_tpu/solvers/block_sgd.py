@@ -395,14 +395,26 @@ class BlockSGDSolver:
                               (c % bi).astype(np.int32),
                               v.astype(np.float32), w, n_cells,
                               dense_budget_bytes)
-            if self.dense_kernel == "pallas_codes" and (
-                    self.W_cells is not None):
-                raise ValueError(
-                    "dense_kernel='pallas_codes' needs int8 rating-"
-                    "code tiles: the data must be exactly star-grid "
-                    "representable with uniform 0/1 weights "
-                    "(rating_code_scale) — or pass "
-                    "dense_codes='lossy'")
+            if self.dense_kernel == "pallas_codes":
+                if self.W_cells is not None:
+                    raise ValueError(
+                        "dense_kernel='pallas_codes' needs int8 "
+                        "rating-code tiles: the data must be exactly "
+                        "star-grid representable with uniform 0/1 "
+                        "weights (rating_code_scale) — or pass "
+                        "dense_codes='lossy'")
+                # panel-major relayout (one-time device transpose):
+                # strided panel slices out of the row-major grid
+                # measured 51 ms of a 53 ms epoch (kernel docstring)
+                NP = self.n_items_pad // dense_panel
+
+                @jax.jit
+                def to_panels(Rc):
+                    return Rc[:self.NU].reshape(
+                        self.NU, bu, NP, dense_panel
+                    ).transpose(0, 2, 1, 3)
+
+                self.R_cells = to_panels(self.R_cells)
             if self.use_mask:
                 # factorized TMF masks in relabeled order (+ all-ones
                 # dummy stripe matching the u_tab3 layout); pad
@@ -652,21 +664,18 @@ class BlockSGDSolver:
                 elif self.dense_kernel == "pallas_codes":
                     # bf16-resident i-table: cast ONCE on entry; the
                     # resident layout stays bf16 across epochs (the
-                    # documented store-rounding deviation,
-                    # ops/dense_row_kernel.dense_rows_codes_pallas)
-                    from matfac_tpu.ops.block_sgd_kernel import \
-                        device_diag_schedule
+                    # documented store-rounding deviation), and the
+                    # schedule folds into the ONE jitted dispatch
+                    # (ops/dense_row_kernel.dense_rows_codes_epoch_keyed)
                     from matfac_tpu.ops.dense_row_kernel import \
-                        dense_rows_codes_pallas
-                    ub_idx, _, _ = device_diag_schedule(
-                        ek, self.NU, 1, 1)
+                        dense_rows_codes_epoch_keyed
                     u3in = (u_tab if u_tab.shape[0] == self.NU
                             else u_tab[:self.NU])
                     i_in = i_tab.reshape(self.n_items_pad, k0)
                     if i_in.dtype != jnp.bfloat16:
                         i_in = i_in.astype(jnp.bfloat16)
-                    u3, i2 = dense_rows_codes_pallas(
-                        u3in, i_in, ub_idx[:, 0], jnp.float32(lr),
+                    u3, i2 = dense_rows_codes_epoch_keyed(
+                        u3in, i_in, ek, jnp.float32(lr),
                         self.R_cells, panel=self.dense_panel,
                         r_scale=self.r_scale,
                         u_reg=float(self.params.u_reg),
@@ -706,10 +715,14 @@ class BlockSGDSolver:
             i_flat = i3.reshape(self.n_items_pad, kk)
             u_view = u_flat[self.u_perm_dev][:, :self.model.k]
             i_view = i_flat[self.i_perm_dev][:, :self.model.k]
-            self._last_u_view, self._last_i_view = u_view, i_view
-            return state._replace(
-                u_fac=u_view.astype(state.u_fac.dtype),
-                i_fac=i_view.astype(state.i_fac.dtype))
+            # store the POST-cast arrays: astype to a different dtype
+            # returns a new object, and a stale identity here makes the
+            # resident check miss every epoch (re-staging cost the
+            # pallas_codes path ~2x its kernel time — bf16 views)
+            u_ret = u_view.astype(state.u_fac.dtype)
+            i_ret = i_view.astype(state.i_fac.dtype)
+            self._last_u_view, self._last_i_view = u_ret, i_ret
+            return state._replace(u_fac=u_ret, i_fac=i_ret)
         common = dict(
             bs=self.bs, bu=self.bu, bi=self.bi, NI=self.NI,
             u_reg=float(self.params.u_reg),
@@ -733,10 +746,14 @@ class BlockSGDSolver:
             i_flat = i3.reshape(self.n_items_pad, k)
             u_view = u_flat[self.u_perm_dev][:, :self.model.k]
             i_view = i_flat[self.i_perm_dev][:, :self.model.k]
-            self._last_u_view, self._last_i_view = u_view, i_view
-            return state._replace(
-                u_fac=u_view.astype(state.u_fac.dtype),
-                i_fac=i_view.astype(state.i_fac.dtype))
+            # store the POST-cast arrays: astype to a different dtype
+            # returns a new object, and a stale identity here makes the
+            # resident check miss every epoch (re-staging cost the
+            # pallas_codes path ~2x its kernel time — bf16 views)
+            u_ret = u_view.astype(state.u_fac.dtype)
+            i_ret = i_view.astype(state.i_fac.dtype)
+            self._last_u_view, self._last_i_view = u_ret, i_ret
+            return state._replace(u_fac=u_ret, i_fac=i_ret)
         row_of, ib_seq, boff = self._build_schedule()
         if self.engine == "xla":
             u_tab, i_tab = block_sgd_epoch_xla(
@@ -754,6 +771,7 @@ class BlockSGDSolver:
         # space, so gather BEFORE any truncation)
         u_view = u_tab[self.u_perm_dev][:, :self.model.k]
         i_view = i_tab[self.i_perm_dev][:, :self.model.k]
-        self._last_u_view, self._last_i_view = u_view, i_view
-        return state._replace(u_fac=u_view.astype(state.u_fac.dtype),
-                              i_fac=i_view.astype(state.i_fac.dtype))
+        u_ret = u_view.astype(state.u_fac.dtype)
+        i_ret = i_view.astype(state.i_fac.dtype)
+        self._last_u_view, self._last_i_view = u_ret, i_ret
+        return state._replace(u_fac=u_ret, i_fac=i_ret)
