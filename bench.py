@@ -129,6 +129,30 @@ def main():
     except Exception:  # noqa: BLE001 — budget guard or OOM
         dense_rps = None
 
+    # int8 rating-CODE dense engine (round 5): the same row-dense
+    # engine on star-quantized ratings (the realistic ML data class —
+    # exactly representable as code * 0.5) stages 1 B/slot and reads
+    # 3x less R+W per epoch; measured 524.6M ratings/s at the full
+    # shape vs the float row's 404.8M. Rides as an extra so the float
+    # number stays the cross-round comparable.
+    dense_codes_rps = None
+    try:
+        if dense_rps is not None:
+            import numpy as _np
+            smat = mat.copy()
+            smat.values[:] = (_np.clip(_np.round(smat.values / 0.5),
+                                       1, 10) * 0.5).astype(_np.float32)
+            dcod = BlockSGDSolver(model, params, smat, inval_u,
+                                  inval_i, collision_norm=True,
+                                  engine="dense", bu=None, bi=None,
+                                  dense_codes="auto")
+            if dcod.W_cells is None:   # codes actually staged
+                dense_codes_rps = dcod.nnz / time_epochs(dcod,
+                                                         TIMED_EPOCHS)
+            del dcod, smat
+    except Exception:  # noqa: BLE001
+        dense_codes_rps = None
+
     # warm-started CG solves: the ALS perf path (exact-solve parity is
     # a solver option; see solvers/als.py solve_spd_cg)
     als = ALSSolver(model, params, mat, inval_u, inval_i, cg_iters=6)
@@ -265,6 +289,9 @@ def main():
                                  if dense_epoch_s else None),
             "densesgd_ratings_per_sec": (round(dense_rps, 1)
                                          if dense_rps else None),
+            "densesgd_codes_ratings_per_sec": (
+                round(dense_codes_rps, 1) if dense_codes_rps
+                else None),
             "als_epoch_s": round(als_epoch_s, 4),
             "als_ratings_per_sec": round(als_rps, 1),
             "alsdense_ratings_per_sec": (round(alsdense_rps, 1)
