@@ -72,7 +72,8 @@ class DenseBPRSolver:
                  invalid_users: np.ndarray, invalid_items: np.ndarray,
                  bu: Optional[int] = None, n_negs: int = 1,
                  collision_norm: bool = False,
-                 dense_budget_bytes: int = 8 << 30, **_):
+                 dense_budget_bytes: int = 8 << 30,
+                 panel_q: Optional[int] = None, **_):
         """collision_norm=False (default) sums the stripe's per-pair
         gradients — the stream engine's (and reference's) semantics at
         the same learn_rate; True takes the within-batch mean, which
@@ -92,6 +93,7 @@ class DenseBPRSolver:
         self.model = model
         self.params = params
         self.n_negs = int(n_negs)
+        self.panel_q = None if panel_q is None else int(panel_q)
         self.collision_norm = collision_norm
         n_users, n_items = model.n_users, model.n_items
         k = model.k
@@ -102,6 +104,10 @@ class DenseBPRSolver:
         self.n_pos = len(pr)
 
         self.ni_pad = _cdiv(n_items, 128) * 128
+        if self.panel_q is not None and self.ni_pad % self.panel_q:
+            raise ValueError(
+                f"panel_q={self.panel_q} must divide the padded "
+                f"catalog width {self.ni_pad}")
         if bu is None:
             bu = min(2560, max(_cdiv(_cdiv(n_users, 8), 256) * 256, 256))
         self.bu = bu
@@ -126,6 +132,14 @@ class DenseBPRSolver:
         stripe = r2 // bu
         counts = np.bincount(stripe, minlength=self.NU)
         S = max(int(counts.max()), 1)
+        self.nb = 1
+        if self.panel_q is not None:
+            # panel mode sub-batches the stripe (~4k positives each);
+            # each sub-batch draws its own tile so per-epoch item
+            # coverage matches uniform sampling while concentration
+            # stays bounded (_build_epoch_panel docstring)
+            self.nb = max(1, -(-S // 4096))
+            S = -(-S // self.nb) * self.nb
         self.S = S
         self.pad_frac = self.NU * S / max(self.n_pos, 1)
 
@@ -156,6 +170,10 @@ class DenseBPRSolver:
         self.cnt_u = jnp.asarray(cnt_u)
         self.cnt_i = jnp.asarray(cnt_ip + cnt_neg[:, None])
         self.cnt_neg = jnp.asarray(cnt_neg)
+        # rated-only per-stripe item counts: the panel epoch's
+        # collision divisors add the REALIZED panel count on top
+        self.cnt_ip = (jnp.asarray(cnt_ip) if self.panel_q is not None
+                       else None)
 
         # stripe-row dense mask: 1 = positively rated, invalid item, or
         # padded column (all self-cancel through -BIG); one-time device
@@ -187,6 +205,8 @@ class DenseBPRSolver:
 
     # ------------------------------------------------------------------
     def _build_epoch(self):
+        if self.panel_q is not None:
+            return self._build_epoch_panel()
         NU, bu, S, T = self.NU, self.bu, self.S, self.n_negs
         ni_pad = self.ni_pad
         n_items = self.n_items_real
@@ -249,6 +269,120 @@ class DenseBPRSolver:
                 if collision:
                     gU = gU / jnp.maximum(cnt_u[ub], 1.0)[:, None]
                     gI = gI / jnp.maximum(cnt_i[ub], 1.0)[:, None]
+                return (u3.at[ub].set(U - lr * gU), I - lr * gI,
+                        loss, inv)
+
+            u3, i_tab, loss, inv = jax.lax.fori_loop(
+                0, NU, body,
+                (u3, i_tab, jnp.zeros(()), jnp.zeros(())))
+            return u3, i_tab, loss, jnp.round(inv).astype(jnp.int32)
+
+        return epoch
+
+    def _build_epoch_panel(self):
+        """Panel-stratified negatives (round 5, past the 4-stream
+        roofline): the stripe's positives are split into ``nb``
+        position-contiguous SUB-BATCHES (~4k each); every sub-batch
+        draws its own Q-wide tile of the relabeled item axis and all
+        its positives take the tile's Q columns as negatives, averaged
+        at 1/Q weight. The negative-side gather and scatter become ROW
+        ops (1 index per positive each, carrying Q draws — the 7 ns
+        indexed-op cost is per INDEX, not per element), so index
+        streams per (positive, draw) pair fall from 4 to 4/Q and
+        pairs/s scale ~linearly in Q at flat epoch time (measured).
+
+        Sampling-scope deviation (extends docstring deviation (c)):
+        a sub-batch shares its tile; a positive's Q draws are the
+        tile's Q distinct columns. MARGINALLY each item is a negative
+        with probability Q/ni_pad per sub-batch = uniform over the
+        padded catalog, and rated/invalid/padding columns self-cancel
+        through the -BIG fold. Per-(positive, draw) gradients stay the
+        exact bpr_pair_terms math; the negative REG expectation
+        cnt_neg = counts/ni_pad is unchanged. Per-epoch item coverage:
+        NU*nb*Q/ni_pad panel hits per item — the sub-batching is what
+        keeps it at uniform-sampling scale (one shared panel per
+        stripe measured FLAT loss curves: items too rarely/too hard
+        hit).
+
+        Stability: a tile column's realized per-visit count is
+        nv_sb/Q summed contributions — with ~4k-positive sub-batches
+        and Q >= 32 that is the same order as uniform draws'
+        ~nv/ni_pad realized counts, so the default summed semantics
+        hold at stream-tuned lr; ONE shared stripe panel (nb=1)
+        measured divergent, which is why sub-batching is not
+        optional. collision_norm=True additionally applies the
+        engines' within-batch mean with REALIZED divisors (rated
+        occurrences + the per-tile nv_sb/Q) — divergence-proof, needs
+        a ~count-times larger lr (README deviation #1 family)."""
+        NU, bu, S, Q = self.NU, self.bu, self.S, self.panel_q
+        nb = self.nb
+        sb_size = S // nb
+        ni_pad = self.ni_pad
+        n_tiles = ni_pad // Q
+        u_reg = float(self.params.u_reg)
+        i_reg = float(self.params.i_reg)
+        eps = float(self.params.eps)
+        cnt_ip = self.cnt_ip
+        collision = self.collision_norm
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch(u3, i_tab, u_locs, ipos, wpos, W_rows, cnt_u, cnt_i,
+                  lr, key):
+            k_ord, k_neg = jax.random.split(key)
+            row_of = jax.random.permutation(
+                k_ord, jnp.arange(NU, dtype=jnp.int32))
+            tiles = jax.random.randint(k_neg, (NU, nb), 0, n_tiles,
+                                       dtype=jnp.int32)
+            sb = (jnp.arange(S, dtype=jnp.int32) // sb_size)   # [S]
+            qi = jnp.arange(Q, dtype=jnp.int32)
+
+            def body(t, carry):
+                u3, I, loss, inv = carry
+                ub = row_of[t]
+                U = u3[ub]                          # [bu, k]
+                W = W_rows[ub].astype(jnp.float32)  # [bu, ni_pad]
+                P2 = jnp.dot(U.astype(jnp.bfloat16),
+                             I.astype(jnp.bfloat16).T,
+                             preferred_element_type=jnp.float32
+                             ) - _BIG * W
+                ul = u_locs[ub]
+                ip = ipos[ub]
+                w = wpos[ub]
+                cols = (tiles[t][:, None] * Q
+                        + qi[None, :]).reshape(-1)   # [nb*Q]
+                Pn = P2[:, cols]                     # [bu, nb*Q]
+                # flatten [bu, nb, Q] WITHOUT a physical transpose:
+                # row index = ul*nb + sb (transposes cost ~2x epoch)
+                Pn2 = Pn.reshape(bu * nb, Q)
+                splus = P2[ul, ip] + _BIG            # [S]
+                Sn = Pn2[ul * nb + sb]               # [S, Q] row gather
+                r = splus[:, None] - Sn
+                c = w[:, None] * (-1.0 / (Q * (1.0 + jnp.exp(r))))
+                loss = loss + jnp.sum(
+                    w[:, None] * jnp.logaddexp(0.0, -r)) / Q
+                inv = inv + jnp.sum(
+                    jnp.where((-r > eps) & (w[:, None] > 0),
+                              1.0 / Q, 0.0))
+                C = jnp.zeros((bu, ni_pad), jnp.float32)
+                C = C.at[ul, ip].add(jnp.sum(c, axis=1))
+                Cn = jnp.zeros((bu * nb, Q), jnp.float32
+                               ).at[ul * nb + sb].add(-c)
+                Cn = Cn.reshape(bu, nb * Q)
+                C = C.at[:, cols].add(Cn)
+                gU = (jnp.dot(C, I, preferred_element_type=jnp.float32)
+                      + (2.0 * u_reg) * cnt_u[ub][:, None] * U)
+                gI = (jnp.dot(C.T, U,
+                              preferred_element_type=jnp.float32)
+                      + (2.0 * i_reg) * cnt_i[ub][:, None] * I)
+                if collision:
+                    # collision-MEAN with realized per-tile counts
+                    nv_sb = jax.ops.segment_sum(
+                        (w > 0).astype(jnp.float32), sb,
+                        num_segments=nb)
+                    div_i = cnt_ip[ub].at[cols].add(
+                        jnp.repeat(nv_sb / Q, Q))
+                    gU = gU / jnp.maximum(cnt_u[ub], 1.0)[:, None]
+                    gI = gI / jnp.maximum(div_i, 1.0)[:, None]
                 return (u3.at[ub].set(U - lr * gU), I - lr * gI,
                         loss, inv)
 

@@ -209,3 +209,111 @@ def test_dense_bpr_guards_rank_masked_models(lo_data):
                                    uf, itf, sample_poisson=False)
     with pytest.raises(ValueError):
         DenseBPRSolver(model, params, data.train_mat, iu, ii, bu=32)
+
+
+# ----------------------------------------------------------------------
+# Panel-stratified negatives (round 5, VERDICT r4 #7)
+# ----------------------------------------------------------------------
+
+def test_dense_bpr_panel_matches_numpy_replica(lo_data):
+    """Panel mode: one epoch == a numpy replica deriving the same
+    tiles/schedule from the key — pins the Q-wide row gather/scatter
+    routing, the 1/Q averaging, and the dynamic-slice C accumulation
+    (including positives that land inside the panel)."""
+    data = lo_data
+    Q = 8
+    params, model, solver = _mk(data, bu=32, collision_norm=True,
+                                panel_q=Q)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(11)
+    lr = 0.05
+    out = solver.epoch(state, lr, key)
+
+    k_ord, k_neg = jax.random.split(key)
+    row_of = np.asarray(jax.random.permutation(
+        k_ord, jnp.arange(solver.NU, dtype=jnp.int32)))
+    n_tiles = solver.ni_pad // Q
+    nb = solver.nb
+    sb_size = solver.S // nb
+    tiles = np.asarray(jax.random.randint(
+        k_neg, (solver.NU, nb), 0, n_tiles, dtype=jnp.int32))
+    sb = np.arange(solver.S) // sb_size
+    u3 = np.asarray(state.u_fac)[np.asarray(solver.u_perm_inv_dev)
+                                 ].reshape(solver.NU, solver.bu, -1
+                                           ).astype(np.float32)
+    i_tab = np.pad(np.asarray(state.i_fac, np.float32),
+                   ((0, solver.ni_pad - data.n_items), (0, 0)))
+    W = np.asarray(solver.W_rows)
+    u_locs = np.asarray(solver.u_locs)
+    ipos = np.asarray(solver.ipos)
+    wpos = np.asarray(solver.wpos)
+    cnt_u = np.asarray(solver.cnt_u)
+    cnt_i = np.asarray(solver.cnt_i)
+    for t in range(solver.NU):
+        ub = int(row_of[t])
+        U = u3[ub]
+        P2 = (np.asarray(jnp.dot(
+            jnp.asarray(U).astype(jnp.bfloat16),
+            jnp.asarray(i_tab).astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32))
+            - _BIG * W[ub].astype(np.float32))
+        ul, ip, w = u_locs[ub], ipos[ub], wpos[ub]
+        # per-positive negatives from the positive's SUB-BATCH tile
+        o_p = tiles[t][sb] * Q                     # [S]
+        splus = P2[ul, ip] + _BIG                  # [S]
+        Sn = np.stack([P2[ul[p], o_p[p]:o_p[p] + Q]
+                       for p in range(solver.S)])  # [S, Q]
+        r = splus[:, None] - Sn
+        c = w[:, None] * (-1.0 / (Q * (1.0 + np.exp(r))))
+        C = np.zeros((solver.bu, solver.ni_pad), np.float32)
+        np.add.at(C, (ul, ip), c.sum(axis=1))
+        for p in range(solver.S):
+            C[ul[p], o_p[p]:o_p[p] + Q] += -c[p]
+        gU = C @ i_tab + 2 * 0.01 * cnt_u[ub][:, None] * U
+        gI = C.T @ U + 2 * 0.01 * cnt_i[ub][:, None] * i_tab
+        # panel collision-mean: realized per-tile divisors
+        div_i = np.asarray(solver.cnt_ip)[ub].copy()
+        for b in range(nb):
+            nv_sb = float((w[sb == b] > 0).sum())
+            ob = int(tiles[t][b]) * Q
+            div_i[ob:ob + Q] += nv_sb / Q
+        gU /= np.maximum(cnt_u[ub], 1.0)[:, None]
+        gI /= np.maximum(div_i, 1.0)[:, None]
+        u3[ub] = U - lr * gU
+        i_tab = i_tab - lr * gI
+    exp_u = u3.reshape(-1, model.k)[np.asarray(solver.u_perm_dev)]
+    np.testing.assert_allclose(np.asarray(out.u_fac), exp_u,
+                               atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.i_fac),
+                               i_tab[: data.n_items],
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_dense_bpr_panel_training_improves_hr(lo_data):
+    """Panel mode reaches the same structured-LOO HR basin as the base
+    dense engine (sampling-scope deviation is quality-neutral here)."""
+    from matfac_tpu.data.csr import RatingMatrix
+    from matfac_tpu.eval.ranking import CatalogScorer
+
+    data = lo_data
+    params, model, solver = _mk(data, bu=32, panel_q=8)
+    iu, ii = ufreq.invalid_users_items(data.train_mat, data.n_users,
+                                       data.n_items)
+    scorer = CatalogScorer(data.train_mat, iu, ii, data.n_users,
+                           data.n_items)
+    state = init_state(params, data.n_users, data.n_items)
+    key = jax.random.PRNGKey(2)
+    hr0 = scorer.hit_rate(model.eval_view(state), data.test_mat, 10)
+    for _ in range(40):
+        key, k1 = jax.random.split(key)
+        state = solver.epoch(state, 0.05, k1)
+    hr1 = scorer.hit_rate(model.eval_view(state), data.test_mat, 10)
+    assert hr1 > max(hr0 + 0.2, 0.5), (hr0, hr1)
+
+
+def test_dense_bpr_panel_q_must_divide():
+    import pytest as _pytest
+    data = leave_one_out_data(n_users=40, n_items=30, per_user=6,
+                              seed=1)
+    with _pytest.raises(ValueError, match="panel_q"):
+        _mk(data, bu=32, panel_q=7)
