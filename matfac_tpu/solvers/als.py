@@ -414,7 +414,7 @@ class DenseALSSolver:
     MAX_DENSE_BYTES = 10 * 1024 ** 3
 
     def __init__(self, model, params: Params, train_mat,
-                 invalid_users, invalid_items, row_block: int = 2048,
+                 invalid_users, invalid_items, row_block: int = 1024,
                  dense_dtype=None, cg_iters: int = 0,
                  packed: bool = True, gram_int8: bool = False, **_):
         """cg_iters > 0: warm-started CG solves instead of Cholesky
