@@ -51,6 +51,15 @@ def main():
     ap.add_argument("--spectrum-pow", type=float, default=0.5)
     ap.add_argument("--tail-boost", type=float, default=1.0)
     ap.add_argument("--data-seed", type=int, default=100)
+    ap.add_argument("--shape", choices=["small", "ml10m"],
+                    default="small",
+                    help="ml10m: 70k x 10k / ~10M ratings at-scale "
+                         "table (VERDICT r4 #4); implies --method "
+                         "densesgd-capable auto dispatch, obj_iter=5 "
+                         "and a trimmed tuning grid")
+    ap.add_argument("--method", default="sgd",
+                    help="mf_method for every run (at scale use "
+                         "'auto' -> densesgd for all four models)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -63,10 +72,15 @@ def main():
     from matfac_tpu.utils import freq as ufreq
 
     if args.lowrank_tail:
+        shape_kw = {}
+        if args.shape == "ml10m":
+            shape_kw = dict(n_users=70_000, n_items=10_000,
+                            density=0.0143)
         data, _ = tail_lowrank_data(seed=args.data_seed,
                                     power_law=args.power_law,
                                     spectrum_pow=args.spectrum_pow,
-                                    tail_boost=args.tail_boost)
+                                    tail_boost=args.tail_boost,
+                                    **shape_kw)
     else:
         data, _, _ = synthetic_data(
             n_users=943, n_items=1682, k=6, density=0.063,
@@ -126,13 +140,20 @@ def main():
         return out
 
     def run(algo, kw):
+        kw = dict(kw)
+        method = kw.pop("_method", args.method)
         base = dict(fac_dim=16, max_iter=args.maxiter, seed=1,
                     learn_rate=0.1, batch_size=2048, u_reg=0.002,
                     i_reg=0.002, disp_iter=10 ** 6)
+        if args.shape == "ml10m":
+            # per-epoch eval at 10M nnz costs ~10x the dense epoch —
+            # check every 5th (termination semantics unchanged
+            # otherwise); stripe-batch dynamics like a large minibatch
+            base["obj_iter"] = 5
         base.update(kw)
         p = Params(**base)
         rep, model, ev, _ = train_model(data, p, algo=algo,
-                                        mf_method="sgd",
+                                        mf_method=method,
                                         log_fn=lambda s: None)
         view = model.eval_view(rep.best_state)
         # model selection on VALIDATION tail RMSE (the paper tunes
@@ -153,6 +174,24 @@ def main():
                        for r in (0.5, 1.0, 2.0)
                        for a in (-1.0, -0.5, 0.0)],
     }
+    if args.shape == "ml10m":
+        # trimmed at-scale grid around the small-shape winners (each
+        # run re-stages the dense grid; full 9-point grids would cost
+        # hours per seed)
+        # MF gets BOTH engines (dense stripe-batch GD converges
+        # slowly on the decaying-spectrum generator at this scale —
+        # measured; the scatter engine is its strong config)
+        grids = {
+            "mf": [{}, dict(u_reg=0.01, i_reg=0.01),
+                   dict(_method="sgd", u_reg=0.005, i_reg=0.005),
+                   dict(_method="sgd", u_reg=0.002, i_reg=0.002)],
+            "TMF": [dict(rho_rms=r, alpha=a)
+                    for r, a in ((0.5, -1.0), (1.0, -1.0),
+                                 (1.0, -0.5), (2.0, -0.5))],
+            "TMFDropout": [dict(rho_rms=r, alpha=a)
+                           for r, a in ((0.5, -1.0), (1.0, -1.0),
+                                        (1.0, -0.5), (2.0, -0.5))],
+        }
     rows = []
     for algo, grid in grids.items():
         best = None
