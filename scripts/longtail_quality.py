@@ -187,10 +187,20 @@ def main():
                    dict(_method="sgd", u_reg=0.002, i_reg=0.002)],
             "TMF": [dict(rho_rms=r, alpha=a)
                     for r, a in ((0.5, -1.0), (1.0, -1.0),
-                                 (1.0, -0.5), (2.0, -0.5))],
+                                 (1.0, -0.5), (2.0, -0.5))]
+                   + [dict(_method="sgd", rho_rms=0.5, alpha=-1.0,
+                           u_reg=0.005, i_reg=0.005),
+                      dict(_method="sgd", rho_rms=1.0, alpha=-1.0,
+                           u_reg=0.005, i_reg=0.005)],
             "TMFDropout": [dict(rho_rms=r, alpha=a)
                            for r, a in ((0.5, -1.0), (1.0, -1.0),
-                                        (1.0, -0.5), (2.0, -0.5))],
+                                        (1.0, -0.5), (2.0, -0.5))]
+                          + [dict(_method="sgd", rho_rms=0.5,
+                                  alpha=-1.0, u_reg=0.005,
+                                  i_reg=0.005),
+                             dict(_method="sgd", rho_rms=1.0,
+                                  alpha=-1.0, u_reg=0.005,
+                                  i_reg=0.005)],
         }
     rows = []
     for algo, grid in grids.items():
