@@ -145,7 +145,7 @@ def main():
             dcod = BlockSGDSolver(model, params, smat, inval_u,
                                   inval_i, collision_norm=True,
                                   engine="dense", bu=None, bi=None,
-                                  dense_codes="auto")
+                                  dense_codes="codes")
             if dcod.W_cells is None:   # codes actually staged
                 dense_codes_rps = dcod.nnz / time_epochs(dcod,
                                                          TIMED_EPOCHS)

@@ -167,13 +167,17 @@ class BlockSGDSolver:
         one-hot engines. Pass bu/bi=None to auto-size blocks (square
         cell grid: NU ≈ NI minimizes the round count).
 
-        ``dense_codes``: "auto" (default) stages int8 rating CODES —
-        1 B/slot, validity derived from code != 0 — whenever the
-        ratings are EXACTLY representable as code * scale (star data;
-        rating_code_scale proves it per dataset) and the model's
-        weights are uniform 0/1; this is what puts the ML-20M dense
-        grid (11.4 GiB at bf16+int8) inside the single-chip envelope
-        at ~3.8 GiB. "off" always stages float tiles. "lossy"
+        ``dense_codes``: int8 rating CODES — 1 B/slot, validity
+        derived from code != 0 — for ratings EXACTLY representable as
+        code * scale (star data; rating_code_scale proves it per
+        dataset) with uniform-0/1 weights; this is what puts the
+        ML-20M dense grid (11.4 GiB at bf16+int8) inside the
+        single-chip envelope at ~3.8 GiB. "auto" (default) applies
+        the measured SPEED policy: codes only when float tiles miss
+        the budget or the grid is traffic-bound (>= 1.5e9 slots —
+        codes measured faster at the full bench shape, slower at the
+        small dense medium shape). "codes" forces them (error when
+        not representable). "off" always stages float tiles. "lossy"
         additionally quantizes non-representable ratings to 127 signed
         levels of max|r|/127 (absolute error <= scale/2, except
         near-zero ratings clamped to ±1 code so none is dropped —
@@ -233,7 +237,7 @@ class BlockSGDSolver:
             self.pad_k = 0  # dense FLOP is ∝ k: padding is not free
             if dense_kernel not in ("xla", "pallas", "pallas_codes"):
                 raise ValueError(f"unknown dense_kernel {dense_kernel!r}")
-            if dense_codes not in ("auto", "off", "lossy"):
+            if dense_codes not in ("auto", "codes", "off", "lossy"):
                 raise ValueError(f"unknown dense_codes {dense_codes!r}")
         else:
             if bu is None:
@@ -243,10 +247,13 @@ class BlockSGDSolver:
         self.dense_kernel = dense_kernel if engine == "dense" else "xla"
         self.dense_panel = dense_panel
         # the f32 Pallas panel kernel keeps float tiles; the bf16
-        # pallas_codes kernel REQUIRES code tiles (checked after
-        # staging)
+        # pallas_codes kernel REQUIRES code tiles (forced past the
+        # auto speed policy)
         self.dense_codes = (dense_codes if engine == "dense"
                             and dense_kernel != "pallas" else "off")
+        if (dense_kernel == "pallas_codes"
+                and self.dense_codes == "auto"):
+            self.dense_codes = "codes"
         self.r_scale = None
         self.bu, self.bi = bu, bi
         self.NU = _cdiv(n_users, bu)
@@ -544,7 +551,19 @@ class BlockSGDSolver:
         else f32/bf16 W by budget (IFWMF)."""
         uniform01 = bool(np.all((wts == 0.0) | (wts == 1.0)))
         slots = (n_cells + 1) * self.bu * self.bi
-        if uniform01 and self.dense_codes != "off":
+        use_codes = uniform01 and self.dense_codes != "off"
+        if use_codes and self.dense_codes == "auto":
+            # measured speed policy (round 5): codes WIN at large
+            # sparse grids (full shape 2.1e9 slots: 18.8 vs 24.4 ms —
+            # the 3x R+W read cut) but LOSE at small dense ones
+            # (medium 0.12e9 slots / 5% density: the int8->f32 convert
+            # is pure VPU overhead when traffic is cheap). Auto takes
+            # codes only when float tiles would not fit the budget or
+            # the grid is in the measured traffic-bound regime;
+            # dense_codes='codes'/'lossy' force them.
+            if slots < int(1.5e9) and slots * 3 <= budget:
+                use_codes = False
+        if use_codes:
             g = rating_code_scale(vals)
             codes = None
             if g is not None:
@@ -560,6 +579,11 @@ class BlockSGDSolver:
                     codes = np.clip(np.round(vals / g), -127, 127)
                     nz = vals != 0
                     codes[nz & (codes == 0)] = np.sign(vals[nz & (codes == 0)])
+            if codes is None and self.dense_codes == "codes":
+                raise ValueError(
+                    "dense_codes='codes' requires exactly star-grid-"
+                    "representable ratings (rating_code_scale); use "
+                    "'lossy' or 'auto'")
             if codes is not None:
                 if slots > budget:
                     raise ValueError(

@@ -361,7 +361,7 @@ def test_dense_codes_bit_exact_on_stars(layout):
     bi = None if layout == "rows" else 16
     code = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=bi,
                           collision_norm=True, mm_bf16=False,
-                          engine="dense", dense_codes="auto")
+                          engine="dense", dense_codes="codes")
     assert code.W_cells is None and code.r_scale == 0.5
     assert code.R_cells.dtype == jnp.int8
     flt = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=bi,
@@ -389,7 +389,7 @@ def test_dense_codes_tmf_masked_parity():
     model = ModelDropoutSigmoid(p, 60, 40, uf, itf)
     code = BlockSGDSolver(model, p, mat, iu, ii, bu=16, bi=None,
                           collision_norm=True, mm_bf16=False,
-                          engine="dense", dense_codes="auto")
+                          engine="dense", dense_codes="codes")
     assert code.W_cells is None
     flt = BlockSGDSolver(model, p, mat, iu, ii, bu=16, bi=None,
                          collision_norm=True, mm_bf16=False,
@@ -435,12 +435,21 @@ def test_dense_codes_lossy_error_class_and_training():
 
 def test_dense_codes_auto_falls_back_to_float_tiles():
     """Continuous data + dense_codes='auto' -> float staging (no
-    silent lossy quantization)."""
+    silent lossy quantization); tiny star grids under 'auto' also
+    stage float (the measured speed policy — codes only pay at
+    traffic-bound grids), and 'codes' on continuous data raises."""
     mat, params, iu, ii = _setup()
     model = ModelMF(params, 60, 40)
     solver = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
                             engine="dense", dense_codes="auto")
     assert solver.W_cells is not None and solver.r_scale is None
+    smat, *_ = _star_setup()
+    auto = BlockSGDSolver(model, params, smat, iu, ii, bu=16, bi=None,
+                          engine="dense", dense_codes="auto")
+    assert auto.W_cells is not None   # tiny grid: policy picks float
+    with pytest.raises(ValueError, match="representable"):
+        BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
+                       engine="dense", dense_codes="codes")
 
 
 # ----------------------------------------------------------------------

@@ -109,7 +109,7 @@ def test_pallas_codes_matches_xla_rows(collision_norm):
     assert pal.W_cells is None and pal.r_scale == 0.5
     xla = BlockSGDSolver(model, params, mat, iu, ii, bu=16, bi=None,
                          collision_norm=collision_norm,
-                         engine="dense", dense_codes="auto")
+                         engine="dense", dense_codes="codes")
     assert xla.W_cells is None
     sp = init_state(params, 60, 40, seed=3)
     sx = init_state(params, 60, 40, seed=3)
