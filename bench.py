@@ -64,8 +64,9 @@ def main():
         # depends on the whole update chain
         return float(jnp.sum(state.u_fac[0]) + jnp.sum(state.i_fac[0]))
 
-    def time_epochs(solver, n):
-        state = init_state(params, n_users, n_items)
+    def time_epochs(solver, n, _params=None, _nu=None, _ni=None):
+        _params = _params or params
+        state = init_state(_params, _nu or n_users, _ni or n_items)
         key = jax.random.PRNGKey(0)
         # warmup (compile) — TWO epochs: solvers with resident staged
         # layouts compile a second (donated-input) program variant on
@@ -75,12 +76,12 @@ def main():
         # 24.4 after a 2-epoch warmup — scripts/tpu_dense_stability.py)
         for _ in range(2):
             key, k1 = jax.random.split(key)
-            state = solver.epoch(state, params.learn_rate, k1)
+            state = solver.epoch(state, _params.learn_rate, k1)
         force(state)
         t0 = time.perf_counter()
         for _ in range(n):
             key, k1 = jax.random.split(key)
-            state = solver.epoch(state, params.learn_rate, k1)
+            state = solver.epoch(state, _params.learn_rate, k1)
         force(state)
         return (time.perf_counter() - t0) / n
 
@@ -244,22 +245,9 @@ def main():
             fden = BlockSGDSolver(fmodel, fparams, fmat, f_iu, f_ii,
                                   collision_norm=True, engine="dense",
                                   bu=None, bi=None)
-
-            def time_epochs_full(solver, n):
-                state = init_state(fparams, fu, fi)
-                key = jax.random.PRNGKey(0)
-                for _ in range(2):
-                    key, k1 = jax.random.split(key)
-                    state = solver.epoch(state, fparams.learn_rate, k1)
-                force(state)
-                t0 = time.perf_counter()
-                for _ in range(n):
-                    key, k1 = jax.random.split(key)
-                    state = solver.epoch(state, fparams.learn_rate, k1)
-                force(state)
-                return (time.perf_counter() - t0) / n
-
-            full_dense_epoch_s = time_epochs_full(fden, TIMED_EPOCHS)
+            full_dense_epoch_s = time_epochs(fden, TIMED_EPOCHS,
+                                             _params=fparams, _nu=fu,
+                                             _ni=fi)
             full_dense_rps = fden.nnz / full_dense_epoch_s
             del fden, fmat
     except Exception:  # noqa: BLE001 — never cost the medium numbers

@@ -270,36 +270,6 @@ def dense_epoch_rows_keyed(u_tab3: jax.Array, i_tab: jax.Array,
                             round_u=round_u)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi",
-                                             "vdtype", "wdtype"))
-def densify_cells(cell: jax.Array, u_loc: jax.Array, i_loc: jax.Array,
-                  vals: jax.Array, wts: jax.Array, n_cells_pad: int,
-                  bu: int, bi: int, vdtype, wdtype
-                  ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter the staged COO stream into dense cell tiles ON DEVICE
-    (one-time; ~7 ns/index, so ~0.1 s at 10M nnz — vs shipping the
-    multi-GB dense tensors over h2d). Padding slots carry vals=wts=0,
-    so scatter-ADD leaves their (cell, 0, 0) targets untouched; real
-    (u, i) pairs are unique in a CSR matrix, so add == set."""
-    R = jnp.zeros((n_cells_pad, bu, bi), vdtype)
-    W = jnp.zeros((n_cells_pad, bu, bi), wdtype)
-    R = R.at[cell, u_loc, i_loc].add(vals.astype(vdtype))
-    W = W.at[cell, u_loc, i_loc].add(wts.astype(wdtype))
-    return R, W
-
-
-@functools.partial(jax.jit, static_argnames=("n_cells_pad", "bu", "bi"))
-def densify_codes(cell: jax.Array, u_loc: jax.Array, i_loc: jax.Array,
-                  codes: jax.Array, n_cells_pad: int, bu: int, bi: int
-                  ) -> jax.Array:
-    """densify_cells for the int8 rating-CODE mode: one [cells, bu, bi]
-    int8 tile where slot value = rating code (0 = unrated). Validity
-    derives from code != 0 in-kernel, so no W tensor is staged at all —
-    1 B/slot, the ML-20M single-chip enabler (VERDICT r4 #1)."""
-    R = jnp.zeros((n_cells_pad, bu, bi), jnp.int8)
-    return R.at[cell, u_loc, i_loc].add(codes.astype(jnp.int8))
-
-
 @functools.partial(jax.jit, static_argnames=("n", "dtype"))
 def _scatter_flat(idx: jax.Array, vals: jax.Array, n: int, dtype):
     return jnp.zeros(n, dtype).at[idx].add(vals.astype(dtype))
@@ -318,7 +288,7 @@ def densify_rows_host(cell: "np.ndarray", u_loc: "np.ndarray",
     """Scatter a COO stream into the dense [cells, bu, bi] grid via
     CHUNKED flat 1-D scatters (host driver, device compute).
 
-    Why not one 3-index scatter (densify_cells/densify_codes): XLA
+    Why not one 3-index scatter (.at[cell, ul, il].add): XLA
     lays the scatter's [nnz, 3] s32 index matrix out in (8, 128)
     tiles — a 42.7x padding expansion that cost 2 x 9.4 GiB of HLO
     temps at the ML-20M shape and OOMed the compile (measured,

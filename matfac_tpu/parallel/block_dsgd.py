@@ -402,10 +402,13 @@ class BlockDSGDSolver:
         self._resident = (u_fac, i_fac)
         u_view = u_fac[self.u_perm_dev][:, : self.model.k]
         i_view = i_fac[self.i_perm_dev][:, : self.model.k]
-        self._last_u_view, self._last_i_view = u_view, i_view
-        return state._replace(
-            u_fac=u_view.astype(state.u_fac.dtype),
-            i_fac=i_view.astype(state.i_fac.dtype))
+        # store POST-cast arrays: a dtype-changing astype returns a new
+        # object and a stale identity misses the resident cache every
+        # epoch (the round-5 block_sgd.py fix, applied to the siblings)
+        u_ret = u_view.astype(state.u_fac.dtype)
+        i_ret = i_view.astype(state.i_fac.dtype)
+        self._last_u_view, self._last_i_view = u_ret, i_ret
+        return state._replace(u_fac=u_ret, i_fac=i_ret)
 
 
 class DenseBlockDSGDSolver:
@@ -447,7 +450,7 @@ class DenseBlockDSGDSolver:
                  dense_codes: str = "auto"):
         if model.use_bias or not model.use_factors:
             raise ValueError("DenseBlockDSGDSolver is factor-only")
-        if dense_codes not in ("auto", "off"):
+        if dense_codes not in ("auto", "codes", "off"):
             raise ValueError(f"unknown dense_codes {dense_codes!r}")
         if hasattr(model, "pair_lambda") or hasattr(model, "pair_rank"):
             raise ValueError(
@@ -568,9 +571,19 @@ class DenseBlockDSGDSolver:
         # staging ladder as the single-chip engine,
         # solvers/block_sgd.rating_code_scale)
         from matfac_tpu.solvers.block_sgd import rating_code_scale
-        self.r_scale = (rating_code_scale(v)
-                        if uniform01 and dense_codes == "auto" else None)
-        if multiproc and dense_codes == "auto" and uniform01:
+        want_codes = uniform01 and dense_codes in ("auto", "codes")
+        if want_codes and dense_codes == "auto":
+            # same measured speed policy as BlockSGDSolver: codes only
+            # for traffic-bound or over-budget grids
+            if slots < int(1.5e9) and slots * 3 <= dense_budget_bytes:
+                want_codes = False
+        self.r_scale = rating_code_scale(v) if want_codes else None
+        if dense_codes == "codes" and self.r_scale is None \
+                and not multiproc:
+            raise ValueError(
+                "dense_codes='codes' requires exactly star-grid-"
+                "representable ratings with uniform 0/1 weights")
+        if multiproc and want_codes:
             # the SCALE must agree across processes: allgather the
             # local candidates, take the min, re-verify locally at it
             from jax.experimental import multihost_utils
@@ -748,7 +761,8 @@ class DenseBlockDSGDSolver:
         self._resident = (u_fac, i_fac)
         u_view = u_fac[self.u_perm_dev]
         i_view = i_fac[self.i_perm_dev]
-        self._last_u_view, self._last_i_view = u_view, i_view
-        return state._replace(
-            u_fac=u_view.astype(state.u_fac.dtype),
-            i_fac=i_view.astype(state.i_fac.dtype))
+        # POST-cast identity (see BlockDSGDSolver.epoch note)
+        u_ret = u_view.astype(state.u_fac.dtype)
+        i_ret = i_view.astype(state.i_fac.dtype)
+        self._last_u_view, self._last_i_view = u_ret, i_ret
+        return state._replace(u_fac=u_ret, i_fac=i_ret)

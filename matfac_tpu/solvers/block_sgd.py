@@ -404,12 +404,14 @@ class BlockSGDSolver:
                               dense_budget_bytes)
             if self.dense_kernel == "pallas_codes":
                 if self.W_cells is not None:
+                    # only reachable for weighted models: uniform-0/1
+                    # data that is not representable raises the
+                    # 'codes' error in _stage_dense first
                     raise ValueError(
                         "dense_kernel='pallas_codes' needs int8 "
-                        "rating-code tiles: the data must be exactly "
-                        "star-grid representable with uniform 0/1 "
-                        "weights (rating_code_scale) — or pass "
-                        "dense_codes='lossy'")
+                        "rating-code tiles; weighted models "
+                        "(non-0/1 example weights) keep float W "
+                        "tiles — use dense_kernel='xla'")
                 # panel-major relayout (one-time device transpose):
                 # strided panel slices out of the row-major grid
                 # measured 51 ms of a 53 ms epoch (kernel docstring)
@@ -543,7 +545,7 @@ class BlockSGDSolver:
                      budget):
         """Dense [bu, bi] rating/weight tiles per cell (+ one dummy),
         built by a one-time device scatter from the relabeled COO
-        (ops/dense_block_kernel.densify_cells). Staging ladder, best
+        (ops/dense_block_kernel.densify_rows_host). Staging ladder, best
         first: int8 rating CODES with validity derived from code != 0
         (1 B/slot; exact for star-grid data, lossy opt-in —
         rating_code_scale + the dense_codes knob) when weights are
@@ -577,8 +579,12 @@ class BlockSGDSolver:
                 if mx > 0:
                     g = mx / 127.0
                     codes = np.clip(np.round(vals / g), -127, 127)
-                    nz = vals != 0
-                    codes[nz & (codes == 0)] = np.sign(vals[nz & (codes == 0)])
+                    # ratings that would land on code 0 (incl. exact
+                    # 0.0 values) clamp to +/-1 so NONE drops — code 0
+                    # means "unrated" in-kernel (error <= g for these)
+                    zero = codes == 0
+                    sgn = np.sign(vals[zero])
+                    codes[zero] = np.where(sgn == 0, 1.0, sgn)
             if codes is None and self.dense_codes == "codes":
                 raise ValueError(
                     "dense_codes='codes' requires exactly star-grid-"

@@ -418,6 +418,8 @@ class DenseBPRSolver:
         k = self.model.k
         u_view = u3.reshape(self.n_users_pad, k)[self.u_perm_dev]
         i_view = i_tab[: self.model.n_items]
-        self._last_u_view, self._last_i_view = u_view, i_view
-        return state._replace(u_fac=u_view.astype(state.u_fac.dtype),
-                              i_fac=i_view.astype(state.i_fac.dtype))
+        # POST-cast identity (see solvers/block_sgd.py epoch note)
+        u_ret = u_view.astype(state.u_fac.dtype)
+        i_ret = i_view.astype(state.i_fac.dtype)
+        self._last_u_view, self._last_i_view = u_ret, i_ret
+        return state._replace(u_fac=u_ret, i_fac=i_ret)

@@ -420,7 +420,14 @@ def _auto_method(algo: str, data, params, mesh) -> str:
     bytes_per_slot = 3
     if algo != "ifwmf":
         from matfac_tpu.solvers.block_sgd import rating_code_scale
-        if rating_code_scale(data.train_mat.values) is not None:
+        v = data.train_mat.values
+        if len(v) > 2_000_000:
+            # O(nnz log nnz) unique is not worth exactness here: a
+            # subsample decides the ROUTING estimate only — the solver
+            # re-proves representability on the filtered data and the
+            # densesgd dispatch falls back on its budget ValueError
+            v = v[:: len(v) // 2_000_000]
+        if rating_code_scale(v) is not None:
             bytes_per_slot = 1
     if nu_pad * ni_pad * bytes_per_slot <= 6e9:
         # incl. tmfdropout: the dense row engine resamples Poisson
@@ -711,9 +718,30 @@ def train_model(data, params: Params, algo: str = "mf",
             pass   # DenseBlockDSGDSolver constructed above
         else:
             from matfac_tpu.solvers.block_sgd import BlockSGDSolver
-            solver = BlockSGDSolver(model, params, data.train_mat,
-                                    inval_u, inval_i, engine="dense",
-                                    bu=None, bi=None)
+            try:
+                solver = BlockSGDSolver(model, params, data.train_mat,
+                                        inval_u, inval_i,
+                                        engine="dense",
+                                        bu=None, bi=None)
+            except ValueError as e:
+                # over-budget grids (e.g. the auto-routing estimate
+                # used 1 B/slot codes but the filtered data staged
+                # float tiles) fall back rather than crash; sampled-
+                # rank models need the scatter engine's masks
+                fb = ("sgd" if getattr(model, "stochastic_rank", False)
+                      else "blocksgd")
+                log_fn(f"densesgd unavailable ({e}); falling back "
+                       f"to {fb}")
+                if fb == "sgd":
+                    solver = SGDSolver(model, params, data.train_mat,
+                                       inval_u, inval_i)
+                else:
+                    solver = BlockSGDSolver(
+                        model, params, data.train_mat, inval_u,
+                        inval_i,
+                        batch_size=min(params.batch_size, 1024),
+                        bu=384, bi=384, schedule="diag",
+                        pad_k=128 if params.fac_dim <= 128 else 0)
     elif m == "sgdparsvd":
         # trainSGDParSVD (modelMF.cpp:353-557): SVD init + per-dim
         # singular-value-weighted regularization + objectiveSing

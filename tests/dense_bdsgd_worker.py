@@ -56,7 +56,9 @@ def main():
     mesh = Mesh(np.asarray(jax.devices()), ("u",))
     model = ModelMF(params, n_users, n_items)
     solver = DenseBlockDSGDSolver(model, params, local_mat, iu, ii,
-                                  mesh, sub_bu=8, mm_bf16=False)
+                                  mesh, sub_bu=8, mm_bf16=False,
+                                  dense_codes=("codes" if mode ==
+                                               "codes" else "off"))
     if mode == "codes":
         assert solver.W_tiles is None and solver.r_scale == 0.5, \
             (solver.r_scale,)

@@ -670,7 +670,8 @@ def test_dense_block_dsgd_codes_bit_exact(setup):
                      * 0.5).astype(np.float32)
     mesh = make_mesh((4,), ("u",), devices=jax.devices()[:4])
     code = DenseBlockDSGDSolver(model, params, mat, iu, ii, mesh,
-                                sub_bu=16, mm_bf16=False)
+                                sub_bu=16, mm_bf16=False,
+                                dense_codes="codes")
     assert code.W_tiles is None and code.r_scale == 0.5
     flt = DenseBlockDSGDSolver(model, params, mat, iu, ii, mesh,
                                sub_bu=16, mm_bf16=False,
@@ -739,7 +740,9 @@ def test_dense_block_dsgd_two_process_distributed(tmp_path, mode):
     mesh = make_mesh()
     model = ModelMF(params, data.n_users, data.n_items)
     solver = DenseBlockDSGDSolver(model, params, data.train_mat, iu,
-                                  ii, mesh, sub_bu=8, mm_bf16=False)
+                                  ii, mesh, sub_bu=8, mm_bf16=False,
+                                  dense_codes=("codes" if mode ==
+                                               "codes" else "off"))
     state = init_state(params, data.n_users, data.n_items, seed=7)
     key = jax.random.PRNGKey(5)
     for _ in range(2):
